@@ -1,13 +1,119 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator row from SURVEY.md §2
+  * re-expressed Spark-first; [[oracleSql]] carries the DuckDB-equivalent
+  * ANSI SQL the driver hash-compares against. Column names and value
+  * determinism are part of the contract (see Relational's notes).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary(_, _)),
+    "q6_filtered_revenue" -> (Relational.q6FilteredRevenue(_, _)),
+    "q5_region_revenue"   -> (Relational.q5RegionRevenue(_, _)),
+    "q_anti_join"         -> (Relational.qAntiJoin(_, _)),
+    "q_semi_join"         -> (Relational.qSemiJoin(_, _)),
+    "q_broadcast_enrich"  -> (Relational.qBroadcastEnrich(_, _)),
+    "q_order_customer"    -> (Relational.qOrderCustomer(_, _)),
+    "q_running_drawdown"  -> (Relational.qRunningMaxDrawdown(_, _)),
+    "q_topn_per_key"      -> (Relational.qTopNPerKey(_, _)),
+    "q_sort_limit"        -> (Relational.qSortLimit(_, _)),
+    "q_tagged_union"      -> (Relational.qTaggedUnion(_, _)),
+    "q_distinct"          -> (Relational.qDistinct(_, _)),
+    "q_type_counts"       -> (Relational.qTypeCounts(_, _)),
+  )
+
+  private val DEC_SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
+  private def dsum(c: String) = DEC_SUM.format(c)
+  private def davg(c: String) = s"${dsum(c)} / count($c)"
+  private val REVENUE =
+    "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  $REVENUE AS sum_disc_price,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q6_filtered_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, $REVENUE AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_broadcast_enrich" ->
+      s"""SELECT p_brand, count(*) AS n_items, ${dsum("l_extendedprice")} AS total_price,
+         |  max(l_quantity) AS max_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_order_customer" ->
+      s"""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total, ${davg("o_totalprice")} AS avg_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_running_drawdown" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, running_max,
+        |  CAST(CAST(running_max AS DECIMAL(18,6)) - CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS drawdown
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    max(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+        |  FROM orders WHERE o_custkey < 50)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_topn_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_tagged_union" ->
+      s"""SELECT user_id, tag, count(*) AS n, ${dsum("value")} AS total_value
+         |FROM (
+         |  SELECT user_id, 'PURCHASE' AS tag, value FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, 'ERROR' AS tag, value FROM events WHERE event_type = 'error')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
+    "q_type_counts" ->
+      s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         |  ${dsum("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Parquet table loaders over the driver-generated star schema
+ * (TESTDATA.md). Columns are selected lazily by Catalyst — a query that
+ * projects two columns reads two columns from parquet (check
+ * `ReadSchema` in `.explain("formatted")`).
+ *
+ * At 100 TB these would be directory-partitioned (e.g. orders by
+ * `o_orderdate` month, events by date) so time predicates prune
+ * partitions; the loaders keep a single `load` seam so that swap is a
+ * one-line change per table.
+ */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by GraftSession)
+    * it surfaces as long nanos. Integer `div 1000` → micros is exact
+    * (never float: ns epochs exceed 2^53) and matches DuckDB's
+    * CAST(ts AS TIMESTAMP) truncation. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
