@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/**
+ * Deduplication operators over the `documents` corpus — the core
+ * training-data-pipeline surface (exact, MinHash+LSH, SimHash, n-gram
+ * Jaccard). Reference analogue: dedup-by-unique-id at
+ * exchange_config.py:91-98 and UNIQUE(signal_id) idempotence
+ * (arch doc:1237-1239), generalized to content-level dedup.
+ *
+ * Scale design: exact dedup is one hash-partitioned groupBy (shuffle
+ * carries doc_id+digest only, never text). MinHash/LSH is the 100 TB
+ * path for near-dup: per-row signatures (no shuffle), then a
+ * band-bucket shuffle that only collides candidate groups —
+ * all-pairs comparison never happens. The brute-force Jaccard
+ * query is deliberately bounded to a doc_id prefix: it is the
+ * *oracle* for LSH recall, not the scale path.
+ */
+object Dedup {
+  import Relational.ColInterp
+
+  val ShingleN = 3
+  val NumHashes = 8
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  private def toks = Hashing.tokens($"text")
+  private def shingleSet = array_distinct(Hashing.wordShingles(toks, ShingleN))
+
+  // ------------------------------------------------------------------
+  // Exact dedup: group identical normalized content by sha256 digest,
+  // keep the smallest doc_id as canonical. D1 in SURVEY §2.7.
+  // ------------------------------------------------------------------
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", sha2(concat_ws(" ", toks), 256).as("content_hash"))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"canonical_id")
+
+  val sqlExactDedup: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""SELECT sha256(list_aggregate($t, 'string_agg', ' ')) AS content_hash,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash signatures (first 4 of 8 hash family members exposed as
+  // scalar columns for the oracle check).
+  // ------------------------------------------------------------------
+  def qMinhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Hashing.minhashSignature(shingleSet, NumHashes)
+    Tables.documents(spark, dir)
+      .select($"doc_id", sig.as("sig"))
+      .select($"doc_id",
+        element_at($"sig", 1).as("mh0"), element_at($"sig", 2).as("mh1"),
+        element_at($"sig", 3).as("mh2"), element_at($"sig", 4).as("mh3"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlMinhashSignature: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val sig = Hashing.sqlMinhash(sh, NumHashes)
+    s"""SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1, sig[3] AS mh2, sig[4] AS mh3
+       |FROM (SELECT doc_id, $sig AS sig FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-dup pairs: band signatures → bucket join →
+  // verify with true Jaccard ≥ 0.5. The join key is (band, bandHash):
+  // only docs agreeing on a full band collide, so the shuffle is
+  // tiny and all-pairs work is avoided — this is the operator that
+  // still runs at 100 TB.
+  // ------------------------------------------------------------------
+  def qMinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", shingleSet.as("sh"))
+      .withColumn("sig", Hashing.minhashSignature($"sh", NumHashes))
+    val banded = base.select($"doc_id", $"sh",
+      explode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => struct(b.as("band"),
+          sha2(concat_ws(",", b, array_join(slice($"sig", b * RowsPerBand + 1, RowsPerBand), ",")), 256)
+            .as("bkey")))).as("bb"))
+      .select($"doc_id", $"sh", $"bb.band", $"bb.bkey")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Hashing.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .distinct() // same pair can collide in several bands
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: exact all-pairs Jaccard ≥ 0.5 — at sf0.01 every planted
+    * near-dup pair has j ≈ 0.98, so LSH with 4 bands × 2 rows recalls
+    * all of them and the two sides agree exactly. */
+  val sqlMinhashLshPairs: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash: 60-bit locality-sensitive content hash per doc. Near-dups
+  // land within a few bits of hamming distance.
+  // ------------------------------------------------------------------
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
+      .orderBy($"doc_id")
+
+  val sqlSimhash: String =
+    s"""SELECT doc_id, ${Hashing.sqlSimhash(Hashing.sqlTokens("text"))} AS simhash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs by hamming distance ≤ 3, bucketed by the
+    * 4 15-bit chunks (pigeonhole: ≤ 3 differing bits across 4 chunks
+    * ⇒ at least one chunk matches exactly): the bucketed join is
+    * the scale path, identical in shape to the MinHash LSH join. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
+    val chunked = base.select($"doc_id", $"simhash",
+        explode(transform(sequence(lit(0), lit(3)),
+          c => struct(c.as("chunk"),
+            shiftright($"simhash", c.cast("int") * 15).bitwiseAND(lit(32767L)).as("ckey")))).as("cc"))
+      .select($"doc_id", $"simhash", $"cc.chunk", $"cc.ckey")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: exact all-pairs hamming ≤ 3 (4×15-bit chunks ⇒ any pair
+    * with ≤ 3 differing bits shares at least one chunk, so the
+    * bucketed Spark plan has perfect recall vs this). */
+  val sqlSimhashPairs: String = {
+    val sh = Hashing.sqlSimhash(Hashing.sqlTokens("text"))
+    s"""WITH s AS (SELECT doc_id, $sh AS simhash FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard brute force over a bounded prefix (doc_id < 100):
+  // the exact-verification operator. Bounded on purpose — all-pairs
+  // does not scale and is only used on candidate sets / samples.
+  // ------------------------------------------------------------------
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", shingleSet.as("sh"))
+    val a = s.as("a")
+    val b = s.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Hashing.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val sqlNgramJaccard: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 100)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

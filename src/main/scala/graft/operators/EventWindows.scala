@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/**
+ * Event-time window operators over the `events` table — the batch
+ * faces of SURVEY §2.7 W1–W3 / §2.4 A3–A4 (sliding event-time window,
+ * trailing range baseline, previous-window trend). The streaming faces
+ * (watermark + `window()` in a `readStream`) share these exact
+ * expressions; see graft.streaming.
+ *
+ * Scale: window aggregations shuffle once on (window, key) with
+ * map-side partial aggregation; the sliding window fan-out (w/slide
+ * copies per row) happens *after* projection to (ts, key, value), so
+ * the duplicated rows are narrow. Analytic (`over`) windows sort within
+ * key partitions only — no global sort.
+ */
+object EventWindows {
+  import Relational.ColInterp
+
+  private val DEC = DecimalType(18, 6)
+  private def dsum(c: Column): Column = sum(c.cast(DEC)).cast("double")
+  private def wsum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DEC)).over(w).cast("double")
+
+  // ------------------------------------------------------------------
+  // W1/A3: sliding event-time window (10 min size, 5 min slide) —
+  // per-type mean value. Epoch-aligned, same as the oracle's
+  // arithmetic window assignment.
+  // ------------------------------------------------------------------
+  def qSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(dsum($"value").as("sum_value"), count(lit(1)).as("n"))
+      .select(unix_seconds($"window.start").as("window_start_s"),
+        $"event_type", $"sum_value", $"n",
+        ($"sum_value" / $"n").as("avg_value"))
+      .orderBy($"window_start_s", $"event_type")
+
+  val sqlSlidingWindow: String =
+    """SELECT window_start_s, event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value
+      |FROM (
+      |  SELECT ((epoch_ms(ts) // 1000) // 300 - i) * 300 AS window_start_s, event_type, value
+      |  FROM (SELECT ts, event_type, value, unnest(range(0, 2)) AS i FROM events))
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // W2/A4: trailing 1-hour range window per user — the rolling
+  // baseline mean (CEP doc:111-149's 1-minute ask-volume baseline,
+  // time-scaled to this table). RANGE frame on epoch seconds.
+  // ------------------------------------------------------------------
+  def qTrailingBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 30)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"value")
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("baseline", wsum($"value", w) / $"n_in_window")
+      .orderBy($"user_id", $"ts_s", $"event_id")
+  }
+
+  val sqlTrailingBaseline: String =
+    """SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s, value,
+      |  count(*) OVER w AS n_in_window,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(*) OVER w) AS baseline
+      |FROM events WHERE user_id < 30
+      |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_s, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // W3: previous-window comparison — daily per-type totals with lag,
+  // delta, and a decline flag (the "two consecutive decreases" trend
+  // primitive, arch doc:642-647).
+  // ------------------------------------------------------------------
+  def qWindowTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"event_type").orderBy($"day_s")
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(dsum($"value").as("day_total"), count(lit(1)).as("n"))
+      .select(unix_seconds($"window.start").as("day_s"), $"event_type", $"day_total", $"n")
+      .withColumn("prev_total", lag($"day_total", 1).over(w))
+      .withColumn("declined",
+        when($"prev_total".isNotNull && $"day_total" < $"prev_total", 1L).otherwise(0L))
+      .orderBy($"event_type", $"day_s")
+  }
+
+  val sqlWindowTrend: String =
+    """WITH d AS (
+      |  SELECT ((epoch_ms(ts) // 1000) // 86400) * 86400 AS day_s, event_type,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_total, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day_s, event_type, day_total, n,
+      |  lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s) AS prev_total,
+      |  CASE WHEN lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s) IS NOT NULL
+      |        AND day_total < lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s)
+      |       THEN 1::BIGINT ELSE 0::BIGINT END AS declined
+      |FROM d ORDER BY event_type, day_s""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sessionization: gap-based sessions (30 min inactivity) per user —
+  // the classic event-stream operator (Spark also has
+  // session_window(); this closed form matches the SQL oracle and
+  // shows the islands-and-gaps encoding).
+  // ------------------------------------------------------------------
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"user_id" < 30)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"value")
+      .withColumn("gap", $"ts_s" - lag($"ts_s", 1).over(byTs))
+      .withColumn("new_session", when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts_s").as("session_start_s"), max($"ts_s").as("session_end_s"),
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DEC)).cast("double").as("session_value"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val sqlSessionize: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s, value,
+      |    CASE WHEN (epoch_ms(ts) // 1000) - lag((epoch_ms(ts) // 1000)) OVER
+      |           (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000), event_id) > 1800
+      |         OR lag((epoch_ms(ts) // 1000)) OVER
+      |           (PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000), event_id) IS NULL
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+      |  FROM events WHERE user_id < 30),
+      |s AS (
+      |  SELECT user_id, event_id, ts_s, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, min(ts_s) AS session_start_s,
+      |  max(ts_s) AS session_end_s, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

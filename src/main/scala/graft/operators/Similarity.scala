@@ -1,0 +1,175 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Similarity search over the `embeddings` table (vec_id,
+ * embedding float[64], label) — driver-mandated ANN surface.
+ *
+ * Two paths, same contract:
+ *  - brute-force cosine top-k: the exactness baseline. Query set is
+ *    broadcast; the corpus streams through executors — one scan, no
+ *    corpus shuffle, O(|Q|·|C|) math. Right answer, linear cost.
+ *  - random-hyperplane LSH buckets: the 100 TB path. Each vector maps
+ *    to a bucket id by the sign pattern of 4 fixed hyperplanes;
+ *    candidates collide per-bucket (shuffle on bucket id only), then
+ *    exact cosine ranks within the bucket.
+ *
+ * Cosine is computed with explicit left-to-right folds so the DuckDB
+ * oracle (same fold) is bit-identical — see cosineCol/sqlCosine.
+ */
+object Similarity {
+  import Relational.ColInterp
+
+  val NumPlanes = 4
+  val Dims = 64
+  val TopK = 5
+
+  /** JVM twin of Hashing.h60 (driver-side constant generation). */
+  private def h60Jvm(s: String): Long =
+    java.lang.Long.parseLong(
+      MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+
+  /** Deterministic hyperplanes: component (p,d) = h60("p,d") mapped to
+    * an integer in [-1000, 1000] (exact in double, exact in SQL text —
+    * the same constants are embedded in the oracle SQL). */
+  val planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map(p => (1 to Dims).map(d => (h60Jvm(s"$p,$d") % 2001 - 1000).toDouble))
+
+  /** Strict left fold sum (deterministic summation order). */
+  private def fsum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of two array<double> columns, fold-ordered. */
+  def cosineCol(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x * y)) /
+      (sqrt(fsum(transform(a, x => x * x))) * sqrt(fsum(transform(b, x => x * x))))
+
+  /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
+  def bucketCol(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(fsum(zip_with(v, typedLit(planes(p)), (x, y) => x * y)) > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _).cast("int")
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  // ------------------------------------------------------------------
+  // Brute-force cosine top-k: queries (vec_id < 10) broadcast against
+  // the full corpus.
+  // ------------------------------------------------------------------
+  def qKnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosineCol($"qv", $"v").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // -- DuckDB mirrors ------------------------------------------------
+
+  /** DuckDB: strict left-fold sum over a DOUBLE list expression. */
+  private def sqlFsum(l: String): String =
+    s"list_reduce([0.0::DOUBLE] || ($l), (acc, x) -> acc + x)"
+
+  /** DuckDB cosine between DOUBLE[] expressions `a` and `b`, same fold
+    * order as [[cosineCol]]. */
+  def sqlCosine(a: String, b: String): String = {
+    val dot = sqlFsum(s"list_transform(range(1, $Dims + 1), i -> ($a)[i] * ($b)[i])")
+    val na = sqlFsum(s"list_transform(($a), x -> x * x)")
+    val nb = sqlFsum(s"list_transform(($b), x -> x * x)")
+    s"($dot) / (sqrt($na) * sqrt($nb))"
+  }
+
+  private def sqlPlane(p: Int): String =
+    planes(p).map(c => if (c == c.floor) f"${c}%.1f" else c.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB LSH bucket id of DOUBLE[] expression `v`. */
+  def sqlBucket(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val dot = sqlFsum(s"list_transform(range(1, $Dims + 1), i -> ($v)[i] * (${sqlPlane(p)})[i])")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")::INTEGER")
+
+  val sqlKnnBruteForce: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.v", "v.v")} AS cosine
+       |      FROM v q JOIN v ON q.vec_id < 10 AND v.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM c)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ANN via LSH buckets: shuffle on bucket id only, exact cosine
+  // within bucket, top-3 per query. Recall vs brute force is asserted
+  // in the ScalaTest spec; the oracle checks determinism of the
+  // full pipeline.
+  // ------------------------------------------------------------------
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir).withColumn("bucket", bucketCol($"v"))
+    val queries = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    base.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", cosineCol($"qv", $"v").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlAnnLsh: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             ${sqlBucket("embedding::DOUBLE[]")} AS bucket
+       |           FROM embeddings),
+       |c AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.v", "v.v")} AS cosine
+       |      FROM v q JOIN v ON q.bucket = v.bucket AND q.vec_id < 10 AND v.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM c)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Embedding near-dup pairs: same-bucket candidates with cosine above
+  // threshold — the "near-dup by embedding" dedup operator, bucketed
+  // so it scales like the MinHash LSH join.
+  // ------------------------------------------------------------------
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir).withColumn("bucket", bucketCol($"v"))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineCol(col("a.v"), col("b.v")).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val sqlEmbeddingNearDup: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             ${sqlBucket("embedding::DOUBLE[]")} AS bucket
+       |           FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${sqlCosine("a.v", "b.v")} AS cosine
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${sqlCosine("a.v", "b.v")} >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/**
+ * Text-analysis operators for a training-data pipeline (driver-mandated
+ * extension surface; reference analogue is the tokenizer flatMap at
+ * examples/word_count.py:13-25).
+ *
+ * Everything here is per-row Catalyst expression work — no UDFs, no
+ * shuffles except the explicit aggregations — so each operator scans,
+ * computes inside whole-stage codegen, and reduces with map-side
+ * partial aggregation. At 100 TB the scans are the cost; nothing here
+ * adds a second pass over the data.
+ */
+object TextOps {
+  import Relational.ColInterp
+
+  /** Stopword list shared with the DuckDB oracle (subset of the
+    * synthetic vocab; stands in for a real language list). */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  private val DEC = DecimalType(18, 6)
+
+  private def toks: Column = Hashing.tokens($"text")
+
+  /** Exact round-half-up to `s` decimal places, computed on decimals so
+    * the DuckDB oracle (which rounds the same way) hash-matches. */
+  private def r6(c: Column): Column = c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+
+  // ------------------------------------------------------------------
+  // P4/A1: word count — the reference's flagship flatMap + keyed agg
+  // (tokenize, explode, count per word). Map-side combine means the
+  // shuffle carries |vocab| partials per partition, not tokens.
+  // ------------------------------------------------------------------
+  def qWordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"word")
+
+  val sqlWordCount: String =
+    s"""SELECT word, count(*) AS cnt
+       |FROM (SELECT unnest(${Hashing.sqlTokens("text")}) AS word FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Token counting + quality scoring: per-doc token count, distinct
+  // count, avg token length, stopword ratio, and a composite quality
+  // score — the standard pre-training corpus filters.
+  // ------------------------------------------------------------------
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        r6(length(concat_ws("", t)).cast("double") / size(t)).as("avg_token_len"),
+        r6(size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / size(t))
+          .as("stopword_ratio"))
+      .withColumn("type_token_ratio", r6($"n_distinct".cast("double") / $"n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlTextStats: String = {
+    val t = Hashing.sqlTokens("text")
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    val r = (e: String) => s"CAST(CAST(CAST(($e) AS DECIMAL(28,12)) AS DECIMAL(18,6)) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  len($t)::BIGINT AS n_tokens,
+       |  len(list_distinct($t))::BIGINT AS n_distinct,
+       |  ${r(s"length(list_aggregate($t, 'string_agg', ''))::DOUBLE / len($t)")} AS avg_token_len,
+       |  ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t)")} AS stopword_ratio,
+       |  ${r(s"len(list_distinct($t))::DOUBLE / len($t)")} AS type_token_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Language-ID heuristic: score per-doc character/stopword features
+  // and classify. The synthetic corpus is ASCII so the interesting
+  // output is the feature vector + rule decision (deterministic, and
+  // the shape matches a real char-ngram classifier: one scan,
+  // per-row math, no shuffle).
+  // ------------------------------------------------------------------
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val asciiRatio = length(regexp_replace($"text", "[^\\x00-\\x7F]", ""))
+      .cast("double") / length($"text")
+    val swRatio = size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / size(t)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        r6(asciiRatio).as("ascii_ratio"), r6(swRatio).as("stopword_ratio"))
+      .withColumn("predicted_lang",
+        when($"ascii_ratio" < 0.7, lit("non-latin"))
+          .when($"stopword_ratio" >= 0.03, lit("en"))
+          .otherwise(lit("und")))
+      .orderBy($"doc_id")
+  }
+
+  val sqlLangId: String = {
+    val t = Hashing.sqlTokens("text")
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    val r = (e: String) => s"CAST(CAST(CAST(($e) AS DECIMAL(28,12)) AS DECIMAL(18,6)) AS DOUBLE)"
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  ${r("length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE / length(text)")} AS ascii_ratio,
+       |  ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t)")} AS stopword_ratio,
+       |  CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE / length(text) < 0.7 THEN 'non-latin'
+       |       WHEN len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t) >= 0.03 THEN 'en'
+       |       ELSE 'und' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting: content-hash (sha256 of normalized text)
+  // + order-sensitive rolling polynomial hash over token h60s
+  // (mod 2^40 so the accumulator can never overflow int64 in either
+  // engine — DuckDB throws on BIGINT overflow, Spark wraps).
+  // ------------------------------------------------------------------
+  private val RollMod = 1099511627776L // 2^40
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        sha2(concat_ws(" ", toks), 256).as("content_hash"),
+        aggregate(transform(toks, Hashing.h60), lit(0L),
+          (acc, h) => (acc * 31 + h) % RollMod).as("rolling_hash"))
+      .orderBy($"doc_id")
+
+  val sqlFingerprint: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""SELECT doc_id,
+       |  sha256(list_aggregate($t, 'string_agg', ' ')) AS content_hash,
+       |  list_reduce([0::BIGINT] || list_transform($t, w -> ${Hashing.sqlH60("w")}),
+       |              (acc, h) -> (acc * 31 + h) % $RollMod) AS rolling_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}
