@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, EventWindows, Relational, Similarity, TextOps}
+import graft.streaming.FraudDetection
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +33,29 @@ object SparkEntry {
     "q_tagged_union"      -> (Relational.qTaggedUnion(_, _)),
     "q_distinct"          -> (Relational.qDistinct(_, _)),
     "q_type_counts"       -> (Relational.qTypeCounts(_, _)),
+    // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
+    "q_sliding_window"    -> (EventWindows.qSlidingWindow(_, _)),
+    "q_trailing_baseline" -> (EventWindows.qTrailingBaseline(_, _)),
+    "q_window_trend"      -> (EventWindows.qWindowTrend(_, _)),
+    "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
+    // stateful keyed-stream FSM (SURVEY §2.6 T1) replayed on events
+    "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
+    // text analysis (word count P4/A1 + corpus quality surface)
+    "q_word_count"        -> (TextOps.qWordCount(_, _)),
+    "q_text_stats"        -> (TextOps.qTextStats(_, _)),
+    "q_lang_id"           -> (TextOps.qLangId(_, _)),
+    "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
+    // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
+    "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
+    "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
+    "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
+    "q_simhash"           -> (Dedup.qSimhash(_, _)),
+    "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
+    "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
+    // similarity search over embeddings (brute-force + LSH ANN)
+    "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
+    "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
+    "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
   )
 
   private val DEC_SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
@@ -115,5 +139,23 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sliding_window"     -> EventWindows.sqlSlidingWindow,
+    "q_trailing_baseline"  -> EventWindows.sqlTrailingBaseline,
+    "q_window_trend"       -> EventWindows.sqlWindowTrend,
+    "q_sessionize"         -> EventWindows.sqlSessionize,
+    "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
+    "q_word_count"         -> TextOps.sqlWordCount,
+    "q_text_stats"         -> TextOps.sqlTextStats,
+    "q_lang_id"            -> TextOps.sqlLangId,
+    "q_fingerprint"        -> TextOps.sqlFingerprint,
+    "q_exact_dedup"        -> Dedup.sqlExactDedup,
+    "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
+    "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
+    "q_simhash"            -> Dedup.sqlSimhash,
+    "q_simhash_pairs"      -> Dedup.sqlSimhashPairs,
+    "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,
+    "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
+    "q_ann_lsh"            -> Similarity.sqlAnnLsh,
+    "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
   )
 }

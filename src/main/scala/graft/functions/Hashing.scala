@@ -37,7 +37,7 @@ object Hashing {
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, n), " ")))
+        i => array_join(slice(toks, i, lit(n)), " ")))
 
   /** MinHash signature: for each of `k` seeded hash functions, the min
     * h60 over the shingle set. Docs with no shingles get sig of -1s. */
@@ -53,6 +53,12 @@ object Hashing {
     sha2(concat_ws(",", lit(band),
       array_join(slice(sig, band * rowsPerBand + 1, rowsPerBand), ",")), 256)
 
+  /** Literal `[2^0, 2^1, …, 2^59]` — bit masks as an array Column, so
+    * per-bit tests inside lambdas are `h & mask` (Column-only bitwise
+    * ops; the Scala `shiftright(col, Int)` API can't take a lambda
+    * variable as the shift count). */
+  private val BitMasks: Column = typedLit((0 until 60).map(b => 1L << b))
+
   /** 60-bit SimHash over a token multiset: bit b is set iff the sum of
     * (+1 / -1 for each token's h60 bit b) is positive. Near-duplicate
     * docs differ in few bits (small hamming distance).
@@ -65,13 +71,13 @@ object Hashing {
     * between one scan and a cluster-day at 100 TB. */
   def simhash60(toks: Column): Column =
     aggregate(
-      transform(toks, h60),
+      transform(toks, c => h60(c)),
       transform(sequence(lit(0), lit(59)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (a, b) => a + when(shiftright(h, b.cast("int")) % 2 === 1, 1L).otherwise(-1L)),
-      counts => aggregate(sequence(lit(0), lit(59)), lit(0L),
-        (acc, b) => acc + when(element_at(counts, b.cast("int") + 1) > 0,
-          shiftleft(lit(1L), b.cast("int"))).otherwise(0L)))
+      (acc, h) => zip_with(acc, BitMasks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)),
+      counts => aggregate(
+        zip_with(counts, BitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x))
 
   /** Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {

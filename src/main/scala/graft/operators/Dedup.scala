@@ -83,10 +83,9 @@ object Dedup {
       .select($"doc_id", shingleSet.as("sh"))
       .withColumn("sig", Hashing.minhashSignature($"sh", NumHashes))
     val banded = base.select($"doc_id", $"sh",
-      explode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => struct(b.as("band"),
-          sha2(concat_ws(",", b, array_join(slice($"sig", b * RowsPerBand + 1, RowsPerBand), ",")), 256)
-            .as("bkey")))).as("bb"))
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"),
+          Hashing.bandKey($"sig", b, RowsPerBand).as("bkey"))): _*)).as("bb"))
       .select($"doc_id", $"sh", $"bb.band", $"bb.bkey")
     val a = banded.as("a")
     val b = banded.as("b")
@@ -135,9 +134,9 @@ object Dedup {
     val base = Tables.documents(spark, dir)
       .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
     val chunked = base.select($"doc_id", $"simhash",
-        explode(transform(sequence(lit(0), lit(3)),
-          c => struct(c.as("chunk"),
-            shiftright($"simhash", c.cast("int") * 15).bitwiseAND(lit(32767L)).as("ckey")))).as("cc"))
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright($"simhash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
       .select($"doc_id", $"simhash", $"cc.chunk", $"cc.ckey")
     val a = chunked.as("a")
     val b = chunked.as("b")

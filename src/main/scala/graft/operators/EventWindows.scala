@@ -141,7 +141,7 @@ object EventWindows {
       |s AS (
       |  SELECT user_id, event_id, ts_s, value,
       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
       |  FROM g)
       |SELECT user_id, session_idx, min(ts_s) AS session_start_s,
       |  max(ts_s) AS session_end_s, count(*) AS n_events,

@@ -94,7 +94,10 @@ object Similarity {
   }
 
   private def sqlPlane(p: Int): String =
-    planes(p).map(c => if (c == c.floor) f"${c}%.1f" else c.toString).mkString("[", ", ", "]::DOUBLE[]")
+    // components are exact integers in [-1000, 1000]; emit them
+    // locale-independently (f"%.1f" would print '-713,0' under a
+    // comma-decimal default locale and break the oracle SQL)
+    planes(p).map(c => c.toLong.toString + ".0").mkString("[", ", ", "]::DOUBLE[]")
 
   /** DuckDB LSH bucket id of DOUBLE[] expression `v`. */
   def sqlBucket(v: String): String =

@@ -57,28 +57,33 @@ object TextOps {
   // ------------------------------------------------------------------
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
     val t = toks
+    // NULLIF-guarded denominators: Spark's non-ANSI x/0 yields NULL but
+    // DuckDB yields Inf — NULLIF on both sides pins the divergent case
+    // to NULL = NULL (empty docs only; benign but gate-exact).
+    val nTok = nullif(size(t), lit(0))
     Tables.documents(spark, dir)
       .select(
         $"doc_id",
         size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).cast("long").as("n_distinct"),
-        r6(length(concat_ws("", t)).cast("double") / size(t)).as("avg_token_len"),
-        r6(size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / size(t))
+        r6(length(concat_ws("", t)).cast("double") / nTok).as("avg_token_len"),
+        r6(size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / nTok)
           .as("stopword_ratio"))
-      .withColumn("type_token_ratio", r6($"n_distinct".cast("double") / $"n_tokens"))
+      .withColumn("type_token_ratio",
+        r6($"n_distinct".cast("double") / nullif($"n_tokens", lit(0L))))
       .orderBy($"doc_id")
   }
 
   val sqlTextStats: String = {
     val t = Hashing.sqlTokens("text")
     val sw = Stopwords.map(s => s"'$s'").mkString(", ")
-    val r = (e: String) => s"CAST(CAST(CAST(($e) AS DECIMAL(28,12)) AS DECIMAL(18,6)) AS DOUBLE)"
+    val r = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
     s"""SELECT doc_id,
        |  len($t)::BIGINT AS n_tokens,
        |  len(list_distinct($t))::BIGINT AS n_distinct,
-       |  ${r(s"length(list_aggregate($t, 'string_agg', ''))::DOUBLE / len($t)")} AS avg_token_len,
-       |  ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t)")} AS stopword_ratio,
-       |  ${r(s"len(list_distinct($t))::DOUBLE / len($t)")} AS type_token_ratio
+       |  ${r(s"length(list_aggregate($t, 'string_agg', ''))::DOUBLE / NULLIF(len($t), 0)")} AS avg_token_len,
+       |  ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / NULLIF(len($t), 0)")} AS stopword_ratio,
+       |  ${r(s"len(list_distinct($t))::DOUBLE / NULLIF(len($t), 0)")} AS type_token_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -92,8 +97,9 @@ object TextOps {
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val t = toks
     val asciiRatio = length(regexp_replace($"text", "[^\\x00-\\x7F]", ""))
-      .cast("double") / length($"text")
-    val swRatio = size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / size(t)
+      .cast("double") / nullif(length($"text"), lit(0))
+    val swRatio = size(filter(t, w => w.isin(Stopwords: _*))).cast("double") /
+      nullif(size(t), lit(0))
     Tables.documents(spark, dir)
       .select($"doc_id", $"lang".as("labeled_lang"),
         r6(asciiRatio).as("ascii_ratio"), r6(swRatio).as("stopword_ratio"))
@@ -107,12 +113,14 @@ object TextOps {
   val sqlLangId: String = {
     val t = Hashing.sqlTokens("text")
     val sw = Stopwords.map(s => s"'$s'").mkString(", ")
-    val r = (e: String) => s"CAST(CAST(CAST(($e) AS DECIMAL(28,12)) AS DECIMAL(18,6)) AS DOUBLE)"
+    val r = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    val ar = "length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE / NULLIF(length(text), 0)"
+    val swr = s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / NULLIF(len($t), 0)"
     s"""SELECT doc_id, lang AS labeled_lang,
-       |  ${r("length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE / length(text)")} AS ascii_ratio,
-       |  ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t)")} AS stopword_ratio,
-       |  CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE / length(text) < 0.7 THEN 'non-latin'
-       |       WHEN len(list_filter($t, w -> w IN ($sw)))::DOUBLE / len($t) >= 0.03 THEN 'en'
+       |  ${r(ar)} AS ascii_ratio,
+       |  ${r(swr)} AS stopword_ratio,
+       |  CASE WHEN ${r(ar)} < 0.7 THEN 'non-latin'
+       |       WHEN ${r(swr)} >= 0.03 THEN 'en'
        |       ELSE 'und' END AS predicted_lang
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -130,7 +138,7 @@ object TextOps {
       .select(
         $"doc_id",
         sha2(concat_ws(" ", toks), 256).as("content_hash"),
-        aggregate(transform(toks, Hashing.h60), lit(0L),
+        aggregate(transform(toks, c => Hashing.h60(c)), lit(0L),
           (acc, h) => (acc * 31 + h) % RollMod).as("rolling_hash"))
       .orderBy($"doc_id")
 

@@ -111,8 +111,15 @@ object FraudDetection {
             val (s, alerts) =
               runKey(acct, sorted.iterator.map(t => (t.timestamp, t.amount)), prior)
             if (s.smallSeen) {
+              // setTimeoutTimestamp throws if the ts is not strictly
+              // ahead of the watermark (cross-key event-time skew can
+              // put timerTs behind it); clamping just defers the state
+              // drop to the next watermark advance — the in-band
+              // ts >= timerTs check in step() already treats the flag
+              // as expired, so no spurious alert can fire meanwhile.
               state.update(s)
-              state.setTimeoutTimestamp(s.timerTs)
+              state.setTimeoutTimestamp(
+                math.max(s.timerTs, state.getCurrentWatermarkMs() + 1))
             } else state.remove()
             alerts.iterator
           }
