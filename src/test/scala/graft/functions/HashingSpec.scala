@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Hashing._
+
+class HashingSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("r")).head().get(0)
+  }
+
+  test("h60 matches an independent JVM sha256 computation and is non-negative") {
+    val s = "hello world"
+    val hex = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    assert(one(h60(col("text")), s) == expected)
+    assert(expected >= 0) // 15 hex chars = 60 bits, always fits positive
+  }
+
+  test("tokens: lower-cases, trims, splits on whitespace runs") {
+    assert(one(tokens(col("text")), "  Hello   WORLD\tfoo ") ==
+      Seq("hello", "world", "foo"))
+  }
+
+  test("wordShingles: n-grams in order; short docs yield empty") {
+    val sh = wordShingles(tokens(col("text")), 3)
+    assert(one(sh, "a b c d") == Seq("a b c", "b c d"))
+    assert(one(sh, "a b") == Seq())
+  }
+
+  test("minhashSignature: k entries, all non-negative, deterministic") {
+    val sig = minhashSignature(array_distinct(wordShingles(tokens(col("text")), 3)), 8)
+    val r1 = one(sig, "the quick brown fox jumps").asInstanceOf[scala.collection.Seq[Long]]
+    val r2 = one(sig, "the quick brown fox jumps").asInstanceOf[scala.collection.Seq[Long]]
+    assert(r1 == r2 && r1.size == 8 && r1.forall(_ >= 0))
+    // no shingles -> sentinel -1s
+    assert(one(sig, "one two").asInstanceOf[scala.collection.Seq[Long]].forall(_ == -1L))
+  }
+
+  test("simhash60: order-independent over the token multiset, 60-bit") {
+    val h = simhash60(tokens(col("text")))
+    val a = one(h, "alpha beta gamma delta epsilon").asInstanceOf[Long]
+    val b = one(h, "epsilon delta gamma beta alpha").asInstanceOf[Long]
+    assert(a == b)
+    assert(a >= 0 && a < (1L << 60))
+  }
+
+  test("simhash60: near-dup docs land within small hamming distance") {
+    val h = simhash60(tokens(col("text")))
+    val doc = "spark catalyst tungsten shuffle partition broadcast join window state stream"
+    val near = doc.replace("state", "statex")
+    val (a, b) = (one(h, doc).asInstanceOf[Long], one(h, near).asInstanceOf[Long])
+    assert(java.lang.Long.bitCount(a ^ b) <= 20) // one token of ten changed
+  }
+
+  test("jaccard: identical=1, disjoint=0, empty-union=0") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    val got = df.select(jaccard(col("x"), col("y"))).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("bandKey: equal band slices collide, different slices don't") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("s1", "s2")
+    val Row(a1: String, a2: String, b1: String, b2: String) = df.select(
+      bandKey(col("s1"), 0, 2), bandKey(col("s2"), 0, 2),
+      bandKey(col("s1"), 1, 2), bandKey(col("s2"), 1, 2)).head()
+    assert(a1 == a2) // band 0 = rows 1..2 match
+    assert(b1 != b2) // band 1 = rows 3..4 differ
+  }
+}

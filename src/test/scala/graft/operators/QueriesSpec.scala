@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.SparkSpec.Sf0001
+
+/** Smoke + semantic assertions for the declared query surface at
+  * sf0.001 (the DuckDB hash-compare at sf0.01 is the authoritative
+  * gate; these tests pin the properties the hash can't see). */
+class QueriesSpec extends SparkSpec {
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001 and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, Sf0001).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("q_topn_per_key: at most 3 rows per key, ranks within 1..3") {
+    import spark.implicits._
+    val df = Relational.qTopNPerKey(spark, Sf0001).cache()
+    try {
+      assert(df.filter($"rk" < 1 || $"rk" > 3).isEmpty)
+      assert(df.groupBy($"o_custkey").count().filter($"count" > 3).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q_sort_limit: exactly 10 rows in descending price order") {
+    val prices = Relational.qSortLimit(spark, Sf0001)
+      .collect().map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices.size == 10)
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("MinHash LSH recall: equals exact n-gram Jaccard pairs at >= 0.5 on the prefix") {
+    import spark.implicits._
+    val lsh = Dedup.qMinhashLshPairs(spark, Sf0001)
+      .filter($"doc_a" < 100 && $"doc_b" < 100)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.qNgramJaccard(spark, Sf0001)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // planted near-dups are ~0.98 similar: full recall
+  }
+
+  test("ANN LSH results are a subset of the same-bucket exact ranking") {
+    import spark.implicits._
+    // every ANN cosine must be <= the brute-force top-1 for that query
+    val brute = Similarity.qKnnBruteForce(spark, Sf0001)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    val ann = Similarity.qAnnLsh(spark, Sf0001).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("cosine") <= brute(q) + 1e-12)
+    }
+  }
+
+  test("word count total equals token count of the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val total = TextOps.qWordCount(spark, Sf0001)
+      .agg(sum($"cnt")).head().getLong(0)
+    val expected = graft.sources.Tables.documents(spark, Sf0001)
+      .select(size(graft.functions.Hashing.tokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(total == expected)
+  }
+
+  test("exact dedup: canonical ids are minimal doc_ids and copies sum to corpus size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Dedup.qExactDedup(spark, Sf0001).cache()
+    try {
+      val nDocs = graft.sources.Tables.documents(spark, Sf0001).count()
+      assert(df.agg(sum($"n_copies")).head().getLong(0) == nDocs)
+      assert(df.count() <= nDocs)
+    } finally df.unpersist()
+  }
+}
