@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EventWindows, Relational, Similarity, TextOps}
-import graft.streaming.FraudDetection
+import graft.operators.{Dedup, EventWindows, Ingestion, Kpi, OrderBookOps, Relational, Similarity, TextOps}
+import graft.streaming.{DensitySignals, FraudDetection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,16 @@ object SparkEntry {
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
+    // ingestion chain: JSON enrich, validation routing, scalar/date fns
+    "q_json_enrich"       -> (Ingestion.qJsonEnrich(_, _)),
+    "q_validation_split"  -> (Ingestion.qValidationSplit(_, _)),
+    "q_scalar_funcs"      -> (Ingestion.qScalarFuncs(_, _)),
+    "q_date_funcs"        -> (Ingestion.qDateFuncs(_, _)),
+    // orderbook array analytics + KPI rollup
+    "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
+    "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
+    // CEP density-drop signal generator (trailing baseline FSM)
+    "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
   )
 
   private val DEC_SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
@@ -157,5 +167,12 @@ object SparkEntry {
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
+    "q_json_enrich"        -> Ingestion.sqlJsonEnrich,
+    "q_validation_split"   -> Ingestion.sqlValidationSplit,
+    "q_scalar_funcs"       -> Ingestion.sqlScalarFuncs,
+    "q_date_funcs"         -> Ingestion.sqlDateFuncs,
+    "q_book_depth"         -> OrderBookOps.sqlBookDepth,
+    "q_kpi_segment"        -> Kpi.sqlKpiSegment,
+    "q_density_signals"    -> DensitySignals.sqlDensitySignals,
   )
 }

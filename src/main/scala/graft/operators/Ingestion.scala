@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * The ingestion transform chain re-expressed as batch/stream-shared
+ * column logic (reference: upbit_connector.py:127-210 parse/dispatch,
+ * ingestion_service.py:144-337 filter→convert→route,
+ * market_data.py:147-239 validation; SURVEY §2.3 P7–P9, §2.8 F1–F21).
+ *
+ * Scale: all four queries are single-scan, row-local expression work
+ * (JSON extraction, enum mapping, coalescing) followed by at most one
+ * partial-agg shuffle — the shape that saturates I/O at 100 TB. The
+ * validation split computes every rule in one pass (no per-rule scans).
+ */
+object Ingestion {
+  import Relational.ColInterp
+
+  /** Subscribed message types (P7/P8 analog of the market filter). */
+  val SubscribedTypes: Seq[String] = Seq("click", "view", "purchase", "error")
+
+  // ------------------------------------------------------------------
+  // F15 JSON parse + F19 enum map + F17/F18 coalesce + F7 epoch time +
+  // P8 type dispatch — the per-message enrichment projection.
+  // ------------------------------------------------------------------
+  def qJsonEnrich(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter($"event_type".isin(SubscribedTypes: _*))
+      .select(
+        $"event_id",
+        upper($"event_type").as("code"),
+        when($"event_type" === "click", 1L).when($"event_type" === "view", 2L)
+          .when($"event_type" === "purchase", 3L).when($"event_type" === "error", 4L)
+          .otherwise(0L).as("type_code"),
+        coalesce(get_json_object($"props", "$.k").cast("long"), lit(0L)).as("k"),
+        unix_seconds($"ts").as("ts_s"),
+        ($"value" >= 0.0).as("valid"))
+      .orderBy($"event_id")
+
+  val sqlJsonEnrich: String =
+    """SELECT event_id, upper(event_type) AS code,
+      |  (CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |        WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 ELSE 0 END)::BIGINT AS type_code,
+      |  coalesce(CAST(props->>'$.k' AS BIGINT), 0) AS k,
+      |  epoch_ms(ts) // 1000 AS ts_s,
+      |  value >= 0 AS valid
+      |FROM events WHERE event_type IN ('click', 'view', 'purchase', 'error')
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // P9 validation with side-output routing: every rule evaluated in one
+  // scan, rows routed by first failing rule (the reference drops
+  // unsubscribed codes, rejects bad payloads, and counts both paths —
+  // ingestion_service.py:165-222, market_data.py:147-239).
+  // ------------------------------------------------------------------
+  def qValidationSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        when(!$"event_type".isin(SubscribedTypes: _*), "UNSUBSCRIBED_TYPE")
+          .when($"value" < 0.0 || $"value" > 400.0, "VALUE_OUT_OF_RANGE")
+          .when(get_json_object($"props", "$.k").isNull, "MISSING_PROP")
+          .otherwise("VALID").as("route"),
+        $"value")
+      .groupBy($"route")
+      .agg(count(lit(1)).as("n"), Relational.dsum($"value").as("total_value"))
+      .orderBy($"route")
+
+  val sqlValidationSplit: String =
+    """SELECT CASE
+      |    WHEN event_type NOT IN ('click', 'view', 'purchase', 'error') THEN 'UNSUBSCRIBED_TYPE'
+      |    WHEN value < 0 OR value > 400 THEN 'VALUE_OUT_OF_RANGE'
+      |    WHEN props->>'$.k' IS NULL THEN 'MISSING_PROP'
+      |    ELSE 'VALID' END AS route,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Scalar-function catalog (F1–F5, F11, F13, F21) over customer: the
+  // string/format/hash surface in one deterministic projection.
+  // ------------------------------------------------------------------
+  def qScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        lower($"c_mktsegment").as("seg_lower"),
+        length(trim($"c_name")).cast("long").as("name_len"),
+        $"c_mktsegment".startsWith("A").as("seg_is_a"),
+        concat_ws("|", $"c_mktsegment", $"c_custkey").as("tag"),
+        format_string("%s#%04d", $"c_mktsegment", $"c_custkey").as("fmt"),
+        least(greatest($"c_acctbal", lit(0.0)), lit(5000.0)).as("bal_clamped"),
+        sha2($"c_name", 256).as("name_sha"))
+      .orderBy($"c_custkey")
+
+  val sqlScalarFuncs: String =
+    """SELECT c_custkey,
+      |  upper(c_name) AS name_upper,
+      |  lower(c_mktsegment) AS seg_lower,
+      |  length(trim(c_name))::BIGINT AS name_len,
+      |  starts_with(c_mktsegment, 'A') AS seg_is_a,
+      |  concat_ws('|', c_mktsegment, c_custkey) AS tag,
+      |  printf('%s#%04d', c_mktsegment, c_custkey) AS fmt,
+      |  least(greatest(c_acctbal, 0.0), 5000.0) AS bal_clamped,
+      |  sha256(c_name) AS name_sha
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Date/time catalog (F7–F10) over orders: component extraction,
+  // truncation, interval arithmetic, epoch conversion.
+  // ------------------------------------------------------------------
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        (weekday($"o_orderdate") + 1).cast("long").as("isodow"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        ($"o_orderdate" + expr("INTERVAL 3 DAYS")).as("ship_by"),
+        // o_orderdate is TIMESTAMP_NTZ in parquet; session tz is UTC so
+        // the cast is an identity relabel, matching DuckDB's epoch_ms
+        unix_seconds($"o_orderdate".cast("timestamp")).as("ts_s"))
+      .orderBy($"o_orderkey")
+
+  val sqlDateFuncs: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate)::BIGINT AS y,
+      |  month(o_orderdate)::BIGINT AS m,
+      |  day(o_orderdate)::BIGINT AS d,
+      |  quarter(o_orderdate)::BIGINT AS q,
+      |  isodow(o_orderdate)::BIGINT AS isodow,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  o_orderdate + INTERVAL 3 DAY AS ship_by,
+      |  epoch_ms(o_orderdate) // 1000 AS ts_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+}
