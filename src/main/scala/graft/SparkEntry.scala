@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EventWindows, Ingestion, Kpi, OrderBookOps, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Similarity, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,8 @@ object SparkEntry {
     "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
     // CEP density-drop signal generator (trailing baseline FSM)
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
+    // multimodal payload plumbing (binary column + stub decode)
+    "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
   )
 
   private val DEC_SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
@@ -174,5 +176,6 @@ object SparkEntry {
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
+    "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
   )
 }

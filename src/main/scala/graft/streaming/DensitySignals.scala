@@ -41,6 +41,10 @@ object DensitySignals {
   /** Trailing-window sample buffer carried across micro-batches. */
   final case class DensityState(samples: Seq[(Long, Double)])
 
+  /** Streaming input record (named fields so the watermark column can
+    * ride alongside without breaking the deserializer). */
+  final case class DsEvent(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
+
   /** Pure per-event step: (buffer, event) → (buffer', signal?). The
     * buffer holds the trailing window including same-ts peers; the
     * baseline uses strictly-earlier samples only (matches the oracle's
@@ -115,24 +119,24 @@ object DensitySignals {
   /** Streaming face: the same FSM with the buffer in the state store,
     * carried across micro-batches; stale keys expire one window after
     * their last event via event-time timeout. */
-  def detectStream(events: Dataset[(Long, Long, Long, Double)]): Dataset[Signal] = {
+  def detectStream(events: Dataset[DsEvent]): Dataset[Signal] = {
     import events.sparkSession.implicits._
     events
-      .withColumn("eventTime", timestamp_millis(col("_2")))
+      .withColumn("eventTime", timestamp_millis(col("ts_ms")))
       .withWatermark("eventTime", "0 seconds")
-      .as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
+      .as[DsEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[DensityState, Signal](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Long, Double)], state: GroupState[DensityState]) =>
+        (user: Long, it: Iterator[DsEvent], state: GroupState[DensityState]) =>
           if (it.isEmpty) {
             if (state.hasTimedOut) state.remove()
             Iterator.empty
           } else {
             val prior = state.getOption.map(_.samples.toVector).getOrElse(Vector.empty)
-            val sorted = it.toVector.sortBy(e => (e._2, e._3))
+            val sorted = it.toVector.sortBy(e => (e.ts_ms, e.event_id))
             val (buf, signals) =
-              runKey(user, sorted.iterator.map(e => (e._2, e._3, e._4)), prior)
+              runKey(user, sorted.iterator.map(e => (e.ts_ms, e.event_id, e.value)), prior)
             state.update(DensityState(buf))
             if (buf.nonEmpty) state.setTimeoutTimestamp(
               math.max(buf.last._1 + WindowMs, state.getCurrentWatermarkMs() + 1))
