@@ -39,13 +39,24 @@ object Hashing {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
 
-  /** MinHash signature: for each of `k` seeded hash functions, the min
-    * h60 over the shingle set. Docs with no shingles get sig of -1s. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => coalesce(
-        array_min(transform(shingles, s => h60(concat_ws("|", i, s)))),
-        lit(-1L)))
+  /** MinHash signature: `k` independent hash members per shingle are
+    * carved from ONE sha256 digest (k ≤ 8 disjoint 8-hex-char = 32-bit
+    * words), and the signature is the per-member min over the shingle
+    * set. One sha per shingle instead of k — at 100 TB the sha is the
+    * entire cost of MinHash, so this is a k× scan speedup with the
+    * same collision statistics (32-bit members are ample for banding).
+    * Docs with no shingles get a signature of -1s. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    require(k <= 8, "k members are carved from one 256-bit digest")
+    val digests = transform(shingles, s => sha2(s, 256)) // ONE sha per shingle
+    val mins = aggregate(
+      digests,
+      transform(sequence(lit(0), lit(k - 1)), _ => lit(Long.MaxValue)),
+      (acc, d) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, conv(d.substr(i * 8 + 1, lit(8)), 16, 10).cast("long"))))
+    when(size(shingles) === 0, transform(sequence(lit(0), lit(k - 1)), _ => lit(-1L)))
+      .otherwise(mins)
+  }
 
   /** LSH band key: hash of one `rowsPerBand`-slice of the signature.
     * Two docs collide on a band iff that slice matches exactly. */
@@ -106,11 +117,12 @@ object Hashing {
       s"list_transform(range(1, len($toksSql) - ${n - 2}), i -> $joined) END"
   }
 
-  /** DuckDB SQL: MinHash signature list over shingle-list SQL. */
+  /** DuckDB SQL: MinHash signature list over shingle-list SQL (same
+    * one-digest member carving as [[minhashSignature]]). */
   def sqlMinhash(shinglesSql: String, k: Int): String =
     s"list_transform(range(0, $k), i -> coalesce(" +
       s"list_min(list_transform($shinglesSql, s -> " +
-      s"${sqlH60("i::VARCHAR || '|' || s")})), -1))"
+      s"('0x' || substr(sha256(s), (i * 8 + 1)::INTEGER, 8))::BIGINT)), -1))"
 
   /** DuckDB SQL: 60-bit SimHash over token-list SQL. */
   def sqlSimhash(toksSql: String): String =

@@ -37,7 +37,7 @@ object Dedup {
   // keep the smallest doc_id as canonical. D1 in SURVEY §2.7.
   // ------------------------------------------------------------------
   def qExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .select($"doc_id", sha2(concat_ws(" ", toks), 256).as("content_hash"))
       .groupBy($"content_hash")
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
@@ -56,7 +56,7 @@ object Dedup {
   // ------------------------------------------------------------------
   def qMinhashSignature(spark: SparkSession, dir: String): DataFrame = {
     val sig = Hashing.minhashSignature(shingleSet, NumHashes)
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .select($"doc_id", sig.as("sig"))
       .select($"doc_id",
         element_at($"sig", 1).as("mh0"), element_at($"sig", 2).as("mh1"),
@@ -79,21 +79,28 @@ object Dedup {
   // still runs at 100 TB.
   // ------------------------------------------------------------------
   def qMinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    // Persisted signature store: the sha-heavy per-doc work runs ONCE
+    // and feeds both the band join and the verify join (at cluster
+    // scale this is the signatures-to-storage materialization step).
+    val sigs = Tables.documentsSharded(spark, dir)
       .select($"doc_id", shingleSet.as("sh"))
       .withColumn("sig", Hashing.minhashSignature($"sh", NumHashes))
-    val banded = base.select($"doc_id", $"sh",
+      .persist()
+    // Band join carries only (doc_id, bkey) — the shingle arrays never
+    // enter the shuffle; the band index is baked into the band hash.
+    val banded = sigs.select($"doc_id",
       explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band"),
-          Hashing.bandKey($"sig", b, RowsPerBand).as("bkey"))): _*)).as("bb"))
-      .select($"doc_id", $"sh", $"bb.band", $"bb.bkey")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        Hashing.bandKey($"sig", b, RowsPerBand)): _*)).as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        Hashing.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct() // same pair can collide in several bands
+    // Exact-Jaccard verification only on the surviving candidates.
+    cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .select($"doc_a", $"doc_b", Hashing.jaccard($"sh_a", $"sh_b").as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -118,7 +125,7 @@ object Dedup {
   // land within a few bits of hamming distance.
   // ------------------------------------------------------------------
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
       .orderBy($"doc_id")
 
@@ -131,8 +138,9 @@ object Dedup {
     * ⇒ at least one chunk matches exactly): the bucketed join is
     * the scale path, identical in shape to the MinHash LSH join. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsSharded(spark, dir)
       .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
+      .persist() // computed once, read by both join sides
     val chunked = base.select($"doc_id", $"simhash",
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
@@ -168,7 +176,7 @@ object Dedup {
   // does not scale and is only used on candidate sets / samples.
   // ------------------------------------------------------------------
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.documents(spark, dir)
+    val s = Tables.documentsSharded(spark, dir)
       .filter($"doc_id" < 100)
       .select($"doc_id", shingleSet.as("sh"))
     val a = s.as("a")

@@ -31,7 +31,7 @@ object Multimodal {
   /** Documents with an opaque binary payload + metadata, the canonical
     * multimodal table shape: (id, payload: binary, meta: struct). */
   def payloadTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .select(
         $"doc_id",
         to_binary($"text", lit("utf-8")).as("payload"),

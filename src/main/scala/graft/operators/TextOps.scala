@@ -29,6 +29,13 @@ object TextOps {
 
   private def toks: Column = Hashing.tokens($"text")
 
+  /** Occurrences of stopwords in token array `t`, lambda-free:
+    * size minus size-after-removal (array_remove drops every
+    * occurrence) — stays out of interpreted higher-order-function
+    * eval, which dominates per-token cost on a large corpus. */
+  private def stopwordCount(t: Column): Column =
+    size(t) - size(Stopwords.foldLeft(t)((c, w) => array_remove(c, w)))
+
   /** Exact round-half-up to `s` decimal places, computed on decimals so
     * the DuckDB oracle (which rounds the same way) hash-matches. */
   private def r6(c: Column): Column = c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
@@ -39,7 +46,7 @@ object TextOps {
   // shuffle carries |vocab| partials per partition, not tokens.
   // ------------------------------------------------------------------
   def qWordCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
       .select(explode(toks).as("word"))
       .groupBy($"word")
       .agg(count(lit(1)).as("cnt"))
@@ -56,19 +63,23 @@ object TextOps {
   // score — the standard pre-training corpus filters.
   // ------------------------------------------------------------------
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks
+    // Tokenize ONCE into a named column; the stats projection reads the
+    // attribute (Catalyst's CollapseProject keeps multi-referenced
+    // non-trivial aliases in their own projection, so the split/lower
+    // pass runs once per row, not once per output column).
+    val t = $"t"
     // NULLIF-guarded denominators: Spark's non-ANSI x/0 yields NULL but
     // DuckDB yields Inf — NULLIF on both sides pins the divergent case
     // to NULL = NULL (empty docs only; benign but gate-exact).
     val nTok = nullif(size(t), lit(0))
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
       .select(
         $"doc_id",
         size(t).cast("long").as("n_tokens"),
         size(array_distinct(t)).cast("long").as("n_distinct"),
         r6(length(concat_ws("", t)).cast("double") / nTok).as("avg_token_len"),
-        r6(size(filter(t, w => w.isin(Stopwords: _*))).cast("double") / nTok)
-          .as("stopword_ratio"))
+        r6(stopwordCount(t).cast("double") / nTok).as("stopword_ratio"))
       .withColumn("type_token_ratio",
         r6($"n_distinct".cast("double") / nullif($"n_tokens", lit(0L))))
       .orderBy($"doc_id")
@@ -95,12 +106,12 @@ object TextOps {
   // per-row math, no shuffle).
   // ------------------------------------------------------------------
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks
+    val t = $"t"
     val asciiRatio = length(regexp_replace($"text", "[^\\x00-\\x7F]", ""))
       .cast("double") / nullif(length($"text"), lit(0))
-    val swRatio = size(filter(t, w => w.isin(Stopwords: _*))).cast("double") /
-      nullif(size(t), lit(0))
-    Tables.documents(spark, dir)
+    val swRatio = stopwordCount(t).cast("double") / nullif(size(t), lit(0))
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", $"lang", $"text", toks.as("t"))
       .select($"doc_id", $"lang".as("labeled_lang"),
         r6(asciiRatio).as("ascii_ratio"), r6(swRatio).as("stopword_ratio"))
       .withColumn("predicted_lang",
@@ -134,11 +145,12 @@ object TextOps {
   private val RollMod = 1099511627776L // 2^40
 
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
       .select(
         $"doc_id",
-        sha2(concat_ws(" ", toks), 256).as("content_hash"),
-        aggregate(transform(toks, c => Hashing.h60(c)), lit(0L),
+        sha2(concat_ws(" ", $"t"), 256).as("content_hash"),
+        aggregate(transform($"t", c => Hashing.h60(c)), lit(0L),
           (acc, h) => (acc * 31 + h) % RollMod).as("rolling_hash"))
       .orderBy($"doc_id")
 

@@ -37,4 +37,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Corpus tables re-sharded for expression-heavy per-row work
+    * (hashing/shingling/vector math). The test parquet is a single row
+    * group, which Spark cannot split — without this every sha lands on
+    * one core. The shuffle moves only the raw bytes (tiny vs the
+    * compute); on a real multi-file 100 TB corpus the scan already has
+    * thousands of splits and this balances stragglers instead. */
+  def documentsSharded(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  def embeddingsSharded(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }
