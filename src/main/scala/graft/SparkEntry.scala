@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Similarity, TextOps}
-import graft.streaming.{DensitySignals, FraudDetection}
+import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,11 @@ object SparkEntry {
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
+    // 4-stream position-tracking FSM (J1/T3/T5/T10–T12) — sequential
+    // state machine, not SQL-expressible: no oracle entry (driver
+    // records the weaker rows-only check; semantics pinned by
+    // PositionTrackerSpec).
+    "q_position_events"   -> (PositionTracker.qPositionEvents(_, _)),
   )
 
   private val DEC_SUM = "CAST(sum(CAST(%s AS DECIMAL(18,6))) AS DOUBLE)"
