@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.VectorExpressions
+
+/** Engine extension entry point — registered via
+  * `spark.sql.extensions=graft.GraftExtensions` (GraftSession wires it)
+  * so the engine's native expressions are first-class SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(VectorExpressions.dotProductRegistration)
+  }
+}

@@ -43,27 +43,30 @@ object Similarity {
   val planes: Seq[Seq[Double]] =
     (0 until NumPlanes).map(p => (1 to Dims).map(d => (h60Jvm(s"$p,$d") % 2001 - 1000).toDouble))
 
-  /** Strict left fold sum (deterministic summation order). */
-  private def fsum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.functions.DotProduct) — the
+    * strict left fold `(((0.0 + x₁y₁) + x₂y₂) + …)`, bit-identical to
+    * the zip_with/aggregate formulation it replaced but inside
+    * whole-stage codegen instead of interpreted lambda dispatch. */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   /** Cosine similarity of two array<double> columns, fold-ordered. */
   def cosineCol(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x * y)) /
-      (sqrt(fsum(transform(a, x => x * x))) * sqrt(fsum(transform(b, x => x * x))))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Fold-ordered L2 norm — precomputed per vector so pair joins do one
-    * dot product per candidate instead of three folds. Bit-identical to
+    * dot product per candidate instead of three. Bit-identical to
     * [[cosineCol]]: same fold, same sqrt, same multiply. */
-  def normCol(v: Column): Column = sqrt(fsum(transform(v, x => x * x)))
+  def normCol(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine from a shared dot fold and precomputed norms. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x * y)) / (na * nb)
+    dot(a, b) / (na * nb)
 
   /** LSH bucket id: bit p set iff dot(v, plane_p) > 0. */
   def bucketCol(v: Column): Column =
     (0 until NumPlanes).map { p =>
-      when(fsum(zip_with(v, typedLit(planes(p)), (x, y) => x * y)) > 0, 1 << p).otherwise(0)
+      when(dot(v, typedLit(planes(p))) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _).cast("int")
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
