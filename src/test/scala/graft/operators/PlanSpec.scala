@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.SparkSpec.Sf0001
+
+/** Physical-plan assertions: the scale properties the DuckDB value gate
+  * can't see — predicate pushdown, column pruning, broadcast joins,
+  * top-k physical operators, partial aggregation. If a refactor
+  * regresses one of these, correctness stays green but the 100 TB plan
+  * breaks; these tests make that a test failure instead. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: filters are pushed to the parquet scan and columns pruned") {
+    val plan = executed(Relational.q6FilteredRevenue(spark, Sf0001))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection needs only 4 columns; the scan must not read more
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(readSchema.contains))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q5: dimension joins broadcast, fact join does not broadcast lineitem") {
+    val plan = executed(Relational.q5RegionRevenue(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    // nation/region reached via broadcast exchange
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("q_broadcast_enrich: part side is broadcast") {
+    val plan = executed(Relational.qBroadcastEnrich(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_sort_limit: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Relational.qSortLimit(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = executed(Relational.q1PricingSummary(spark, Sf0001))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_sum") || plan.contains("partial"))
+  }
+
+  test("q_anti_join executes as a real anti join") {
+    val plan = executed(Relational.qAntiJoin(spark, Sf0001))
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("q_semi_join executes as a real semi join") {
+    val plan = executed(Relational.qSemiJoin(spark, Sf0001))
+    assert(plan.contains("LeftSemi"))
+  }
+
+  test("word count scan reads only the text column") {
+    val plan = executed(TextOps.qWordCount(spark, Sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("text"))
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("lang"))
+  }
+}
