@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.IdempotentDedup._
+
+class IdempotentDedupSpec extends SparkSpec {
+
+  private def row(id: String, ts: Long) = SignalRow(id, "KRW-BTC", ts, 1.0)
+
+  test("duplicates dropped within and across micro-batches; first-by-event-time wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SignalRow]
+    val q = dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(row("sig-a", 2L), row("sig-a", 1L), row("sig-b", 3L)))
+      q.processAllAvailable()
+      input.addData(Seq(row("sig-a", 4L), row("sig-c", 5L))) // replay across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").as[SignalRow]
+        .collect().map(r => (r.signal_id, r.ts_ms)).sorted.toSeq
+      assert(got == Seq(("sig-a", 1L), ("sig-b", 3L), ("sig-c", 5L)))
+    } finally q.stop()
+  }
+
+  test("an id re-admits after the event-time TTL lapses") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SignalRow]
+    val q = dedupStream(input.toDS(), ttlMs = 1000L)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(row("sig-x", 1000L)))
+      q.processAllAvailable()
+      input.addData(Seq(row("sig-x", 1500L))) // within TTL: dropped
+      q.processAllAvailable()
+      input.addData(Seq(row("sig-x", 2500L))) // past TTL: re-admitted
+      q.processAllAvailable()
+      val got = spark.table("dedup_ttl").as[SignalRow]
+        .collect().map(_.ts_ms).sorted.toSeq
+      assert(got == Seq(1000L, 2500L))
+    } finally q.stop()
+  }
+}
