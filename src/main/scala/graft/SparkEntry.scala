@@ -42,6 +42,7 @@ object SparkEntry {
     "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
     // text analysis (word count P4/A1 + corpus quality surface)
     "q_word_count"        -> (TextOps.qWordCount(_, _)),
+    "q_token_count"       -> (TextOps.qTokenCount(_, _)),
     "q_text_stats"        -> (TextOps.qTextStats(_, _)),
     "q_lang_id"           -> (TextOps.qLangId(_, _)),
     "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
@@ -55,6 +56,7 @@ object SparkEntry {
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
+    "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
     // ingestion chain: JSON enrich, validation routing, scalar/date fns
     "q_json_enrich"       -> (Ingestion.qJsonEnrich(_, _)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
     "q_word_count"         -> TextOps.sqlWordCount,
+    "q_token_count"        -> TextOps.sqlTokenCount,
     "q_text_stats"         -> TextOps.sqlTextStats,
     "q_lang_id"            -> TextOps.sqlLangId,
     "q_fingerprint"        -> TextOps.sqlFingerprint,
@@ -173,6 +176,7 @@ object SparkEntry {
     "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
+    "q_ann_ivf"            -> Similarity.sqlAnnIvf,
     "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
     "q_json_enrich"        -> Ingestion.sqlJsonEnrich,
     "q_validation_split"   -> Ingestion.sqlValidationSplit,

@@ -167,6 +167,60 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // ANN via IVF cells: every vector is assigned to its nearest of
+  // NumCells centroid vectors (argmax cosine, centroid-id tie-break);
+  // a query probes its own cell only (nprobe=1). The inverted-file
+  // counterpart to the hyperplane LSH path: assignment is one
+  // broadcast join against the centroids (K cosines per row, codegen'd
+  // dot), then the search shuffles on cell id only. Centroids here are
+  // the first NumCells corpus vectors — a deterministic stand-in for
+  // the k-means step (which is training, not query, work).
+  // ------------------------------------------------------------------
+  val NumCells = 8
+
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val cents = base.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nv".as("ncv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = base.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
+      .persist() // the inverted file: built once, probed by the query join
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"), $"cell")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlAnnIvf: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT vec_id, v, cell FROM (
+       |    SELECT v.vec_id, v.v, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlCosine("v.v", "c.v")} DESC, c.vec_id) AS rk
+       |    FROM v JOIN v c ON c.vec_id < $NumCells)
+       |  WHERE rk = 1),
+       |c2 AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.v", "a.v")} AS cosine
+       |      FROM a q JOIN a ON q.cell = a.cell AND q.vec_id < 10 AND a.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM c2)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // Embedding near-dup pairs: same-bucket candidates with cosine above
   // threshold — the "near-dup by embedding" dedup operator, bucketed
   // so it scales like the MinHash LSH join.

@@ -137,6 +137,32 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Token counting, whitespace + BPE-ish: the two standard corpus size
+  // estimators. The BPE-ish pre-tokenizer splits into letter runs,
+  // digit runs, and single punctuation marks (the GPT-2-style
+  // pre-tokenization shape), all as one codegen'd regexp pass.
+  // ------------------------------------------------------------------
+  private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        size(Hashing.tokens($"text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(BpeIshPattern), lit(0))).cast("long")
+          .as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        r6($"n_chars".cast("double") / nullif($"bpe_tokens", lit(0L))))
+      .orderBy($"doc_id")
+
+  val sqlTokenCount: String =
+    s"""SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |  len(${Hashing.sqlTokens("text")})::BIGINT AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpeIshPattern'))::BIGINT AS bpe_tokens,
+       |  CAST(round(CAST(length(text)::DOUBLE /
+       |    NULLIF(len(regexp_extract_all(text, '$BpeIshPattern')), 0) AS DECIMAL(28,12)), 6) AS DOUBLE) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Document fingerprinting: content-hash (sha256 of normalized text)
   // + order-sensitive rolling polynomial hash over token h60s
   // (mod 2^40 so the accumulator can never overflow int64 in either

@@ -48,18 +48,27 @@ class QueriesSpec extends SparkSpec {
     assert(lsh == exact) // planted near-dups are ~0.98 similar: full recall
   }
 
-  test("ANN LSH results are a subset of the same-bucket exact ranking") {
+  test("ANN LSH and IVF results are bounded by the brute-force top-1") {
     import spark.implicits._
     // every ANN cosine must be <= the brute-force top-1 for that query
     val brute = Similarity.qKnnBruteForce(spark, Sf0001)
       .filter($"rank" === 1)
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
-    val ann = Similarity.qAnnLsh(spark, Sf0001).collect()
-    assert(ann.nonEmpty)
-    ann.foreach { r =>
-      val q = r.getAs[Long]("query_id")
-      assert(r.getAs[Double]("cosine") <= brute(q) + 1e-12)
+    Seq(Similarity.qAnnLsh(spark, Sf0001), Similarity.qAnnIvf(spark, Sf0001)).foreach { df =>
+      val ann = df.collect()
+      assert(ann.nonEmpty)
+      ann.foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        assert(r.getAs[Double]("cosine") <= brute(q) + 1e-12)
+      }
     }
+  }
+
+  test("BPE-ish token count is at least the whitespace token count") {
+    import spark.implicits._
+    val df = TextOps.qTokenCount(spark, Sf0001)
+    assert(df.filter($"bpe_tokens" < $"ws_tokens").isEmpty)
+    assert(df.filter($"chars_per_token" <= 0).isEmpty)
   }
 
   test("word count total equals token count of the corpus") {
