@@ -41,6 +41,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replaying the real events table as a stream matches the oracle-checked batch windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.sources.Tables.events(spark, graft.SparkSpec.Sf0001)
+      .select(unix_millis($"ts").as("ts_ms"), $"event_type", $"value")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String, Double)]
+    val q = Streams.slidingWindowAvg(
+      input.toDF().select(timestamp_millis($"_1").as("ts"),
+        $"_2".as("event_type"), $"_3".as("value")))
+      .writeStream.format("memory").queryName("events_replay")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(rows.size / 3 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("events_replay")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val batch = graft.operators.EventWindows
+        .qSlidingWindow(spark, graft.SparkSpec.Sf0001)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("wordCounts in update mode emits per-update records like Flink keyed reduce") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
