@@ -86,6 +86,7 @@ object Dedup {
       .select($"doc_id", shingleSet.as("sh"))
       .withColumn("sig", Hashing.minhashSignature($"sh", NumHashes))
       .persist()
+    sigs.count() // eager: both join branches read the materialized store
     // Band join carries only (doc_id, bkey) — the shingle arrays never
     // enter the shuffle; the band index is baked into the band hash.
     val banded = sigs.select($"doc_id",
@@ -141,6 +142,7 @@ object Dedup {
     val base = Tables.documentsSharded(spark, dir)
       .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
       .persist() // computed once, read by both join sides
+    base.count() // eager materialization
     val chunked = base.select($"doc_id", $"simhash",
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),

@@ -190,6 +190,7 @@ object Similarity {
       .filter($"rk" === 1)
       .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
       .persist() // the inverted file: built once, probed by the query join
+    assigned.count() // eager materialization
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"), $"cell")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
@@ -230,6 +231,7 @@ object Similarity {
       .withColumn("bucket", bucketCol($"v"))
       .withColumn("nv", normCol($"v"))
       .persist() // bucket + norm computed once, read by both join sides
+    base.count() // eager materialization
     val a = base.as("a")
     val b = base.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
