@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextKernelFunctions, VectorExpressions}
 
 /** Engine extension entry point — registered via
   * `spark.sql.extensions=graft.GraftExtensions` (GraftSession wires it)
@@ -10,5 +10,6 @@ import graft.functions.VectorExpressions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotProductRegistration)
+    TextKernelFunctions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,170 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * JVM kernels for the text-dedup hot path. The composed
+ * `transform`/`aggregate`/`zip_with` formulations in [[Hashing]] are
+ * CodegenFallback: every token/shingle/bit paid interpreted
+ * expression-node dispatch, which dominated signature scans. Each
+ * kernel is one tight JVM loop per row, invoked from generated code —
+ * the custom-Expression rung of the preference order, applied where
+ * profiling showed the interpreter was the bottleneck.
+ *
+ * Bit-parity contract (enforced by HashingSpec): every kernel computes
+ * EXACTLY the value of its [[Hashing]] twin — tokens are
+ * `split(trim(lower(text)), "\\s+")` with Spark semantics (UTF8String
+ * lower/space-only trim, Java regex split with limit -1), shingle sets
+ * preserve first-occurrence order, MinHash members j are the uint32 at
+ * hex chars [8j+1, 8j+8] of sha256(shingle), and SimHash bits follow
+ * h60 = the first 15 hex chars of sha256(token).
+ */
+object TextKernels {
+
+  val ShingleN = 3
+  val NumHashes = 8
+
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def tokens(text: UTF8String): Array[String] =
+    Ws.split(text.toLowerCase.trim.toString, -1)
+
+  private def shingleStrings(text: UTF8String): Array[String] = {
+    val t = tokens(text)
+    if (t.length < ShingleN) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= t.length - ShingleN) {
+      val sb = new java.lang.StringBuilder(t(i))
+      var j = 1
+      while (j < ShingleN) { sb.append(' ').append(t(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(Array.empty[String])
+  }
+
+  /** uint32 carved from digest bytes [4j, 4j+3] — identical to
+    * `conv(substr(hex, 8j+1, 8), 16, 10)`. */
+  private def member(d: Array[Byte], j: Int): Long =
+    ((d(4 * j) & 0xffL) << 24) | ((d(4 * j + 1) & 0xffL) << 16) |
+      ((d(4 * j + 2) & 0xffL) << 8) | (d(4 * j + 3) & 0xffL)
+
+  /** h60: first 15 hex chars of sha256 = big-endian uint64 of the
+    * first 8 bytes, shifted right 4 (dropping the 16th hex char). */
+  private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  // -- kernel entry points (called from generated code) ---------------
+
+  def shingleSet(text: UTF8String): ArrayData =
+    new GenericArrayData(shingleStrings(text).map(UTF8String.fromString): Array[Any])
+
+  def minhashSig(text: UTF8String): ArrayData = {
+    val sh = shingleStrings(text)
+    val mins = Array.fill(NumHashes)(-1L)
+    if (sh.nonEmpty) {
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      val md = MessageDigest.getInstance("SHA-256")
+      sh.foreach { s =>
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        var j = 0
+        while (j < NumHashes) {
+          val v = member(d, j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash60(text: UTF8String): Long = {
+    val t = tokens(text)
+    val counts = new Array[Int](60)
+    val md = MessageDigest.getInstance("SHA-256")
+    t.foreach { tok =>
+      md.reset()
+      val h = h60(md.digest(tok.getBytes("UTF-8")))
+      var b = 0
+      while (b < 60) {
+        counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `graft_shingle_set(text)`: distinct 3-word shingles. */
+case class ShingleSetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "graft_shingle_set"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleSet(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleSet($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr = copy(child = newChild)
+}
+
+/** `graft_minhash_sig(text)`: 8-member MinHash signature. */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr = copy(child = newChild)
+}
+
+/** `graft_simhash60(text)`: 60-bit SimHash. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Expr = copy(child = newChild)
+}
+
+object TextKernelFunctions {
+
+  def shingleSet(text: Column): Column = call_function("graft_shingle_set", text)
+  def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
+  def simhash60(text: Column): Column = call_function("graft_simhash60", text)
+
+  private def reg1(name: String, build: Expression => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(getClass.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"$name takes exactly 1 argument")
+      build(children.head)
+    })
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    reg1("graft_shingle_set", ShingleSetExpr),
+    reg1("graft_minhash_sig", MinHashSigExpr),
+    reg1("graft_simhash60", SimHash60Expr))
+}

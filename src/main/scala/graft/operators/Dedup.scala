@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, TextKernelFunctions}
 import graft.sources.Tables
 
 /**
@@ -55,7 +55,7 @@ object Dedup {
   // scalar columns for the oracle check).
   // ------------------------------------------------------------------
   def qMinhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Hashing.minhashSignature(shingleSet, NumHashes)
+    val sig = TextKernelFunctions.minhashSig($"text")
     Tables.documentsSharded(spark, dir)
       .select($"doc_id", sig.as("sig"))
       .select($"doc_id",
@@ -83,8 +83,9 @@ object Dedup {
     // and feeds both the band join and the verify join (at cluster
     // scale this is the signatures-to-storage materialization step).
     val sigs = Tables.documentsSharded(spark, dir)
-      .select($"doc_id", shingleSet.as("sh"))
-      .withColumn("sig", Hashing.minhashSignature($"sh", NumHashes))
+      .select($"doc_id",
+        TextKernelFunctions.shingleSet($"text").as("sh"),
+        TextKernelFunctions.minhashSig($"text").as("sig"))
       .persist()
     sigs.count() // eager: both join branches read the materialized store
     // Band join carries only (doc_id, bkey) — the shingle arrays never
@@ -127,7 +128,7 @@ object Dedup {
   // ------------------------------------------------------------------
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsSharded(spark, dir)
-      .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
+      .select($"doc_id", TextKernelFunctions.simhash60($"text").as("simhash"))
       .orderBy($"doc_id")
 
   val sqlSimhash: String =
@@ -140,7 +141,7 @@ object Dedup {
     * the scale path, identical in shape to the MinHash LSH join. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documentsSharded(spark, dir)
-      .select($"doc_id", Hashing.simhash60(toks).as("simhash"))
+      .select($"doc_id", TextKernelFunctions.simhash60($"text").as("simhash"))
       .persist() // computed once, read by both join sides
     base.count() // eager materialization
     val chunked = base.select($"doc_id", $"simhash",
@@ -180,7 +181,7 @@ object Dedup {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documentsSharded(spark, dir)
       .filter($"doc_id" < 100)
-      .select($"doc_id", shingleSet.as("sh"))
+      .select($"doc_id", TextKernelFunctions.shingleSet($"text").as("sh"))
     val a = s.as("a")
     val b = s.as("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))

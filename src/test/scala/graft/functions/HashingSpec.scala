@@ -68,6 +68,42 @@ class HashingSpec extends SparkSpec {
     assert(got == Seq(1.0, 0.0, 0.0))
   }
 
+  test("TextKernels match their composed-expression twins on the real corpus") {
+    import spark.implicits._
+    import graft.functions.TextKernelFunctions
+    val docs = graft.sources.Tables.documents(spark, graft.SparkSpec.Sf0001)
+    val t = tokens(col("text"))
+    val rows = docs.select(
+      TextKernelFunctions.shingleSet(col("text")).as("k_sh"),
+      array_distinct(wordShingles(t, 3)).as("h_sh"),
+      TextKernelFunctions.minhashSig(col("text")).as("k_sig"),
+      minhashSignature(array_distinct(wordShingles(t, 3)), 8).as("h_sig"),
+      TextKernelFunctions.simhash60(col("text")).as("k_sim"),
+      simhash60(t).as("h_sim")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+      assert(r.getLong(4) == r.getLong(5))
+    }
+  }
+
+  test("TextKernels handle edge inputs like the composed expressions") {
+    import spark.implicits._
+    import graft.functions.TextKernelFunctions
+    val cases = Seq("", " ", "one two", "a a a a", "xé y z w")
+    val df = cases.toDF("text")
+    val t = tokens(col("text"))
+    df.select(
+      TextKernelFunctions.minhashSig(col("text")).as("k_sig"),
+      minhashSignature(array_distinct(wordShingles(t, 3)), 8).as("h_sig"),
+      TextKernelFunctions.simhash60(col("text")).as("k_sim"),
+      simhash60(t).as("h_sim")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("bandKey: equal band slices collide, different slices don't") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("s1", "s2")
