@@ -119,6 +119,57 @@ object Domain {
       Left(ValidationError("event_timestamp", "after received_timestamp"))
     else Right(())
 
+  /** WebSocket endpoint validation (reference: exchange_config.py:83-89
+    * — scheme must be ws/wss and a host must be present). */
+  def validateWsUrl(url: String): Either[ValidationError, String] = {
+    val trimmed = Option(url).map(_.trim).getOrElse("")
+    if (trimmed.isEmpty) Left(ValidationError("url", "empty"))
+    else
+      try {
+        val u = new java.net.URI(trimmed)
+        if (u.getScheme != "ws" && u.getScheme != "wss")
+          Left(ValidationError("url", s"scheme must be ws/wss: $trimmed"))
+        else if (u.getHost == null || u.getHost.isEmpty)
+          Left(ValidationError("url", s"missing host: $trimmed"))
+        else Right(trimmed)
+      } catch {
+        case _: java.net.URISyntaxException => Left(ValidationError("url", s"unparseable: $trimmed"))
+      }
+  }
+
+  // -------------------------------------------------------------------
+  // Consecutive-failure circuit breaker (reference:
+  // ingestion_service.py:184-203, 339-353 — stop the consume loop after
+  // 10 consecutive publish failures; any success resets the streak).
+  // -------------------------------------------------------------------
+  final case class FailureGate(maxConsecutive: Int = 10, streak: Int = 0) {
+    def tripped: Boolean = streak >= maxConsecutive
+    def onSuccess: FailureGate = copy(streak = 0)
+    def onFailure: FailureGate = copy(streak = math.min(streak + 1, maxConsecutive))
+  }
+
+  // -------------------------------------------------------------------
+  // Connection-state history tracker (reference:
+  // connection_state.py:129-217 — bounded transition log with legality
+  // enforcement; illegal transitions are recorded as rejected and do
+  // not change state).
+  // -------------------------------------------------------------------
+  final case class ConnTransition(from: ConnState, to: ConnState, atMs: Long, accepted: Boolean)
+
+  final case class ConnTracker(
+      state: ConnState = Disconnected,
+      history: Vector[ConnTransition] = Vector.empty,
+      maxHistory: Int = 100) {
+    def to(next: ConnState, atMs: Long): ConnTracker = {
+      val ok = canTransition(state, next)
+      val entry = ConnTransition(state, next, atMs, ok)
+      copy(
+        state = if (ok) next else state,
+        history = (history :+ entry).takeRight(maxHistory))
+    }
+    def rejectedCount: Int = history.count(!_.accepted)
+  }
+
   // -------------------------------------------------------------------
   // Fraud-detection constants (reference: fraud_detector.py:35-37).
   // -------------------------------------------------------------------

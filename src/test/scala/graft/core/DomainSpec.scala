@@ -88,4 +88,48 @@ class DomainSpec extends AnyFunSuite {
     assert(validateTimestamps(100L, 101L).isRight)
     assert(validateTimestamps(101L, 100L).isLeft)
   }
+
+  test("ws url validation: scheme and host enforced") {
+    assert(validateWsUrl("wss://api.upbit.com/websocket/v1").isRight)
+    assert(validateWsUrl("ws://localhost:8080/feed").isRight)
+    assert(validateWsUrl("https://api.upbit.com").isLeft)
+    assert(validateWsUrl("wss://").isLeft)
+    assert(validateWsUrl("").isLeft)
+    assert(validateWsUrl("::not a url::").isLeft)
+  }
+
+  test("failure gate: trips at 10 consecutive failures, any success resets") {
+    var g = FailureGate()
+    (1 to 9).foreach(_ => g = g.onFailure)
+    assert(!g.tripped)
+    g = g.onFailure
+    assert(g.tripped)
+    assert(!g.onSuccess.tripped)
+    // a success mid-streak resets the count entirely
+    var h = FailureGate()
+    (1 to 9).foreach(_ => h = h.onFailure)
+    h = h.onSuccess
+    (1 to 9).foreach(_ => h = h.onFailure)
+    assert(!h.tripped)
+  }
+
+  test("connection tracker: legal transitions advance, illegal are logged rejections") {
+    var t = ConnTracker()
+    t = t.to(Connecting, 1L)
+    t = t.to(Connected, 2L)
+    t = t.to(Connecting, 3L) // illegal from CONNECTED
+    assert(t.state == Connected)
+    assert(t.rejectedCount == 1)
+    t = t.to(Reconnecting, 4L)
+    t = t.to(Connected, 5L)
+    assert(t.state == Connected)
+    assert(t.history.size == 5)
+    assert(t.history.map(_.accepted) == Vector(true, true, false, true, true))
+  }
+
+  test("connection tracker: history is bounded") {
+    var t = ConnTracker(maxHistory = 3)
+    (1 to 10).foreach(i => t = t.to(if (i % 2 == 1) Connecting else Failed, i.toLong))
+    assert(t.history.size == 3)
+  }
 }
