@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Similarity, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,9 @@ object SparkEntry {
     // orderbook array analytics + KPI rollup
     "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
     "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
+    "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
+    "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
+    "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
     // CEP density-drop signal generator (trailing baseline FSM)
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
@@ -184,6 +187,9 @@ object SparkEntry {
     "q_date_funcs"         -> Ingestion.sqlDateFuncs,
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,
+    "q_quantiles"          -> Analytics.sqlQuantiles,
+    "q_kpi_rollup"         -> Analytics.sqlKpiRollup,
+    "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
   )
