@@ -31,6 +31,7 @@ object SparkEntry {
     "q_topn_per_key"      -> (Relational.qTopNPerKey(_, _)),
     "q_sort_limit"        -> (Relational.qSortLimit(_, _)),
     "q_tagged_union"      -> (Relational.qTaggedUnion(_, _)),
+    "q_set_ops"           -> (Relational.qSetOps(_, _)),
     "q_distinct"          -> (Relational.qDistinct(_, _)),
     "q_type_counts"       -> (Relational.qTypeCounts(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
@@ -157,6 +158,7 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
+    "q_set_ops"            -> Relational.sqlSetOps,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS total_value

@@ -199,6 +199,28 @@ object Relational {
   }
 
   // --------------------------------------------------------------
+  // U1 (set-op faces): INTERSECT / EXCEPT — the reconciliation
+  // diffing primitives (users who clicked AND purchased, minus any
+  // who errored). Both are hash aggregations on the key at scale.
+  // --------------------------------------------------------------
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def usersOf(t: String) = ev.filter($"event_type" === t).select($"user_id")
+    usersOf("click").intersect(usersOf("purchase"))
+      .except(usersOf("error"))
+      .orderBy($"user_id")
+  }
+
+  val sqlSetOps: String =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------
   // D1: exact distinct (dedup by full projection — deterministic,
   // unlike dropDuplicates' arbitrary row pick).
   // --------------------------------------------------------------
