@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.SparkSpec.Sf0001
+import graft.sources.Tables
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001)
+    val salted = Scale.saltedCountSum(ev, "event_type", "value", "event_id")
+      .orderBy($"event_type").collect().toSeq
+    val direct = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy($"event_type").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("salt column is deterministic and bounded") {
+    import spark.implicits._
+    val ev = Tables.events(spark, Sf0001).select($"event_id")
+    val s1 = ev.select(Scale.saltCol($"event_id", 16).as("s")).collect().map(_.getInt(0))
+    val s2 = ev.select(Scale.saltCol($"event_id", 16).as("s")).collect().map(_.getInt(0))
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.forall(s => s >= 0 && s < 16))
+    assert(s1.distinct.length > 1) // actually spreads
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    import spark.implicits._
+    // tables land in the default warehouse dir (gitignored) and are
+    // dropped below; warehouse.dir is a static conf and can't be moved
+    val orders = Tables.orders(spark, Sf0001)
+    val customer = Tables.customer(spark, Sf0001)
+    orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_bkt")
+    customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_bkt")
+    try {
+      // force the shuffle-join path (tiny SF would broadcast and skip
+      // bucketing entirely); at real scale both sides exceed the
+      // threshold and this is the planner's own choice
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides scan their buckets; the join needs no shuffle
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"))
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() == orders.count()) // every order matches one customer
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}
