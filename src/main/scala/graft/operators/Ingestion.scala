@@ -78,6 +78,21 @@ object Ingestion {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Strict validation mode (reference raises on invalid messages —
+    * market_data.py:147-239 `__post_init__` ValueErrors — rather than
+    * dropping them): the same rules as [[qValidationSplit]], but any
+    * violation fails the job with the rule name in the error. Use for
+    * pipelines where silent data loss is worse than failure. */
+  def strictValidated(df: DataFrame): DataFrame =
+    // assert_true raises with the rule name on violation and yields
+    // NULL otherwise; bundling them in one struct column keeps a
+    // single projection (the optimizer must evaluate RaiseError even
+    // though the column is dropped — verified by IngestionSpec)
+    df.withColumn("_checked", struct(
+        assert_true($"event_type".isin(SubscribedTypes: _*), lit("UNSUBSCRIBED_TYPE")),
+        assert_true($"value" >= 0.0 && $"value" <= 400.0, lit("VALUE_OUT_OF_RANGE"))))
+      .drop("_checked")
+
   // ------------------------------------------------------------------
   // Scalar-function catalog (F1–F5, F11, F13, F21) over customer: the
   // string/format/hash surface in one deterministic projection.
