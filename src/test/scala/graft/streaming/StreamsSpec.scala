@@ -66,6 +66,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T6 policy: an event later than the watermark is dropped, not aggregated") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[(Long, String, Double)]
+    val q = Streams.slidingWindowAvg(
+      input.toDF().select(timestamp_millis($"_1").as("ts"),
+        $"_2".as("event_type"), $"_3".as("value")))
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      // batch 1 advances the watermark far ahead
+      input.addData(Seq((base, "click", 1.0), (base + 3600000L, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 2: an event an hour behind the watermark — a missed
+      // opportunity per the reference's no-late-data policy
+      input.addData(Seq((base + 1000L, "click", 100.0)))
+      q.processAllAvailable()
+      // close all windows so append mode emits them
+      input.addData(Seq((base + 7200000L, "click", 3.0)))
+      q.processAllAvailable()
+      val sums = spark.table("late_drop")
+        .agg(sum($"sum_value")).head().getDouble(0)
+      // the late 100.0 must not appear in any emitted window
+      assert(sums < 100.0)
+    } finally q.stop()
+  }
+
   test("wordCounts in update mode emits per-update records like Flink keyed reduce") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
