@@ -174,13 +174,13 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
-  // n-gram Jaccard brute force over a bounded prefix (doc_id < 100):
+  // n-gram Jaccard brute force over a bounded prefix (doc_id < 500):
   // the exact-verification operator. Bounded on purpose — all-pairs
   // does not scale and is only used on candidate sets / samples.
   // ------------------------------------------------------------------
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.documentsSharded(spark, dir)
-      .filter($"doc_id" < 100)
+      .filter($"doc_id" < 500)
       .select($"doc_id", TextKernelFunctions.shingleSet($"text").as("sh"))
     val a = s.as("a")
     val b = s.as("b")
@@ -193,7 +193,7 @@ object Dedup {
 
   val sqlNgramJaccard: String = {
     val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
-    s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 100)
+    s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 500)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
        |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END AS jaccard

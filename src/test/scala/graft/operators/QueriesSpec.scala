@@ -40,7 +40,7 @@ class QueriesSpec extends SparkSpec {
   test("MinHash LSH recall: equals exact n-gram Jaccard pairs at >= 0.5 on the prefix") {
     import spark.implicits._
     val lsh = Dedup.qMinhashLshPairs(spark, Sf0001)
-      .filter($"doc_a" < 100 && $"doc_b" < 100)
+      .filter($"doc_a" < 500 && $"doc_b" < 500)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.qNgramJaccard(spark, Sf0001)
       .filter($"jaccard" >= 0.5)
