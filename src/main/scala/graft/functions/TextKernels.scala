@@ -73,6 +73,21 @@ object TextKernels {
   def shingleSet(text: UTF8String): ArrayData =
     new GenericArrayData(shingleStrings(text).map(UTF8String.fromString): Array[Any])
 
+  /** h60 of each distinct shingle — set-compare math (Jaccard) on longs
+    * instead of strings; same distinct set, engine-identical hashes. */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val sh = shingleStrings(text)
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      md.reset()
+      out(i) = h60(md.digest(sh(i).getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(text: UTF8String): ArrayData = {
     val sh = shingleStrings(text)
     val mins = Array.fill(NumHashes)(-1L)
@@ -127,6 +142,17 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr = copy(child = newChild)
 }
 
+/** `graft_shingle_hashes(text)`: h60 of each distinct shingle. */
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr = copy(child = newChild)
+}
+
 /** `graft_minhash_sig(text)`: 8-member MinHash signature. */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType)
@@ -152,6 +178,7 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
 object TextKernelFunctions {
 
   def shingleSet(text: Column): Column = call_function("graft_shingle_set", text)
+  def shingleHashes(text: Column): Column = call_function("graft_shingle_hashes", text)
   def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
   def simhash60(text: Column): Column = call_function("graft_simhash60", text)
 
@@ -165,6 +192,7 @@ object TextKernelFunctions {
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     reg1("graft_shingle_set", ShingleSetExpr),
+    reg1("graft_shingle_hashes", ShingleHashesExpr),
     reg1("graft_minhash_sig", MinHashSigExpr),
     reg1("graft_simhash60", SimHash60Expr))
 }

@@ -179,9 +179,13 @@ object Dedup {
   // does not scale and is only used on candidate sets / samples.
   // ------------------------------------------------------------------
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Jaccard over h60-hashed shingles: set math on longs, not strings
+    // (the all-pairs stage compares ~n²/2 array pairs; hashing first
+    // makes each comparison integer work — both engines hash with the
+    // same sha-derived h60, so the sets and ratios are identical).
     val s = Tables.documentsSharded(spark, dir)
       .filter($"doc_id" < 500)
-      .select($"doc_id", TextKernelFunctions.shingleSet($"text").as("sh"))
+      .select($"doc_id", TextKernelFunctions.shingleHashes($"text").as("sh"))
     val a = s.as("a")
     val b = s.as("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))
@@ -192,7 +196,8 @@ object Dedup {
   }
 
   val sqlNgramJaccard: String = {
-    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val sh = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
     s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents WHERE doc_id < 500)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
