@@ -85,13 +85,15 @@ object Ingestion {
     * pipelines where silent data loss is worse than failure. */
   def strictValidated(df: DataFrame): DataFrame =
     // assert_true raises with the rule name on violation and yields
-    // NULL otherwise; bundling them in one struct column keeps a
-    // single projection (the optimizer must evaluate RaiseError even
-    // though the column is dropped — verified by IngestionSpec)
-    df.withColumn("_checked", struct(
-        assert_true($"event_type".isin(SubscribedTypes: _*), lit("UNSUBSCRIBED_TYPE")),
-        assert_true($"value" >= 0.0 && $"value" <= 400.0, lit("VALUE_OUT_OF_RANGE"))))
-      .drop("_checked")
+    // NULL otherwise. Filtering on the (always-NULL-on-success) result
+    // makes the assertion a data dependency of the output rows, so no
+    // future CollapseProject/ColumnPruning change can elide it — unlike
+    // the project-then-drop encoding, which relied on the optimizer NOT
+    // pruning an unused column. assert_true is nullable, so IsNull is
+    // not constant-folded away.
+    df.filter(
+      assert_true($"event_type".isin(SubscribedTypes: _*), lit("UNSUBSCRIBED_TYPE")).isNull &&
+      assert_true($"value" >= 0.0 && $"value" <= 400.0, lit("VALUE_OUT_OF_RANGE")).isNull)
 
   // ------------------------------------------------------------------
   // Scalar-function catalog (F1–F5, F11, F13, F21) over customer: the

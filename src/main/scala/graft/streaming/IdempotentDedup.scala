@@ -47,25 +47,26 @@ object IdempotentDedup {
             if (state.hasTimedOut) state.remove() // TTL lapsed: id re-admissible
             Iterator.empty
           } else {
+            // Fold over the batch in event-time order, re-admitting (and
+            // resetting firstSeen) every time the gap reaches the TTL —
+            // so one big batch emits exactly what the same rows split
+            // across many micro-batches would (batch-boundary-free
+            // determinism; a single re-admission per batch would not be).
             val sorted = it.toVector.sortBy(r => (r.ts_ms, r.value))
-            val out = state.getOption match {
-              case Some(s) =>
-                // live entry: drop all, but extend nothing (OnCreate semantics)
-                sorted.filter(r => r.ts_ms - s.firstSeenMs >= ttlMs) match {
-                  case later if later.nonEmpty => // first dup past the TTL re-admits
-                    state.update(SeenState(later.head.ts_ms))
-                    Vector(later.head)
-                  case _ => Vector.empty
-                }
-              case None =>
-                state.update(SeenState(sorted.head.ts_ms))
-                Vector(sorted.head)
+            val out = Vector.newBuilder[SignalRow]
+            var firstSeen = state.getOption.map(_.firstSeenMs)
+            sorted.foreach { r =>
+              if (firstSeen.forall(f => r.ts_ms - f >= ttlMs)) {
+                firstSeen = Some(r.ts_ms)
+                out += r
+              }
             }
-            state.getOption.foreach { s =>
+            firstSeen.foreach { f =>
+              state.update(SeenState(f))
               state.setTimeoutTimestamp(
-                math.max(s.firstSeenMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+                math.max(f + ttlMs, state.getCurrentWatermarkMs() + 1))
             }
-            out.iterator
+            out.result().iterator
           }
       }
   }

@@ -233,8 +233,11 @@ object PositionTracker {
   // PositionTrackerSpec instead).
   //   click    -> BUY signal   (reason PWAVE)
   //   view     -> SELL signal
-  //   purchase -> SUCCESS feedback for the key's last signal second
-  //   error    -> FAILED feedback
+  //   purchase -> SUCCESS feedback; its signal id is derived from the
+  //               feedback's OWN timestamp-second, so it confirms a BUY
+  //               issued in the same second (otherwise the stale-
+  //               feedback guard ignores it — deterministic either way)
+  //   error    -> FAILED feedback (same own-timestamp id derivation)
   //   signup   -> CLEAR
   // ------------------------------------------------------------------
   def qPositionEvents(spark: SparkSession, dir: String): DataFrame = {

@@ -60,11 +60,21 @@ object Streams {
   def idempotentAppend(batch: DataFrame, keyCols: Seq[String], path: String): Unit = {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(keyCols)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only a genuinely absent/empty store means "first write" (an empty
+    // pre-created directory, or one holding only a _SUCCESS marker, has
+    // no data to anti-join against). A present store that fails to READ
+    // (transient IO, corrupt footer, permissions) must fail loudly —
+    // silently skipping the anti-join would append duplicates,
+    // defeating the idempotence this sink exists for.
+    def hasData: Boolean = fs.exists(hadoopPath) &&
+      fs.listStatus(hadoopPath).exists(s => s.isDirectory || s.getPath.getName.startsWith("part-"))
     val fresh =
-      try {
+      if (hasData) {
         val existing = spark.read.parquet(path).select(keyCols.map(col): _*)
         deduped.join(existing, keyCols, "left_anti")
-      } catch { case _: Throwable => deduped } // first write: nothing on disk
+      } else deduped
     fresh.write.mode("append").parquet(path)
   }
 

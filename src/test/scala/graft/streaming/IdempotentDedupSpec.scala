@@ -46,4 +46,31 @@ class IdempotentDedupSpec extends SparkSpec {
       assert(got == Seq(1000L, 2500L))
     } finally q.stop()
   }
+
+  test("output is micro-batch-boundary-free: one big batch spanning many TTL windows equals per-row batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 1000, 1500 (dup), 2500 (re-admit, resets firstSeen), 3000 (dup of
+    // 2500's window), 3600 (re-admit vs 2500), 5000 (re-admit vs 3600)
+    val rows = Seq(1000L, 1500L, 2500L, 3000L, 3600L, 5000L).map(row("sig-x", _))
+    val expected = Seq(1000L, 2500L, 3600L, 5000L)
+
+    def run(name: String)(feed: (MemoryStream[SignalRow], org.apache.spark.sql.streaming.StreamingQuery) => Unit): Seq[Long] = {
+      val input = MemoryStream[SignalRow]
+      val q = dedupStream(input.toDS(), ttlMs = 1000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        feed(input, q)
+        q.processAllAvailable()
+        spark.table(name).as[SignalRow].collect().map(_.ts_ms).sorted.toSeq
+      } finally q.stop()
+    }
+
+    val oneBatch = run("dedup_one_batch")((in, _) => in.addData(rows))
+    val perRow = run("dedup_per_row") { (in, q) =>
+      rows.foreach { r => in.addData(Seq(r)); q.processAllAvailable() }
+    }
+    assert(oneBatch == expected)
+    assert(perRow == expected)
+  }
 }

@@ -129,6 +129,21 @@ class StreamsSpec extends SparkSpec {
     assert(stored.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("idempotentAppend: an unreadable existing store fails loudly instead of duplicating") {
+    import spark.implicits._
+    val path = tmpDir("idem_corrupt")
+    Streams.idempotentAppend(Seq((1L, "a")).toDF("id", "payload"), Seq("id"), path)
+    // corrupt the store: truncate every parquet part file to garbage
+    val dir = new java.io.File(path)
+    dir.listFiles().filter(_.getName.startsWith("part-")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not parquet".getBytes)
+    }
+    val replay = Seq((1L, "a-replay")).toDF("id", "payload")
+    intercept[Exception] { Streams.idempotentAppend(replay, Seq("id"), path) }
+    // nothing was appended: the corrupt part is still the only content
+    assert(dir.listFiles().count(_.getName.startsWith("part-")) == 1)
+  }
+
   test("routeByType: one partitioned write, each type independently readable") {
     import spark.implicits._
     val path = tmpDir("route")
