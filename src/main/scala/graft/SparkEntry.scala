@@ -74,10 +74,10 @@ object SparkEntry {
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
-    // 4-stream position-tracking FSM (J1/T3/T5/T10–T12) — sequential
-    // state machine, not SQL-expressible: no oracle entry (driver
-    // records the weaker rows-only check; semantics pinned by
-    // PositionTrackerSpec).
+    // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
+    // replay uses a single position family, so the whole FSM is
+    // re-runnable in SQL as a recursive CTE — full value oracle below
+    // (semantics additionally pinned by PositionTrackerSpec).
     "q_position_events"   -> (PositionTracker.qPositionEvents(_, _)),
   )
 
@@ -194,5 +194,6 @@ object SparkEntry {
     "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
+    "q_position_events"    -> PositionTracker.sqlPositionEvents,
   )
 }

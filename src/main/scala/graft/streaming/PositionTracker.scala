@@ -261,4 +261,116 @@ object PositionTracker {
       }
     trackBatch(cmds).toDF().orderBy($"code", $"ts_ms", $"seq")
   }
+
+  /**
+   * Full DuckDB oracle for [[qPositionEvents]]: the events-table replay
+   * uses a single position family (reason PWAVE), so per-code state
+   * collapses to one position + one removal timestamp — small enough to
+   * re-run the whole FSM in SQL as a recursive CTE that advances every
+   * code by one command per iteration, carrying the state in columns
+   * and emitting up to two audit events per step (the pending-timeout
+   * sweep event, then the command's own action event).
+   */
+  val sqlPositionEvents: String =
+    s"""WITH RECURSIVE
+       |base AS (
+       |  SELECT 'KRW-' || (user_id % 20) AS code,
+       |         epoch_ms(ts) AS ts_ms, event_id AS seq, event_type
+       |  FROM events),
+       |cmds AS (
+       |  SELECT code, ts_ms, seq,
+       |    CASE WHEN event_type IN ('click','view') THEN 'SIGNAL'
+       |         WHEN event_type IN ('purchase','error') THEN 'FEEDBACK'
+       |         ELSE 'CLEAR' END AS kind,
+       |    CASE WHEN event_type = 'click' THEN 'BUY'
+       |         WHEN event_type = 'view' THEN 'SELL' ELSE '' END AS side,
+       |    CASE WHEN event_type = 'purchase' THEN 'SUCCESS'
+       |         WHEN event_type = 'error' THEN 'FAILED' ELSE '' END AS fstatus,
+       |    CASE WHEN event_type = 'click' THEN sha256(code || '|BUY|PWAVE|' || (ts_ms // 1000))
+       |         WHEN event_type = 'view' THEN sha256(code || '|SELL|PWAVE|' || (ts_ms // 1000))
+       |         WHEN event_type IN ('purchase','error') THEN sha256(code || '|BUY|PWAVE|' || (ts_ms // 1000))
+       |         ELSE '' END AS cmd_id,
+       |    row_number() OVER (PARTITION BY code ORDER BY ts_ms, seq) AS rn
+       |  FROM base),
+       |step AS (
+       |  SELECT DISTINCT code,
+       |    CAST(0 AS BIGINT) AS rn,
+       |    FALSE AS has_pos, '' AS p_sig, '' AS p_exit,
+       |    CAST(0 AS BIGINT) AS p_since, '' AS p_status,
+       |    CAST(NULL AS BIGINT) AS removed_at,
+       |    CAST(NULL AS BIGINT) AS ts_ms, CAST(NULL AS BIGINT) AS seq,
+       |    CAST(NULL AS VARCHAR) AS ev1_action, CAST(NULL AS VARCHAR) AS ev1_sig,
+       |    CAST(NULL AS VARCHAR) AS ev2_action, CAST(NULL AS VARCHAR) AS ev2_sig
+       |  FROM cmds
+       |  UNION ALL
+       |  SELECT code, rn,
+       |    CASE WHEN act IN ('CLOSED','REMOVED_FAILED','CLEARED') THEN FALSE
+       |         WHEN act = 'PENDING_OPEN' THEN TRUE ELSE h1 END,
+       |    CASE WHEN act = 'PENDING_OPEN' THEN cmd_id
+       |         WHEN act IN ('CLOSED','REMOVED_FAILED','CLEARED') THEN '' ELSE sig1 END,
+       |    CASE WHEN act = 'PENDING_CLOSE' THEN cmd_id
+       |         WHEN act IN ('PENDING_OPEN','CLOSE_FAILED_REOPENED','CLOSED','REMOVED_FAILED','CLEARED') THEN ''
+       |         ELSE ex1 END,
+       |    CASE WHEN act IN ('PENDING_OPEN','PENDING_CLOSE') THEN ts_ms
+       |         WHEN act IN ('CLOSED','REMOVED_FAILED','CLEARED') THEN 0 ELSE since1 END,
+       |    CASE WHEN act = 'PENDING_OPEN' THEN 'PENDING_OPEN'
+       |         WHEN act = 'PENDING_CLOSE' THEN 'PENDING_CLOSE'
+       |         WHEN act IN ('OPENED','CLOSE_FAILED_REOPENED') THEN 'OPEN'
+       |         WHEN act IN ('CLOSED','REMOVED_FAILED','CLEARED') THEN '' ELSE st1 END,
+       |    CASE WHEN act IN ('CLOSED','REMOVED_FAILED','CLEARED') THEN ts_ms ELSE rem1 END,
+       |    ts_ms, seq,
+       |    ev1_action, ev1_sig,
+       |    act,
+       |    CASE WHEN kind = 'CLEAR' THEN (CASE WHEN h1 THEN sig1 ELSE '' END) ELSE cmd_id END
+       |  FROM (
+       |    SELECT *,
+       |      CASE
+       |        WHEN kind = 'SIGNAL' AND side = 'BUY' THEN
+       |          CASE WHEN h1 THEN 'REJECTED_DUP_ACTIVE'
+       |               WHEN rem1 IS NOT NULL AND ts_ms - rem1 < $TtlMs THEN 'REJECTED_RECENT_REMOVAL'
+       |               ELSE 'PENDING_OPEN' END
+       |        WHEN kind = 'SIGNAL' THEN
+       |          CASE WHEN h1 AND st1 = 'OPEN' THEN 'PENDING_CLOSE'
+       |               ELSE 'REJECTED_NO_OPEN_POSITION' END
+       |        WHEN kind = 'FEEDBACK' AND fstatus = 'SUCCESS' THEN
+       |          CASE WHEN NOT (h1 AND (sig1 = cmd_id OR ex1 = cmd_id)) THEN 'IGNORED_STALE_FEEDBACK'
+       |               WHEN st1 = 'PENDING_OPEN' AND sig1 = cmd_id THEN 'OPENED'
+       |               WHEN st1 = 'PENDING_CLOSE' AND ex1 = cmd_id THEN 'CLOSED'
+       |               ELSE 'IGNORED_FEEDBACK' END
+       |        WHEN kind = 'FEEDBACK' THEN
+       |          CASE WHEN NOT (h1 AND (sig1 = cmd_id OR ex1 = cmd_id)) THEN 'IGNORED_STALE_FEEDBACK'
+       |               WHEN st1 = 'PENDING_CLOSE' AND ex1 = cmd_id THEN 'CLOSE_FAILED_REOPENED'
+       |               ELSE 'REMOVED_FAILED' END
+       |        ELSE CASE WHEN h1 THEN 'CLEARED' ELSE 'IGNORED_CLEAR' END
+       |      END AS act
+       |    FROM (
+       |      SELECT s.code AS code, c.rn AS rn, c.ts_ms AS ts_ms, c.seq AS seq,
+       |        c.kind AS kind, c.side AS side, c.fstatus AS fstatus, c.cmd_id AS cmd_id,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN' AND c.ts_ms - s.p_since >= $PendingTimeoutMs)
+       |             THEN FALSE ELSE s.has_pos END AS h1,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN' AND c.ts_ms - s.p_since >= $PendingTimeoutMs)
+       |             THEN '' ELSE s.p_sig END AS sig1,
+       |        CASE WHEN (s.has_pos AND s.p_status IN ('PENDING_OPEN','PENDING_CLOSE') AND c.ts_ms - s.p_since >= $PendingTimeoutMs)
+       |             THEN '' ELSE s.p_exit END AS ex1,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN' AND c.ts_ms - s.p_since >= $PendingTimeoutMs)
+       |             THEN 0 ELSE s.p_since END AS since1,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN' AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN ''
+       |             WHEN (s.has_pos AND s.p_status = 'PENDING_CLOSE' AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN 'OPEN'
+       |             ELSE s.p_status END AS st1,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN' AND c.ts_ms - s.p_since >= $PendingTimeoutMs)
+       |             THEN c.ts_ms ELSE s.removed_at END AS rem1,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN'  AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN 'PENDING_OPEN_TIMEOUT'
+       |             WHEN (s.has_pos AND s.p_status = 'PENDING_CLOSE' AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN 'PENDING_CLOSE_TIMEOUT'
+       |             END AS ev1_action,
+       |        CASE WHEN (s.has_pos AND s.p_status = 'PENDING_OPEN'  AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN s.p_sig
+       |             WHEN (s.has_pos AND s.p_status = 'PENDING_CLOSE' AND c.ts_ms - s.p_since >= $PendingTimeoutMs) THEN s.p_exit
+       |             END AS ev1_sig
+       |      FROM step s JOIN cmds c ON c.code = s.code AND c.rn = s.rn + 1) sw) main)
+       |SELECT code, ts_ms, seq, action, 'PWAVE' AS reason, signal_id FROM (
+       |  SELECT code, ts_ms, seq, ev1_action AS action, ev1_sig AS signal_id
+       |  FROM step WHERE ev1_action IS NOT NULL
+       |  UNION ALL
+       |  SELECT code, ts_ms, seq, ev2_action, ev2_sig
+       |  FROM step WHERE ev2_action IS NOT NULL)
+       |ORDER BY code, ts_ms, seq, action""".stripMargin
 }
