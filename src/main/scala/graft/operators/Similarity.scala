@@ -40,8 +40,10 @@ object Similarity {
   /** Deterministic hyperplanes: component (p,d) = h60("p,d") mapped to
     * an integer in [-1000, 1000] (exact in double, exact in SQL text —
     * the same constants are embedded in the oracle SQL). */
-  val planes: Seq[Seq[Double]] =
-    (0 until NumPlanes).map(p => (1 to Dims).map(d => (h60Jvm(s"$p,$d") % 2001 - 1000).toDouble))
+  def planesFor(numPlanes: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (1 to Dims).map(d => (h60Jvm(s"$p,$d") % 2001 - 1000).toDouble))
+
+  val planes: Seq[Seq[Double]] = planesFor(NumPlanes)
 
   /** Native codegen'd dot product (graft.functions.DotProduct) — the
     * strict left fold `(((0.0 + x₁y₁) + x₂y₂) + …)`, bit-identical to
@@ -250,4 +252,172 @@ object Similarity {
        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${sqlCosine("a.v", "b.v")} >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ==================================================================
+  // Scale-parameterized ANN — the 100 TB path. The gate queries above
+  // keep small deterministic constants so the DuckDB oracle can mirror
+  // them bit-for-bit; these APIs are the same structures with the
+  // constants as parameters, and AnnRecallSpec proves recall ≥ 0.9 vs
+  // the brute-force baseline at sf0.1 with a ≥4096-bucket keyspace.
+  //
+  // Candidate-volume note: the synthetic embeddings are isotropic (no
+  // label clustering, top-5 neighbor cosine ≈ 0.4), so ANY scheme needs
+  // a large candidate fraction for 0.9 recall — that cost is a property
+  // of the data, not the structure. The knobs below (bands, probe
+  // radius, nprobe) are exactly the dials that make the same plan
+  // sublinear on real clustered corpora.
+  // ==================================================================
+
+  /**
+   * Banded multi-probe hyperplane LSH (OR-amplification like Dedup's
+   * MinHash bands): `bands` independent band keys of `bitsPerBand` sign
+   * bits each — keyspace per band = 2^bitsPerBand, growing with the
+   * parameter, not fixed at 16. A query probes every band key within
+   * hamming distance `probeRadius` (multi-probe: recall without extra
+   * tables).
+   */
+  final case class LshParams(bands: Int = 12, bitsPerBand: Int = 12, probeRadius: Int = 3) {
+    def numPlanes: Int = bands * bitsPerBand
+    def bucketsPerBand: Int = 1 << bitsPerBand
+  }
+
+  /** Per-band sign-pattern keys of `v`: array of `bands` int keys. */
+  def bandKeyCols(v: Column, p: LshParams): Column = {
+    val pls = planesFor(p.numPlanes)
+    array((0 until p.bands).map { b =>
+      (0 until p.bitsPerBand).map { i =>
+        when(dot(v, typedLit(pls(b * p.bitsPerBand + i))) > 0, 1 << i).otherwise(0)
+      }.reduce(_ + _).cast("int")
+    }: _*)
+  }
+
+  /** XOR masks enumerating all probes within hamming `probeRadius`. */
+  def probeMasks(p: LshParams): Seq[Int] =
+    (0 to p.probeRadius).flatMap(r =>
+      (0 until p.bitsPerBand).combinations(r).map(_.map(1 << _).sum))
+
+  /** Exact brute-force cosine top-k over (vec_id, v) — the recall
+    * baseline, query set broadcast, one corpus scan. */
+  def knnBruteTopK(corpus: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val withNorm = corpus.withColumn("nv", normCol($"v"))
+    val queries = withNorm.filter(isQuery)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    withNorm.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+  }
+
+  /**
+   * Approximate top-k via banded multi-probe LSH. Plan shape for scale:
+   *  - postings index is SLIM — (band, key, vec_id) only; the fat
+   *    vector never rides the candidate join.
+   *  - probe keys (queries × bands × Σ C(bits, r) rows) are broadcast,
+   *    so candidate generation is a broadcast-hash join over the index:
+   *    no corpus shuffle at all.
+   *  - only the surviving candidate ids shuffle (distinct + id join to
+   *    fetch vectors for exact rerank), volume bounded by the probes.
+   */
+  def annLshTopK(corpus: DataFrame, isQuery: Column, k: Int, p: LshParams): DataFrame = {
+    val withNorm = corpus.withColumn("nv", normCol($"v"))
+    val index = corpus
+      .select($"vec_id", posexplode(bandKeyCols($"v", p))).toDF("vec_id", "band", "key")
+    val queries = withNorm.filter(isQuery)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"),
+        bandKeyCols($"v", p).as("keys"))
+      .persist()
+    val masks = typedLit(probeMasks(p))
+    val probes = queries
+      .select($"query_id", posexplode($"keys")).toDF("query_id", "band", "qkey")
+      .select($"query_id", $"band",
+        explode(transform(masks, m => $"qkey".bitwiseXOR(m))).as("key"))
+    val cands = index.join(broadcast(probes), Seq("band", "key"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    cands.join(withNorm, "vec_id")
+      .join(broadcast(queries.select($"query_id", $"qv", $"nq")), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+  }
+
+  /** Deterministic k-means centroids for the IVF index (fixed seed —
+    * training work, run once per index build). */
+  def ivfCentroids(corpus: DataFrame, numCells: Int, seed: Long = 42L,
+                   maxIter: Int = 10): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import corpus.sparkSession.implicits.{newSequenceEncoder, newProductEncoder}
+    val train = corpus.select(col("v")).as[Seq[Double]]
+      .map(s => Tuple1(Vectors.dense(s.toArray))).toDF("features")
+    new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
+      .fit(train).clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /**
+   * Approximate top-k via IVF: k-means cells (real centroids, not the
+   * first-N stand-in the gate query uses for oracle determinism) and
+   * nprobe > 1 — a query scans its `nprobe` nearest cells. Assignment
+   * is one broadcast join (numCells cosines per row, codegen'd dot);
+   * the search shuffles on cell id only.
+   */
+  def annIvfTopK(corpus: DataFrame, isQuery: Column, k: Int,
+                 numCells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val withNorm = corpus.withColumn("nv", normCol($"v")).persist()
+    val centDf = ivfCentroids(withNorm, numCells, seed).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
+    val scored = withNorm.join(broadcast(centDf))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val ranked = scored.withColumn("rk", row_number().over(wAssign))
+    val assigned = ranked.filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell")).persist()
+    assigned.count() // the inverted file: built once, probed below
+    val queryCells = ranked.filter(isQuery && $"rk" <= nprobe)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    val queries = withNorm.filter(isQuery)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    assigned.join(broadcast(queryCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+  }
+
+  /**
+   * Near-dup pairs at scale: same-band-key collision (OR over bands).
+   * The gate twin [[qEmbeddingNearDup]] keeps the 4-plane single-band
+   * oracle-mirrorable form; this one's keyspace grows with the params.
+   */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, p: LshParams): DataFrame = {
+    val withNorm = corpus
+      .withColumn("nv", normCol($"v"))
+      .withColumn("keys", bandKeyCols($"v", p))
+      .persist()
+    withNorm.count()
+    val index = withNorm.select($"vec_id", posexplode($"keys")).toDF("vec_id", "band", "key")
+    val candPairs = index.as("a")
+      .join(index.as("b"), col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")).distinct()
+    candPairs
+      .join(withNorm.select($"vec_id".as("vec_a"), $"v".as("va"), $"nv".as("na")), Seq("vec_a"))
+      .join(withNorm.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nv".as("nb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b", cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/**
+ * Recall gate for the scale-parameterized ANN paths (VERDICT r2 #2):
+ * at sf0.1 (2000 isotropic 64-d vectors, top-5 neighbor cosine ≈ 0.4 —
+ * the hard case for ANN), both the banded multi-probe LSH and the
+ * k-means IVF(nprobe) path must recover ≥ 0.9 of the brute-force
+ * top-5, with an LSH keyspace of ≥ 4096 buckets per band.
+ */
+class AnnRecallSpec extends SparkSpec {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val K = 5
+
+  private lazy val corpus: DataFrame =
+    Tables.embeddingsSharded(spark, Sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def topKMap(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private lazy val exact: Map[Long, Set[Long]] =
+    topKMap(Similarity.knnBruteTopK(corpus, col("vec_id") < 10, K))
+
+  private def recallVsBrute(approx: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("banded multi-probe LSH: recall >= 0.9 at sf0.1 with 4096 buckets per band") {
+    val p = Similarity.LshParams(bands = 12, bitsPerBand = 12, probeRadius = 3)
+    assert(p.bucketsPerBand >= 4096)
+    val got = topKMap(Similarity.annLshTopK(corpus, col("vec_id") < 10, K, p))
+    val r = recallVsBrute(got)
+    info(f"LSH recall@$K = $r%.3f (bands=${p.bands}, bits=${p.bitsPerBand}, radius=${p.probeRadius})")
+    assert(r >= 0.9, s"LSH recall $r < 0.9")
+  }
+
+  test("IVF k-means + nprobe: recall >= 0.9 at sf0.1") {
+    val got = topKMap(Similarity.annIvfTopK(corpus, col("vec_id") < 10, K,
+      numCells = 128, nprobe = 64))
+    val r = recallVsBrute(got)
+    info(f"IVF recall@$K = $r%.3f (cells=128, nprobe=64)")
+    assert(r >= 0.9, s"IVF recall $r < 0.9")
+  }
+
+  test("parameterized near-dup pairs: only >= threshold, canonical a<b ordering") {
+    val p = Similarity.LshParams(bands = 8, bitsPerBand = 6, probeRadius = 0)
+    val pairs = Similarity.nearDupPairs(corpus, 0.4, p)
+      .collect()
+    pairs.foreach { row =>
+      assert(row.getLong(0) < row.getLong(1))
+      assert(row.getDouble(2) >= 0.4)
+    }
+  }
+}
