@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.core.Domain
+import graft.core.{Domain, SecondarySort}
 import graft.sources.Tables
 
 /**
@@ -83,16 +83,25 @@ object DensitySignals {
     (buf, out.result())
   }
 
-  /** Batch face over the events table (oracle-checked). */
+  /** Batch face over the events table (oracle-checked). Spillable
+    * secondary sort + iterator FSM: the trailing-window buffer is the
+    * only per-key memory; a hot user's history never materializes. */
   def qDensitySignals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id", $"value")
       .as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (user: Long, it: Iterator[(Long, Long, Long, Double)]) =>
-        val sorted = it.toVector.sortBy(e => (e._2, e._3))
-        runKey(user, sorted.iterator.map(e => (e._2, e._3, e._4)))._2
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_ms", $"event_id")
+      .mapPartitions { it =>
+        SecondarySort.runs(it)(_._1).flatMap { case (user, events) =>
+          var buf = Vector.empty[(Long, Double)]
+          events.flatMap { case (_, ts, eid, value) =>
+            val (b2, sig) = step(buf, user, ts, eid, value)
+            buf = b2
+            sig
+          }
+        }
       }
       .toDF()
       .orderBy($"user_id", $"event_id")

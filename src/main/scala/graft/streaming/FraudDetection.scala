@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.Model.{Alert, FraudState, Transaction}
+import graft.core.SecondarySort
 import graft.sources.Tables
 
 /**
@@ -17,10 +18,11 @@ import graft.sources.Tables
  * Three layers, sharing one FSM:
  *  - [[step]] — the pure per-event transition (no Spark imports in its
  *    logic; mirrors the reference's framework-free purity rule).
- *  - [[detectBatch]] — bounded replay: `groupByKey(account)` →
- *    `flatMapGroups` over time-sorted events. The shuffle carries raw
- *    events hash-partitioned by account — the Spark encoding of
- *    Flink's `key_by`; state for one key never crosses executors.
+ *  - [[detectBatch]] — bounded replay: repartition by account +
+ *    spillable sortWithinPartitions + iterator FSM. The shuffle
+ *    carries raw events hash-partitioned by account — the Spark
+ *    encoding of Flink's `key_by`; state for one key never crosses
+ *    executors, and no key's history is ever materialized in memory.
  *  - [[detectStream]] — `flatMapGroupsWithState` with event-time
  *    timeout: the streaming twin, state persisted across micro-batches
  *    and expired by the watermark clock.
@@ -75,13 +77,25 @@ object FraudDetection {
     (s, out.result())
   }
 
-  /** Bounded (batch) fraud detection over a typed transaction Dataset. */
+  /** Bounded (batch) fraud detection over a typed transaction Dataset.
+    * Spillable secondary sort: one shuffle on the key, external sort
+    * within partitions, then an iterator-driven FSM — a hot account
+    * streams through in O(state) memory instead of materializing its
+    * whole history in a per-key Vector. */
   def detectBatch(txns: Dataset[Transaction]): Dataset[Alert] = {
     import txns.sparkSession.implicits._
-    txns.groupByKey(_.accountId)
-      .flatMapGroups { (acct, it) =>
-        val sorted = it.toVector.sortBy(t => (t.timestamp, t.amount))
-        runKey(acct, sorted.iterator.map(t => (t.timestamp, t.amount)))._2
+    txns
+      .repartition(col("accountId"))
+      .sortWithinPartitions(col("accountId"), col("timestamp"), col("amount"))
+      .mapPartitions { it =>
+        SecondarySort.runs(it)(_.accountId).flatMap { case (acct, events) =>
+          var s = Empty
+          events.flatMap { t =>
+            val (s2, alert) = step(s, acct, t.timestamp, t.amount)
+            s = s2
+            alert
+          }
+        }
       }
   }
 
@@ -153,20 +167,20 @@ object FraudDetection {
 
   def qFraudAlerts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id", $"value")
       .as[(Long, Long, Long, Double)]
-    ev.groupByKey(_._1)
-      .flatMapGroups { (user: Long, it: Iterator[(Long, Long, Long, Double)]) =>
-        val sorted = it.toVector.sortBy(e => (e._2, e._3))
-        var s = Empty
-        val out = Vector.newBuilder[(Long, Long, Double, Long)]
-        sorted.foreach { case (_, ts, eid, value) =>
-          val (s2, alert) = step(s, user, ts, value, EvSmall, EvLarge, EvWindowMs)
-          s = s2
-          alert.foreach(_ => out += ((user, eid, value, ts)))
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts_ms", $"event_id")
+      .mapPartitions { it =>
+        SecondarySort.runs(it)(_._1).flatMap { case (user, events) =>
+          var s = Empty
+          events.flatMap { case (_, ts, eid, value) =>
+            val (s2, alert) = step(s, user, ts, value, EvSmall, EvLarge, EvWindowMs)
+            s = s2
+            alert.map(_ => (user, eid, value, ts))
+          }
         }
-        out.result()
       }
       .toDF("user_id", "event_id", "value", "alert_ts_ms")
       .orderBy($"user_id", $"event_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.core.Domain
+import graft.core.{Domain, SecondarySort}
 import graft.sources.Tables
 
 /**
@@ -194,12 +194,24 @@ object PositionTracker {
     (s, out.result())
   }
 
-  /** Batch face over a command Dataset (deterministic replay). */
+  /** Batch face over a command Dataset (deterministic replay).
+    * Spillable secondary sort + iterator FSM: per-key memory is the
+    * tracker state only; events emit as the fold advances, so a hot
+    * market's command history is never materialized. */
   def trackBatch(commands: Dataset[Command]): Dataset[PositionEvent] = {
     import commands.sparkSession.implicits._
-    commands.groupByKey(_.code)
-      .flatMapGroups { (_: String, it: Iterator[Command]) =>
-        runKey(it.toVector.sortBy(c => (c.ts_ms, c.seq)).iterator)._2
+    commands
+      .repartition(col("code"))
+      .sortWithinPartitions(col("code"), col("ts_ms"), col("seq"))
+      .mapPartitions { it =>
+        SecondarySort.runs(it)(_.code).flatMap { case (_, cmds) =>
+          var s = EmptyState
+          cmds.flatMap { c =>
+            val (s2, evs) = step(s, c)
+            s = s2
+            evs
+          }
+        }
       }
   }
 
