@@ -138,4 +138,31 @@ object Streams {
               col(valueCol).cast("string").as("value"))
       .writeStream.format("kafka")
       .options(kafkaSinkOptions(bootstrap, topic))
+
+  // ------------------------------------------------------------------
+  // K2 value format: protobuf. The reference's whole wire format is
+  // proto3 (proto/market_data.proto, protobuf_mapper.py:105-197); the
+  // Kafka writer takes binary values natively, so the serializer is a
+  // typed map through the wire codec — key = market code (partition
+  // affinity), value = canonical proto3 bytes.
+  // ------------------------------------------------------------------
+
+  /** (key = code, value = proto3-encoded Trade) records. */
+  def tradeProtoRecords(trades: Dataset[graft.core.Model.Trade]): DataFrame = {
+    import trades.sparkSession.implicits._
+    trades.map(t => (t.code, graft.core.ProtoCodec.encodeTrade(t))).toDF("key", "value")
+  }
+
+  /** (key = code, value = proto3-encoded OrderBookUpdate) records. */
+  def orderBookProtoRecords(books: Dataset[graft.core.Model.OrderBookUpdate]): DataFrame = {
+    import books.sparkSession.implicits._
+    books.map(o => (o.code, graft.core.ProtoCodec.encodeOrderBook(o))).toDF("key", "value")
+  }
+
+  /** Kafka sink with the protobuf value serializer wired in. */
+  def kafkaSinkProto(trades: Dataset[graft.core.Model.Trade], bootstrap: String,
+                     topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    tradeProtoRecords(trades)
+      .writeStream.format("kafka")
+      .options(kafkaSinkOptions(bootstrap, topic))
 }
