@@ -38,6 +38,7 @@ object SparkEntry {
     "q_sliding_window"    -> (EventWindows.qSlidingWindow(_, _)),
     "q_trailing_baseline" -> (EventWindows.qTrailingBaseline(_, _)),
     "q_window_trend"      -> (EventWindows.qWindowTrend(_, _)),
+    "q_decline_trend"     -> (EventWindows.qDeclineTrend(_, _)),
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
     // stateful keyed-stream FSM (SURVEY §2.6 T1) replayed on events
     "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
@@ -67,6 +68,9 @@ object SparkEntry {
     // orderbook array analytics + KPI rollup
     "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
     "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
+    "q_kpi_sharpe"        -> (Kpi.qKpiSharpe(_, _)),
+    "q_kpi_holding"       -> (Kpi.qKpiHolding(_, _)),
+    "q_kpi_slippage"      -> (Kpi.qKpiSlippage(_, _)),
     "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
     "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
     "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
@@ -166,6 +170,7 @@ object SparkEntry {
     "q_sliding_window"     -> EventWindows.sqlSlidingWindow,
     "q_trailing_baseline"  -> EventWindows.sqlTrailingBaseline,
     "q_window_trend"       -> EventWindows.sqlWindowTrend,
+    "q_decline_trend"      -> EventWindows.sqlDeclineTrend,
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
     "q_word_count"         -> TextOps.sqlWordCount,
@@ -189,6 +194,9 @@ object SparkEntry {
     "q_date_funcs"         -> Ingestion.sqlDateFuncs,
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,
+    "q_kpi_sharpe"         -> Kpi.sqlKpiSharpe,
+    "q_kpi_holding"        -> Kpi.sqlKpiHolding,
+    "q_kpi_slippage"       -> Kpi.sqlKpiSlippage,
     "q_quantiles"          -> Analytics.sqlQuantiles,
     "q_kpi_rollup"         -> Analytics.sqlKpiRollup,
     "q_status_pivot"       -> Analytics.sqlStatusPivot,

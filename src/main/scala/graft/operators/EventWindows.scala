@@ -82,7 +82,7 @@ object EventWindows {
   // delta, and a decline flag (the "two consecutive decreases" trend
   // primitive, arch doc:642-647).
   // ------------------------------------------------------------------
-  def qWindowTrend(spark: SparkSession, dir: String): DataFrame = {
+  private def windowTrendBase(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"event_type").orderBy($"day_s")
     Tables.events(spark, dir)
       .groupBy(window($"ts", "1 day"), $"event_type")
@@ -91,8 +91,10 @@ object EventWindows {
       .withColumn("prev_total", lag($"day_total", 1).over(w))
       .withColumn("declined",
         when($"prev_total".isNotNull && $"day_total" < $"prev_total", 1L).otherwise(0L))
-      .orderBy($"event_type", $"day_s")
   }
+
+  def qWindowTrend(spark: SparkSession, dir: String): DataFrame =
+    windowTrendBase(spark, dir).orderBy($"event_type", $"day_s")
 
   val sqlWindowTrend: String =
     """WITH d AS (
@@ -105,6 +107,47 @@ object EventWindows {
       |        AND day_total < lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s)
       |       THEN 1::BIGINT ELSE 0::BIGINT END AS declined
       |FROM d ORDER BY event_type, day_s""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A3 composite: the decline-trend TRIGGER — window-over-window drop
+  // in two consecutive windows ("평균 체결량이 감소 추세로 전환 …
+  // 2회 연속 감소", arch doc:642-647, 기획 doc:132-134). The reference
+  // keeps the previous window's mean in ValueState and fires on the
+  // second successive drop; the batch face is a second lag over the
+  // `declined` flag. Emits only firing rows (the signal stream).
+  //
+  // Scale: same single (window,key) shuffle as the base trend; the two
+  // lags run in one per-key sort — no extra exchange, no state growth
+  // beyond one previous-window flag per key.
+  // ------------------------------------------------------------------
+  def qDeclineTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"event_type").orderBy($"day_s")
+    windowTrendBase(spark, dir)
+      .withColumn("prev_declined", lag($"declined", 1).over(w))
+      .filter($"declined" === 1L && $"prev_declined" === 1L)
+      .select($"day_s", $"event_type", $"day_total", $"prev_total",
+        lit(2L).as("declines_in_row"))
+      .orderBy($"event_type", $"day_s")
+  }
+
+  val sqlDeclineTrend: String =
+    """WITH d AS (
+      |  SELECT ((epoch_ms(ts) // 1000) // 86400) * 86400 AS day_s, event_type,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_total, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT day_s, event_type, day_total,
+      |    lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s) AS prev_total,
+      |    CASE WHEN lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s) IS NOT NULL
+      |          AND day_total < lag(day_total, 1) OVER (PARTITION BY event_type ORDER BY day_s)
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS declined
+      |  FROM d),
+      |c AS (
+      |  SELECT *, lag(declined, 1) OVER (PARTITION BY event_type ORDER BY day_s) AS prev_declined
+      |  FROM t)
+      |SELECT day_s, event_type, day_total, prev_total, 2::BIGINT AS declines_in_row
+      |FROM c WHERE declined = 1 AND prev_declined = 1
+      |ORDER BY event_type, day_s""".stripMargin
 
   // ------------------------------------------------------------------
   // Sessionization: gap-based sessions (30 min inactivity) per user —
