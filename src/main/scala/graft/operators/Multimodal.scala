@@ -60,30 +60,30 @@ object Multimodal {
     }
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("content_sha", StringType),
-    StructField("features", ArrayType(DoubleType))))
+  /** Decoded-feature row (Product ⇒ Catalyst encoder; columns keep the
+    * declaration order). */
+  final case class Decoded(
+      doc_id: Long, n_bytes: Long, content_sha: String, features: Array[Double])
 
   /** Batched per-partition decode — the `mapInPandas` shape on the JVM:
     * one iterator in, one iterator out, no per-row task overhead, and
     * the input partitioning (e.g. by storage bucket) is preserved so a
-    * 100 TB decode is pure data-parallel scan work. */
+    * 100 TB decode is pure data-parallel scan work. Stays a `Dataset`
+    * transform (typed `mapPartitions`, not `.rdd`), so the plan keeps
+    * Tungsten layout and column pruning on both sides of the decode. */
   def decodeFeatures(payloads: DataFrame): DataFrame = {
-    val spark = payloads.sparkSession
-    val rdd = payloads.select($"doc_id", $"payload", $"meta.n_bytes").rdd
+    import payloads.sparkSession.implicits.{newProductEncoder, newSequenceEncoder}
+    payloads.select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .as[(Long, Array[Byte], Long)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+        rows.map { case (docId, payload, nBytes) =>
           md.reset()
           val digestHex = md.digest(payload).map(b => f"$b%02x").mkString
-          Row(r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"), digestHex,
-            stubDecode(payload))
+          Decoded(docId, nBytes, digestHex, stubDecode(payload))
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   // ------------------------------------------------------------------

@@ -252,9 +252,11 @@ object PositionTracker {
   //   error    -> FAILED feedback (same own-timestamp id derivation)
   //   signup   -> CLEAR
   // ------------------------------------------------------------------
-  def qPositionEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic events→commands synthesis (shared by the gate
+    * query and the streaming≡batch replay spec). */
+  def commandsFromEvents(spark: SparkSession, dir: String): Dataset[Command] = {
     import spark.implicits._
-    val cmds = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id", $"event_type", $"value")
       .as[(Long, Long, Long, String, Double)]
       .map { case (user, tsMs, eventId, etype, value) =>
@@ -271,7 +273,11 @@ object PositionTracker {
           case _ => Command(code, tsMs, eventId, Clear, "", "PWAVE", "", "", value)
         }
       }
-    trackBatch(cmds).toDF().orderBy($"code", $"ts_ms", $"seq")
+  }
+
+  def qPositionEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trackBatch(commandsFromEvents(spark, dir)).toDF().orderBy($"code", $"ts_ms", $"seq")
   }
 
   /**

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/**
+ * Streaming ≡ batch replay equivalence for the two remaining stateful
+ * operators (fraud/windows already have theirs): the sf0.001 events
+ * table pushed through `MemoryStream` in event-time-ordered
+ * micro-batches must produce exactly the batch faces' rows. This is
+ * the property the reference gets from replaying Kafka into the same
+ * Flink job (arch doc:106,181) — and the regression the driver gate
+ * cannot see, since it only runs the batch faces.
+ *
+ * Micro-batch boundaries are cut where the event time strictly
+ * increases, so ties never straddle a boundary (the 0-second watermark
+ * would otherwise admit them in a different order than the batch
+ * face's global (ts, seq) sort).
+ */
+class ReplayEquivalenceSpec extends SparkSpec {
+
+  /** Split time-sorted rows into ~n chunks, cutting only at strict
+    * increases of the timestamp. */
+  private def timeChunks[T](sorted: Seq[T], ts: T => Long, n: Int): Seq[Seq[T]] = {
+    if (sorted.isEmpty) return Seq.empty
+    val targets = (1 until n).map(i => sorted(sorted.length * i / n))
+    val cuts = targets.map(ts).distinct.sorted
+    val groups = sorted.groupBy(r => cuts.count(_ <= ts(r)))
+    groups.toSeq.sortBy(_._1).map(_._2)
+  }
+
+  test("DensitySignals: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import DensitySignals._
+
+    val events = Tables.events(spark, graft.SparkSpec.Sf0001)
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id", $"value")
+      .as[DsEvent]
+      .collect().toSeq.sortBy(e => (e.ts_ms, e.event_id))
+
+    val expected = qDensitySignals(spark, graft.SparkSpec.Sf0001)
+      .as[Signal].collect().toSeq.sortBy(s => (s.user_id, s.event_id))
+
+    val input = MemoryStream[DsEvent]
+    val q = detectStream(input.toDS())
+      .writeStream.format("memory").queryName("density_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[DsEvent](events, _.ts_ms, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("density_replay")
+        .as[Signal].collect().toSeq.sortBy(s => (s.user_id, s.event_id))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import PositionTracker._
+
+    val commands = commandsFromEvents(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq.sortBy(c => (c.ts_ms, c.seq))
+
+    val expected = trackBatch(commandsFromEvents(spark, graft.SparkSpec.Sf0001))
+      .collect().toSeq.sortBy(e => (e.code, e.ts_ms, e.seq, e.action))
+
+    val input = MemoryStream[Command]
+    val q = trackStream(input.toDS())
+      .writeStream.format("memory").queryName("position_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[Command](commands, _.ts_ms, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("position_replay")
+        .as[PositionEvent].collect().toSeq.sortBy(e => (e.code, e.ts_ms, e.seq, e.action))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+}
