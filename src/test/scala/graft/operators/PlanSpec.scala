@@ -63,4 +63,31 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("text"))
     assert(!readSchema.contains("doc_id") && !readSchema.contains("lang"))
   }
+
+  test("q_kpi_slippage: part is broadcast and the lineitem scan is pruned to 5 columns") {
+    val plan = executed(Kpi.qKpiSlippage(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    val readSchema = plan.linesIterator.find(s => s.contains("ReadSchema") && s.contains("l_partkey")).get
+    assert(Seq("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .forall(readSchema.contains))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_discount"))
+  }
+
+  test("q_kpi_sharpe: both aggregations are partial (map-side combine)") {
+    val plan = executed(Kpi.qKpiSharpe(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin")) // customer dim broadcast
+    assert(plan.contains("partial_sum") || plan.contains("partial"))
+  }
+
+  test("q_decline_trend: both lags share one shuffle and one per-key sort") {
+    val plan = executed(EventWindows.qDeclineTrend(spark, Sf0001))
+    val lines = plan.linesIterator.toSeq
+    // two Window operators (the second lag depends on a column derived
+    // from the first, so they can't collapse) — but they must share a
+    // single within-partition sort and a single hash exchange on the
+    // key: adding the composite trigger costs no extra shuffle/sort.
+    assert(lines.count(_.contains("Window [")) == 2)
+    assert(lines.count(l => l.contains("Sort [") && l.contains(", false, 0")) == 1)
+    assert(lines.count(l => l.contains("Exchange hashpartitioning(event_type")) == 1)
+  }
 }
