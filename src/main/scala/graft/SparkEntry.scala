@@ -65,6 +65,7 @@ object SparkEntry {
     "q_validation_split"  -> (Ingestion.qValidationSplit(_, _)),
     "q_scalar_funcs"      -> (Ingestion.qScalarFuncs(_, _)),
     "q_date_funcs"        -> (Ingestion.qDateFuncs(_, _)),
+    "q_url_funcs"         -> (Ingestion.qUrlFuncs(_, _)),
     // orderbook array analytics + KPI rollup
     "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
     "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_validation_split"   -> Ingestion.sqlValidationSplit,
     "q_scalar_funcs"       -> Ingestion.sqlScalarFuncs,
     "q_date_funcs"         -> Ingestion.sqlDateFuncs,
+    "q_url_funcs"          -> Ingestion.sqlUrlFuncs,
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,
     "q_kpi_sharpe"         -> Kpi.sqlKpiSharpe,

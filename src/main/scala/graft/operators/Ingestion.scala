@@ -126,6 +126,46 @@ object Ingestion {
       |FROM customer ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // F6 URL parse/validate as column work: deterministic URLs built from
+  // customer rows, decomposed with parse_url (host/path/query/param)
+  // and validated with the same scheme rule as Domain.validateWsUrl
+  // (reference: upbit_connector config URL validation,
+  // data_ingestion/.../config.py — ws/wss scheme + non-empty host).
+  // Integer-only string building so both engines format identically.
+  // ------------------------------------------------------------------
+  def qUrlFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select($"c_custkey", lower($"c_mktsegment").as("seg"))
+      .withColumn("url",
+        concat(lit("https://market.example.com/"), $"seg",
+          lit("/orders?cust="), $"c_custkey", lit("&page="), $"c_custkey" % 10))
+      .select(
+        $"c_custkey",
+        $"url",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY")).as("query"),
+        parse_url($"url", lit("QUERY"), lit("cust")).as("cust_param"),
+        parse_url($"url", lit("PROTOCOL")).as("scheme"),
+        $"url".rlike("^(https|wss)://[^/]+/").as("is_secure"))
+      .orderBy($"c_custkey")
+
+  val sqlUrlFuncs: String =
+    """SELECT c_custkey, url,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust_param,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_matches(url, '^(https|wss)://[^/]+/') AS is_secure
+      |FROM (
+      |  SELECT c_custkey,
+      |    'https://market.example.com/' || lower(c_mktsegment) ||
+      |    '/orders?cust=' || c_custkey || '&page=' || (c_custkey % 10) AS url
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // Date/time catalog (F7–F10) over orders: component extraction,
   // truncation, interval arithmetic, epoch conversion.
   // ------------------------------------------------------------------

@@ -165,4 +165,21 @@ object Streams {
     tradeProtoRecords(trades)
       .writeStream.format("kafka")
       .options(kafkaSinkOptions(bootstrap, topic))
+
+  /** Source-side decode: Kafka records (binary `value`) → typed
+    * trades. The wire parser tolerates any field order and unknown
+    * fields, so payloads from the reference's Python producer decode
+    * unchanged. */
+  def tradesFromProtoRecords(records: DataFrame): Dataset[graft.core.Model.Trade] = {
+    import records.sparkSession.implicits._
+    records.select(col("value")).as[Array[Byte]]
+      .map(graft.core.ProtoCodec.decodeTrade)
+  }
+
+  /** Source-side decode for orderbook topics. */
+  def orderBooksFromProtoRecords(records: DataFrame): Dataset[graft.core.Model.OrderBookUpdate] = {
+    import records.sparkSession.implicits._
+    records.select(col("value")).as[Array[Byte]]
+      .map(graft.core.ProtoCodec.decodeOrderBook)
+  }
 }

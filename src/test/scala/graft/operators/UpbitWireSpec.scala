@@ -159,5 +159,13 @@ class UpbitWireSpec extends SparkSpec {
     val bookRecords = graft.streaming.Streams.orderBookProtoRecords(books).collect()
     val bookDecoded = ProtoCodec.decodeOrderBook(bookRecords.head.getAs[Array[Byte]](1))
     assert(bookDecoded === books.head())
+
+    // and the source-side typed decode reads its own sink's records
+    val viaSource = graft.streaming.Streams.tradesFromProtoRecords(
+      graft.streaming.Streams.tradeProtoRecords(trades)).head()
+    assert(viaSource === trades.head())
+    val bookViaSource = graft.streaming.Streams.orderBooksFromProtoRecords(
+      graft.streaming.Streams.orderBookProtoRecords(books)).head()
+    assert(bookViaSource === books.head())
   }
 }
