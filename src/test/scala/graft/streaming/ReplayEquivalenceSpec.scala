@@ -61,6 +61,35 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DeclineTrend: MemoryStream replay of daily totals equals the batch composite row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import DeclineTrend._
+
+    val totals = graft.operators.EventWindows.qWindowTrend(spark, graft.SparkSpec.Sf0001)
+      .select($"event_type".as("key"), $"day_s".as("window_start_s"), $"day_total".as("total"))
+      .as[WindowTotal]
+      .collect().toSeq.sortBy(w => (w.window_start_s, w.key))
+
+    val expected = graft.operators.EventWindows.qDeclineTrend(spark, graft.SparkSpec.Sf0001)
+      .as[Trigger].collect().toSeq.sortBy(t => (t.event_type, t.day_s))
+    assert(expected.nonEmpty) // the composite must actually fire on this data
+
+    val input = MemoryStream[WindowTotal]
+    val q = trendStream(input.toDS())
+      .writeStream.format("memory").queryName("trend_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[WindowTotal](totals, _.window_start_s, 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("trend_replay")
+        .as[Trigger].collect().toSeq.sortBy(t => (t.event_type, t.day_s))
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
