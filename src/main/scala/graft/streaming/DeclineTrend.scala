@@ -55,15 +55,14 @@ object DeclineTrend {
     (s, out.result())
   }
 
-  /** Streaming face: totals arrive per micro-batch (in window order
-    * within a key, guaranteed by the upstream watermark), state carries
-    * across batches. */
-  def trendStream(totals: Dataset[WindowTotal]): Dataset[Trigger] = {
+  /** FSM-only face, no watermark of its own: use this downstream of a
+    * watermarked windowed aggregation (the agg emits a window exactly
+    * once, when the watermark closes it, already in window order per
+    * key — re-watermarking on the window START would misclassify every
+    * closed window as late and drop it). */
+  def trendOnTotals(totals: Dataset[WindowTotal]): Dataset[Trigger] = {
     import totals.sparkSession.implicits._
     totals
-      .withColumn("eventTime", timestamp_seconds(col("window_start_s")))
-      .withWatermark("eventTime", "0 seconds")
-      .as[WindowTotal]
       .groupByKey(_.key)
       .flatMapGroupsWithState[TrendState, Trigger](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -77,5 +76,35 @@ object DeclineTrend {
             trigs.iterator
           }
       }
+  }
+
+  /** Streaming face for raw per-window totals fed directly (e.g. from
+    * a replayed totals topic): watermark first — out-of-order or late
+    * windows are dropped, the T6 policy — then the FSM. */
+  def trendStream(totals: Dataset[WindowTotal]): Dataset[Trigger] = {
+    import totals.sparkSession.implicits._
+    trendOnTotals(
+      totals
+        .withColumn("eventTime", timestamp_seconds(col("window_start_s")))
+        .withWatermark("eventTime", "0 seconds")
+        .as[WindowTotal])
+  }
+
+  /** The reference's full topology in ONE streaming query — windowed
+    * aggregation chained into the keyed trend FSM (Flink: window →
+    * keyed process; Spark: two stateful operators in append mode).
+    * `events` needs (ts_ms, key, value) columns. */
+  def chainedDeclineTrend(events: Dataset[(Long, String, Double)],
+                          windowLength: String = "1 day"): Dataset[Trigger] = {
+    import events.sparkSession.implicits._
+    val totals = events.toDF("ts_ms", "key", "value")
+      .withColumn("eventTime", timestamp_millis(col("ts_ms")))
+      .withWatermark("eventTime", "0 seconds")
+      .groupBy(window(col("eventTime"), windowLength), col("key"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("total"))
+      .select(col("key"), unix_seconds(col("window.start")).as("window_start_s"),
+        col("total").cast("double").as("total"))
+      .as[WindowTotal]
+    trendOnTotals(totals)
   }
 }
