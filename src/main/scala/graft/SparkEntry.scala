@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Similarity, TextOps}
+import graft.operators.{Analytics, Clustering, Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,9 @@ object SparkEntry {
     "q_set_ops"           -> (Relational.qSetOps(_, _)),
     "q_distinct"          -> (Relational.qDistinct(_, _)),
     "q_type_counts"       -> (Relational.qTypeCounts(_, _)),
+    // temporal joins (as-of / bucketed range)
+    "q_asof_join"         -> (Temporal.qAsofJoin(_, _)),
+    "q_range_join"        -> (Temporal.qRangeJoin(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
     "q_sliding_window"    -> (EventWindows.qSlidingWindow(_, _)),
     "q_trailing_baseline" -> (EventWindows.qTrailingBaseline(_, _)),
@@ -48,6 +51,7 @@ object SparkEntry {
     "q_text_stats"        -> (TextOps.qTextStats(_, _)),
     "q_lang_id"           -> (TextOps.qLangId(_, _)),
     "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
+    "q_tfidf"             -> (TextOps.qTfidf(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
@@ -55,6 +59,10 @@ object SparkEntry {
     "q_simhash"           -> (Dedup.qSimhash(_, _)),
     "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
+    "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
+    // deterministic sampling
+    "q_hash_sample"       -> (Sampling.qHashSample(_, _)),
+    "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -164,6 +172,12 @@ object SparkEntry {
     "q_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2",
     "q_set_ops"            -> Relational.sqlSetOps,
+    "q_asof_join"          -> Temporal.sqlAsofJoin,
+    "q_range_join"         -> Temporal.sqlRangeJoin,
+    "q_dup_clusters"       -> Clustering.sqlDupClusters,
+    "q_hash_sample"        -> Sampling.sqlHashSample,
+    "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
+    "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS total_value

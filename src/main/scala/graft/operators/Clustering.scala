@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Near-duplicate cluster assembly: connected components over the
+ * MinHash+LSH near-dup pair graph ([[Dedup.qMinhashLshPairs]]), so each
+ * group of mutually-near documents gets one canonical cluster id (the
+ * minimum doc_id in the component) — the step that turns pairwise
+ * dedup output into "keep one document per cluster" decisions in a
+ * training-data pipeline.
+ *
+ * Algorithm: distributed min-label propagation. Each node starts
+ * labeled with its own id; every round each node takes the min label
+ * over itself and its neighbors; stop when no label changed. All data
+ * movement is hash-partitioned joins/aggregations on node id — nothing
+ * is ever collected to the driver (the loop condition is a count, not
+ * data). Rounds = graph diameter. For near-dup graphs that is the
+ * right bound: dup clusters are tiny, dense families (pairs, triples,
+ * small stars), so diameter is a small constant regardless of corpus
+ * size — at 100 TB the round count stays 2–4 while each round is one
+ * shuffle of |E| slim (long, long) rows. (For adversarial long-chain
+ * graphs the known fix is large-star/small-star contraction with
+ * O(log n) rounds; the loop below accepts any edge set, so swapping
+ * the propagation rule is local to this file.)
+ */
+object Clustering {
+  import Relational.ColInterp
+
+  /** Connected components of an undirected edge list (columns `a`, `b`)
+    * → (id, label) with label = min node id in the component.
+    * Singletons (nodes with no edges) are not represented — callers
+    * that need them union the vertex set in. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // Symmetrize once; each round propagates labels across edges both
+    // directions via one join + one min-aggregate.
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaEdges = sym.join(labels, sym("src") === labels("id"))
+        .select($"dst".as("id"), $"label")
+      val next = labels.unionByName(viaEdges)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Converged iff no node's label shrank this round (an aggregate,
+      // not a data collect; at scale this is one count job).
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter($"label" < $"prev").limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  // ------------------------------------------------------------------
+  // Gate query: cluster the LSH near-dup pairs, emit (doc_id,
+  // cluster_id, cluster_size) for every clustered document.
+  // ------------------------------------------------------------------
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.qMinhashLshPairs(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val labels = connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same pair
+    * set, labeling each doc with the min reachable doc_id. */
+  val sqlDupClusters: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM labels l
+       |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+       |  USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+}

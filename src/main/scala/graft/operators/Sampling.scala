@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/**
+ * Deterministic sampling for training-data pipelines. Random sampling
+ * (`df.sample`) is not reproducible across runs/partitionings and not
+ * auditable; content-hash sampling is both: membership depends only on
+ * the row's key and a seed, so any engine — or a later re-run over a
+ * re-partitioned 100 TB corpus — selects the identical sample. Both
+ * operators are one scan with per-row hash work inside codegen; the
+ * stratified variant adds one shuffle on the (tiny-cardinality)
+ * stratum key.
+ */
+object Sampling {
+  import Relational.ColInterp
+
+  /** Sampling-universe hash: 60-bit sha-derived key of the doc id under
+    * a named seed (shared with the DuckDB oracle). */
+  private def sampleKey(seed: String, id: Column): Column =
+    Hashing.h60(concat_ws("|", lit(seed), id.cast("string")))
+
+  private def sqlSampleKey(seed: String, idSql: String): String =
+    Hashing.sqlH60(s"'$seed' || '|' || CAST($idSql AS VARCHAR)")
+
+  val Seed = "s42"
+  val SampleMod = 10L // keep ids whose hash ≡ 0 (mod 10) ⇒ ~10% rate
+
+  // ------------------------------------------------------------------
+  // Bernoulli-by-hash sample: ~10% of documents, membership decided by
+  // doc_id hash only. Filter runs at the scan (one pass, no shuffle);
+  // the emitted hash key makes the decision auditable downstream.
+  // ------------------------------------------------------------------
+  def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        sampleKey(Seed, $"doc_id").as("sample_key"))
+      .filter($"sample_key" % SampleMod === 0)
+      .orderBy($"doc_id")
+
+  val sqlHashSample: String = {
+    val k = sqlSampleKey(Seed, "doc_id")
+    s"""SELECT doc_id, lang, source, n_chars, $k AS sample_key
+       |FROM documents WHERE $k % $SampleMod = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Stratified sample: a fixed per-stratum quota (here: per language),
+  // rows chosen by hash order so the draw is deterministic and
+  // unbiased within each stratum. One shuffle on the stratum key; at
+  // scale the heavy strata are bounded by the quota before any further
+  // processing (row_number + filter ⇒ Spark's WindowGroupLimit
+  // pushes the top-k into the sort, never materializing full strata).
+  // ------------------------------------------------------------------
+  val QuotaPerStratum = 20
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"lang").orderBy($"sample_key", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", sampleKey(Seed, $"doc_id").as("sample_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= QuotaPerStratum)
+      .orderBy($"lang", $"rk")
+  }
+
+  val sqlStratifiedSample: String = {
+    val k = sqlSampleKey(Seed, "doc_id")
+    s"""SELECT doc_id, lang, n_chars, sample_key, rk FROM (
+       |  SELECT doc_id, lang, n_chars, $k AS sample_key,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $k, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $QuotaPerStratum
+       |ORDER BY lang, rk""".stripMargin
+  }
+}

@@ -188,4 +188,51 @@ object TextOps {
        |              (acc, h) -> (acc * 31 + h) % $RollMod) AS rolling_hash
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // TF-IDF: top-3 most distinguishing terms per document. Term
+  // frequencies aggregate map-side (shuffle carries per-partition
+  // partials, not tokens); document frequency is a second aggregate
+  // over the (doc, term) pairs; the corpus size joins in as a
+  // broadcast scalar. The idf factor is the rational n_docs/df rather
+  // than its logarithm: log is monotone, so per-document ranking is
+  // identical, and a single integer-multiply + IEEE divide is
+  // bit-reproducible across engines (libm log implementations are
+  // not). Ranking is bounded per doc (row_number ≤ 3 ⇒ WindowGroupLimit
+  // keeps the sort top-k, never full per-doc term lists).
+  // ------------------------------------------------------------------
+  val TfidfTopK = 3
+
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSharded(spark, dir)
+    val tf = docs.select($"doc_id", explode(toks).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= TfidfTopK)
+      .select($"doc_id", $"term", $"tf", $"df", $"score", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val sqlTfidf: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${Hashing.sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df, (tf * n_docs)::DOUBLE / df AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score, rk FROM ranked
+       |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 }
