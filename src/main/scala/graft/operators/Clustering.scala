@@ -39,9 +39,19 @@ object Clustering {
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label"))
+    // Round 0 folded into init: every node starts at min(self, neighbors)
+    // (sym has both directions, so every node appears as src).
+    var labels = sym.groupBy($"src".as("id"))
+      .agg(min(least($"src", $"dst")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels are node-wise monotone non-increasing, so the total label
+    // sum strictly decreases iff any node changed — convergence is one
+    // tiny aggregate per round instead of a labels⋈labels diff join.
+    // Decimal sum: no overflow for any id range / node count.
+    def labelSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(sum($"label".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -50,13 +60,11 @@ object Clustering {
       val next = labels.unionByName(viaEdges)
         .groupBy($"id").agg(min($"label").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // Converged iff no node's label shrank this round (an aggregate,
-      // not a data collect; at scale this is one count job).
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter($"label" < $"prev").limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       round += 1
     }
     sym.unpersist()

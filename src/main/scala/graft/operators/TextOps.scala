@@ -208,10 +208,12 @@ object TextOps {
     val docs = Tables.documentsSharded(spark, dir)
     val tf = docs.select($"doc_id", explode(toks).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
+    // df as a whole-partition window count over the (doc, term) rows:
+    // one shuffle on term, no second aggregate and no term-keyed join.
+    val wDf = Window.partitionBy($"term")
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    tf.join(docFreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(total))
       .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
       .withColumn("rk", row_number().over(w).cast("long"))
