@@ -90,6 +90,40 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AsofJoin: MemoryStream replay of sf0.001 equals the batch as-of join row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import AsofJoin._
+
+    val ev = Tables.events(spark, graft.SparkSpec.Sf0001)
+    val ticks = ev.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_millis($"ts").as("ts_ms"),
+        when($"event_type" === "click", 0).otherwise(1).as("side"),
+        $"event_id", $"value")
+      .as[Tick]
+      .collect().toSeq.sortBy(t => (t.ts_ms, t.side, t.event_id))
+
+    val expected = graft.operators.Temporal.qAsofJoin(spark, graft.SparkSpec.Sf0001)
+      .select($"user_id", $"ts_ms", $"event_id", $"value", $"click_ts_ms", $"click_value")
+      .as[Enriched].collect().toSeq.sortBy(e => (e.user_id, e.ts_ms, e.event_id))
+    assert(expected.exists(_.click_ts_ms.isDefined)) // enrichment actually fires
+
+    val input = MemoryStream[Tick]
+    val q = enrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[Tick](ticks, _.ts_ms, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_replay")
+        .as[Enriched].collect().toSeq.sortBy(e => (e.user_id, e.ts_ms, e.event_id))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
