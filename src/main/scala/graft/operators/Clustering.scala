@@ -34,11 +34,16 @@ object Clustering {
     * Singletons (nodes with no edges) are not represented — callers
     * that need them union the vertex set in. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    // Symmetrize once; each round propagates labels across edges both
-    // directions via one join + one min-aggregate.
-    val sym = edges.select($"a".as("src"), $"b".as("dst"))
-      .unionByName(edges.select($"b".as("src"), $"a".as("dst")))
+    // Persist the directed edge list FIRST, then symmetrize from the
+    // cache: union(edges, edges.swap) over the raw plan would execute
+    // the (often expensive) upstream pair-generation twice.
+    val e = edges.select($"a".as("src"), $"b".as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round propagates labels across edges both directions via
+    // one join + one min-aggregate. sym is a cheap map over the cached
+    // edge list — not persisted itself, so it costs no extra
+    // materialization action (each round re-derives it from cache).
+    val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
     // Round 0 folded into init: every node starts at min(self, neighbors)
     // (sym has both directions, so every node appears as src).
     var labels = sym.groupBy($"src".as("id"))
@@ -67,7 +72,7 @@ object Clustering {
       prevSum = nextSum
       round += 1
     }
-    sym.unpersist()
+    e.unpersist()
     labels
   }
 
@@ -76,13 +81,14 @@ object Clustering {
   // cluster_id, cluster_size) for every clustered document.
   // ------------------------------------------------------------------
   def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.qMinhashLshPairs(spark, dir)
+    val pairs = Dedup.minhashLshPairsCore(spark, dir)
       .select($"doc_a".as("a"), $"doc_b".as("b"))
-    val labels = connectedComponents(pairs)
-      .select($"id".as("doc_id"), $"label".as("cluster_id"))
-    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select($"doc_id", $"cluster_id", $"cluster_size")
+    // Cluster size via a window over the (cached) label frame — one
+    // shuffle on cluster_id, no self-join.
+    connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"label")).as("cluster_size"))
       .orderBy($"doc_id")
   }
 

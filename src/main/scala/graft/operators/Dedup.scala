@@ -78,7 +78,14 @@ object Dedup {
   // tiny and all-pairs work is avoided — this is the operator that
   // still runs at 100 TB.
   // ------------------------------------------------------------------
-  def qMinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qMinhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsCore(spark, dir).orderBy($"doc_a", $"doc_b")
+
+  /** Unordered pair set — the face downstream consumers (e.g.
+    * [[Clustering.qDupClusters]]) compose over; the gate face above
+    * adds the presentation sort, which would otherwise cost a global
+    * range exchange in the middle of a composed plan. */
+  def minhashLshPairsCore(spark: SparkSession, dir: String): DataFrame = {
     // Persisted signature store: the sha-heavy per-doc work runs ONCE
     // and feeds both the band join and the verify join (at cluster
     // scale this is the signatures-to-storage materialization step).
@@ -104,7 +111,6 @@ object Dedup {
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b", Hashing.jaccard($"sh_a", $"sh_b").as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Oracle: exact all-pairs Jaccard ≥ 0.5 — at sf0.01 every planted
