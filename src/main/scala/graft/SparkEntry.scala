@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Dedup, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Temporal, TextOps}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -60,6 +60,16 @@ object SparkEntry {
     "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
     "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
+    // corpus preparation: chunking, repetition filters, segment dedup,
+    // PII-pattern redaction
+    "q_chunk_docs"        -> (Corpus.qChunkDocs(_, _)),
+    "q_repetition"        -> (Corpus.qRepetition(_, _)),
+    "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
+    "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
+    // embedding vector ops: normalize, mean-pool centroid, coherence
+    "q_emb_norm"          -> (Embeddings.qEmbNorm(_, _)),
+    "q_emb_centroid"      -> (Embeddings.qEmbCentroid(_, _)),
+    "q_emb_centroid_dist" -> (Embeddings.qEmbCentroidDist(_, _)),
     // deterministic sampling
     "q_hash_sample"       -> (Sampling.qHashSample(_, _)),
     "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
@@ -175,6 +185,13 @@ object SparkEntry {
     "q_asof_join"          -> Temporal.sqlAsofJoin,
     "q_range_join"         -> Temporal.sqlRangeJoin,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
+    "q_chunk_docs"         -> Corpus.sqlChunkDocs,
+    "q_repetition"         -> Corpus.sqlRepetition,
+    "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
+    "q_pii_redact"         -> Corpus.sqlPiiRedact,
+    "q_emb_norm"           -> Embeddings.sqlEmbNorm,
+    "q_emb_centroid"       -> Embeddings.sqlEmbCentroid,
+    "q_emb_centroid_dist"  -> Embeddings.sqlEmbCentroidDist,
     "q_hash_sample"        -> Sampling.sqlHashSample,
     "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
     "q_tfidf"              -> TextOps.sqlTfidf,

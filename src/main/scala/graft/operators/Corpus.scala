@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/**
+ * Corpus-preparation operators for a training-data pipeline: document
+ * chunking, repetition-quality metrics, cross-document segment-level
+ * dedup, and PII-style pattern redaction (driver-mandated extension
+ * surface; sits beside [[TextOps]] / [[Dedup]]).
+ *
+ * All per-document work is Catalyst expression trees (codegen'd, no
+ * UDFs); the only shuffles are the explicit keyed aggregations —
+ * per-doc metrics shuffle slim (doc_id, partial) rows with map-side
+ * combine, and segment dedup shuffles (hash, doc, idx) triples keyed
+ * by the 60-bit segment hash, which is exactly the shape that scales:
+ * the keyspace grows with the corpus, so no bucket degenerates.
+ */
+object Corpus {
+  import Relational.ColInterp
+
+  private val DEC = DecimalType(18, 6)
+  private def r6(c: Column): Column = c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+  private val rSql = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+
+  private def toks: Column = Hashing.tokens($"text")
+
+  // ------------------------------------------------------------------
+  // Document chunking: fixed token windows with overlap (the standard
+  // context-window pre-slicing step). Chunk starts are 1, 1+stride,
+  // 1+2·stride, … ≤ n_tokens; each chunk is `ChunkSize` tokens (the
+  // final chunks may be shorter). One scan, explode multiplies rows by
+  // ~n/stride — the shuffle-free shape that survives any corpus size.
+  // ------------------------------------------------------------------
+  val ChunkSize = 16
+  val ChunkStride = 12
+
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = slice($"t", $"start", lit(ChunkSize))
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), greatest(size($"t"), lit(1)), lit(ChunkStride)))
+          .as("start"))
+      .select(
+        $"doc_id",
+        // starts are ≡ 1 (mod stride), so this double division is exact
+        (($"start" - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        $"start".cast("long").as("start_tok"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        sha2(array_join(chunk, " "), 256).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val sqlChunkDocs: String = {
+    val t = Hashing.sqlTokens("text")
+    val chunk = s"list_slice(t, s, s + ${ChunkSize - 1})"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, $ChunkStride)) AS s
+       |  FROM tok)
+       |SELECT doc_id,
+       |  ((s - 1) // $ChunkStride)::BIGINT AS chunk_idx,
+       |  s::BIGINT AS start_tok,
+       |  len($chunk)::BIGINT AS n_chunk_tokens,
+       |  sha256(list_aggregate($chunk, 'string_agg', ' ')) AS chunk_hash
+       |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition quality metrics (Gopher-style corpus filters): fraction
+  // of tokens that are repeats of an earlier token, and the share of
+  // all 2-grams taken by the single most frequent 2-gram. Both
+  // branches aggregate exploded rows with map-side combine, then the
+  // two per-doc frames join on doc_id.
+  // ------------------------------------------------------------------
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+    val words = docs.select($"doc_id", explode(toks).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(
+        sum($"cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max($"cnt").cast("long").as("top_word_cnt"))
+    val bigrams = docs
+      .select($"doc_id", explode(Hashing.wordShingles(toks, 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id").agg(
+        sum($"cnt").cast("long").as("n_2grams"),
+        max($"cnt").cast("long").as("top_2gram_cnt"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_word_cnt",
+        r6(($"n_tokens" - $"n_distinct").cast("double") /
+          nullif($"n_tokens", lit(0L))).as("dup_word_frac"),
+        coalesce($"n_2grams", lit(0L)).as("n_2grams"),
+        coalesce($"top_2gram_cnt", lit(0L)).as("top_2gram_cnt"),
+        r6($"top_2gram_cnt".cast("double") / nullif($"n_2grams", lit(0L)))
+          .as("top_2gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlRepetition: String = {
+    val t = Hashing.sqlTokens("text")
+    val sh2 = Hashing.sqlShingles(t, 2)
+    s"""WITH words AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       |    max(cnt)::BIGINT AS top_word_cnt
+       |  FROM (SELECT doc_id, w, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest($t) AS w FROM documents) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |bigrams AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_2grams, max(cnt)::BIGINT AS top_2gram_cnt
+       |  FROM (SELECT doc_id, g, count(*) AS cnt
+       |        FROM (SELECT doc_id, unnest($sh2) AS g FROM documents) GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_distinct, top_word_cnt,
+       |  ${rSql("(n_tokens - n_distinct)::DOUBLE / NULLIF(n_tokens, 0)")} AS dup_word_frac,
+       |  coalesce(n_2grams, 0)::BIGINT AS n_2grams,
+       |  coalesce(top_2gram_cnt, 0)::BIGINT AS top_2gram_cnt,
+       |  ${rSql("top_2gram_cnt::DOUBLE / NULLIF(n_2grams, 0)")} AS top_2gram_frac
+       |FROM words LEFT JOIN bigrams USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Segment-level exact dedup: split every document into fixed
+  // non-overlapping token segments, 60-bit-hash each, and mark the
+  // segments whose hash occurs more than once in the whole corpus
+  // (cross- OR intra-document boilerplate). The shuffle key is the
+  // segment hash — keyspace grows with the corpus — and it carries
+  // (hash, doc_id) pairs only, never segment text.
+  // ------------------------------------------------------------------
+  val SegLen = 8
+
+  def qSegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        explode(sequence(lit(1), greatest(size($"t"), lit(1)), lit(SegLen))).as("s"),
+        $"t")
+      .select($"doc_id",
+        Hashing.h60(array_join(slice($"t", $"s", lit(SegLen)), " ")).as("h"))
+    segs
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy($"h")))
+      .groupBy($"doc_id").agg(
+        count(lit(1)).cast("long").as("n_segments"),
+        sum(when($"occ" > 1, 1L).otherwise(0L)).cast("long").as("n_dup_segments"))
+      .withColumn("dup_seg_frac",
+        r6($"n_dup_segments".cast("double") / nullif($"n_segments", lit(0L))))
+      .orderBy($"doc_id")
+  }
+
+  val sqlSegmentDedup: String = {
+    val t = Hashing.sqlTokens("text")
+    val seg = s"list_aggregate(list_slice(t, s, s + ${SegLen - 1}), 'string_agg', ' ')"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id, ${Hashing.sqlH60(seg)} AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, $SegLen)) AS s
+       |        FROM tok)),
+       |occ AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS occ FROM segs)
+       |SELECT doc_id, count(*)::BIGINT AS n_segments,
+       |  sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_segments,
+       |  ${rSql("sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE / NULLIF(count(*), 0)")} AS dup_seg_frac
+       |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // PII-style pattern redaction: scan a string column for emails,
+  // IPv4 addresses, and long numeric identifiers; count matches and
+  // emit the redacted string with typed placeholders. Pure per-row
+  // regex work inside codegen — the 100 TB cost is the scan itself.
+  // Patterns are RE2-safe (no backreferences/lookaround) so the same
+  // literal pattern runs in both engines. Applied to customer
+  // profiles, whose Customer#NNNNNNNNN names carry real long-id runs.
+  // ------------------------------------------------------------------
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongIdRe = "\\d{6,}"
+
+  def redactPii(s: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(s, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongIdRe, "<ID>")
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val profile = concat_ws(" ", $"c_name", $"c_mktsegment")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", profile.as("profile"))
+      .select(
+        $"c_custkey",
+        size(regexp_extract_all($"profile", lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"profile", lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"profile", lit(LongIdRe), lit(0))).cast("long").as("n_ids"),
+        redactPii($"profile").as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
+  val sqlPiiRedact: String =
+    s"""SELECT c_custkey,
+       |  len(regexp_extract_all(profile, '$EmailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(profile, '$Ipv4Re'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(profile, '$LongIdRe'))::BIGINT AS n_ids,
+       |  regexp_replace(regexp_replace(regexp_replace(profile,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$LongIdRe', '<ID>', 'g') AS redacted
+       |FROM (SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS profile FROM customer)
+       |ORDER BY c_custkey""".stripMargin
+}

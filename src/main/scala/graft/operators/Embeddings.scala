@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/**
+ * Embedding-column vector operators: L2 normalization, per-label
+ * mean-pool centroids, and centroid-cosine scoring (the outlier /
+ * cluster-coherence signal a training-data pipeline runs over every
+ * embedded shard).
+ *
+ * Scale shape: normalization is per-row fold math inside codegen (the
+ * native [[graft.functions.VectorExpressions.dotProduct]] fold);
+ * centroids shuffle (label, dim, value) triples with map-side partial
+ * aggregation — 64 slim rows per vector, independent of corpus size —
+ * and come back as one tiny broadcast frame for the scoring join.
+ * Cross-engine determinism: sums are exact DECIMAL(28,12) (order-free),
+ * folds are strict left-to-right (see [[Similarity.cosineCol]]).
+ */
+object Embeddings {
+  import Relational.ColInterp
+
+  val Dims: Int = Similarity.Dims
+
+  private val DEC = DecimalType(18, 6)
+  private def r6(c: Column): Column = c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+  private val rSql = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+
+  // ------------------------------------------------------------------
+  // L2 normalization: per-vector norm + the first two components of
+  // the unit vector (the oracle-checkable face of the full normalize;
+  // downstream ops consume normCol/cosineCol directly).
+  // ------------------------------------------------------------------
+  def qEmbNorm(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select($"vec_id", $"label", Similarity.normCol($"v").as("nv"), $"v")
+      .select($"vec_id", $"label",
+        r6($"nv").as("l2_norm"),
+        r6(element_at($"v", 1) / nullif($"nv", lit(0.0))).as("u0"),
+        r6(element_at($"v", 2) / nullif($"nv", lit(0.0))).as("u1"))
+      .orderBy($"vec_id")
+
+  val sqlEmbNorm: String = {
+    val norm = s"sqrt(${Similarity.sqlFsum("list_transform(v, x -> x * x)")})"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, $norm AS nv FROM e)
+       |SELECT vec_id, label,
+       |  ${rSql("nv")} AS l2_norm,
+       |  ${rSql("v[1] / NULLIF(nv, 0.0)")} AS u0,
+       |  ${rSql("v[2] / NULLIF(nv, 0.0)")} AS u1
+       |FROM n ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Mean-pool centroid per label. Dimension values sum as exact
+  // DECIMAL(28,12) — shuffle-order independent, so the same value
+  // comes out of any cluster topology — then divide as double.
+  // Gate face exposes n_vecs + the first four centroid components.
+  // ------------------------------------------------------------------
+  /** (label, dim, cmean, n) — dim is 0-based. */
+  private def centroidDims(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(
+        (sum($"x".cast(DecimalType(28, 12))).cast("double") / count(lit(1)))
+          .as("craw"),
+        count(lit(1)).as("n"))
+      .select($"label", $"dim", r6($"craw").as("cmean"), $"n")
+
+  private val sqlCentroidDims: String =
+    s"""SELECT label, d AS dim,
+       |  ${rSql("CAST(sum(CAST(v[d + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*)")} AS cmean,
+       |  count(*) AS n
+       |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+       |CROSS JOIN range(0, $Dims) AS r(d)
+       |GROUP BY label, d""".stripMargin
+
+  def qEmbCentroid(spark: SparkSession, dir: String): DataFrame =
+    centroidDims(spark, dir)
+      .groupBy($"label")
+      .agg(
+        max($"n").cast("long").as("n_vecs"),
+        max(when($"dim" === 0, $"cmean")).as("c0"),
+        max(when($"dim" === 1, $"cmean")).as("c1"),
+        max(when($"dim" === 2, $"cmean")).as("c2"),
+        max(when($"dim" === 3, $"cmean")).as("c3"))
+      .orderBy($"label")
+
+  val sqlEmbCentroid: String =
+    s"""SELECT label, max(n)::BIGINT AS n_vecs,
+       |  max(CASE WHEN dim = 0 THEN cmean END) AS c0,
+       |  max(CASE WHEN dim = 1 THEN cmean END) AS c1,
+       |  max(CASE WHEN dim = 2 THEN cmean END) AS c2,
+       |  max(CASE WHEN dim = 3 THEN cmean END) AS c3
+       |FROM ($sqlCentroidDims)
+       |GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Centroid-cosine scoring: each vector's cosine to its own label's
+  // mean-pool centroid — low values flag mislabeled/outlier rows. The
+  // centroid frame is |labels| rows → broadcast join; the corpus
+  // streams through in one scan.
+  // ------------------------------------------------------------------
+  def qEmbCentroidDist(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidDims(spark, dir)
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim", $"cmean"))),
+        s => s.getField("cmean")).as("cv"))
+    vecs(spark, dir)
+      .join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        r6(Similarity.cosineCol($"v", $"cv")).as("cos_centroid"))
+      .orderBy($"vec_id")
+  }
+
+  val sqlEmbCentroidDist: String = {
+    val cos = Similarity.sqlCosine("v", "cv")
+    s"""WITH cd AS ($sqlCentroidDims),
+       |cent AS (SELECT label, list(cmean ORDER BY dim) AS cv FROM cd GROUP BY label),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT vec_id, label, ${rSql(cos)} AS cos_centroid
+       |FROM e JOIN cent USING (label)
+       |ORDER BY vec_id""".stripMargin
+  }
+}

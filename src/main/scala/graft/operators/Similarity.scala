@@ -96,7 +96,7 @@ object Similarity {
   // -- DuckDB mirrors ------------------------------------------------
 
   /** DuckDB: strict left-fold sum over a DOUBLE list expression. */
-  private def sqlFsum(l: String): String =
+  def sqlFsum(l: String): String =
     s"list_reduce([0.0::DOUBLE] || ($l), (acc, x) -> acc + x)"
 
   /** DuckDB cosine between DOUBLE[] expressions `a` and `b`, same fold
