@@ -90,4 +90,34 @@ class PlanSpec extends SparkSpec {
     assert(lines.count(l => l.contains("Sort [") && l.contains(", false, 0")) == 1)
     assert(lines.count(l => l.contains("Exchange hashpartitioning(event_type")) == 1)
   }
+
+  test("q_chunk_docs: scan reads only doc_id + text, no shuffle before the explode") {
+    val plan = executed(Corpus.qChunkDocs(spark, Sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"))
+    assert(plan.contains("Generate explode"))
+  }
+
+  test("q_repetition: both aggregation branches combine map-side") {
+    val plan = executed(Corpus.qRepetition(spark, Sf0001))
+    assert(plan.contains("partial_count") || plan.contains("partial"))
+    // the doc_id join of the two per-doc branches must not broadcast
+    // blindly at scale — but per-doc frames are fine either way; what
+    // matters is no cartesian/nested-loop fallback
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_emb_centroid_dist: centroid side joins as broadcast") {
+    val plan = executed(Embeddings.qEmbCentroidDist(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_pii_redact: per-row redaction shuffles only for the presentation sort") {
+    val plan = executed(Corpus.qPiiRedact(spark, Sf0001))
+    assert(!plan.contains("Exchange hashpartitioning"), "per-row redaction must not hash-shuffle")
+    assert(plan.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_nationkey"))
+  }
 }
