@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Temporal, TextOps}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -91,6 +91,7 @@ object SparkEntry {
     "q_kpi_holding"       -> (Kpi.qKpiHolding(_, _)),
     "q_kpi_slippage"      -> (Kpi.qKpiSlippage(_, _)),
     "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
+    "q_sketch_stats"      -> (Sketches.qSketchStats(_, _)),
     "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
     "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
     // CEP density-drop signal generator (trailing baseline FSM)
@@ -231,6 +232,7 @@ object SparkEntry {
     "q_kpi_holding"        -> Kpi.sqlKpiHolding,
     "q_kpi_slippage"       -> Kpi.sqlKpiSlippage,
     "q_quantiles"          -> Analytics.sqlQuantiles,
+    "q_sketch_stats"       -> Sketches.sqlSketchStats,
     "q_kpi_rollup"         -> Analytics.sqlKpiRollup,
     "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
