@@ -61,4 +61,33 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    import spark.implicits._
+    // At 100 TB a selective dimension predicate should reach the fact
+    // side BEFORE the shuffle: Spark's InjectRuntimeFilter builds a
+    // bloom filter from the filtered creation side and applies
+    // might_contain on the application side's scan. Test data is below
+    // the default size thresholds, so lower them to observe the same
+    // plan the optimizer produces at scale; values are restored after.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+      val ord = Tables.orders(spark, Sf0001).filter($"o_totalprice" > 400000.0)
+      val j = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), "bloom filter must reach the fact side")
+      assert(plan.contains("bloom_filter_agg"))
+      // and the pruned result is still exact
+      val expected = li.join(ord, $"l_orderkey" === $"o_orderkey").count()
+      assert(j.agg(sum($"n")).head.getLong(0) == expected)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
