@@ -38,6 +38,26 @@ object Streams {
         (col("sum_value") / col("n")).as("avg_value"))
 
   // ------------------------------------------------------------------
+  // Sketch streaming face: windowed approximate-distinct users per
+  // type (HLL++). The sketch state per (window, type) group is fixed
+  // size regardless of cardinality — the property that makes this the
+  // 100 TB streaming distinct (an exact streaming countDistinct would
+  // grow state with the user universe). Merge associativity (proven in
+  // SketchesSpec) is what lets micro-batches of any size fold into the
+  // same value the batch query computes.
+  // ------------------------------------------------------------------
+  def approxDistinctByWindow(events: DataFrame,
+                             watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"),
+        graft.operators.Sketches.HllRsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("window.start")).as("window_start_s"),
+        col("event_type"), col("approx_users"), col("n_events"))
+
+  // ------------------------------------------------------------------
   // A1 streaming face: per-update word counts (Flink keyed reduce emits
   // one record per update; Spark's Update output mode is the parity —
   // SURVEY §3.2's semantic note).

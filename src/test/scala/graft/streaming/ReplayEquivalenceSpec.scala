@@ -90,6 +90,37 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approxDistinctByWindow: streamed HLL sketches equal the batch aggregation exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Tables.events(spark, graft.SparkSpec.Sf0001)
+      .select($"ts", $"event_type", $"user_id")
+      .as[(java.sql.Timestamp, String, Long)]
+      .collect().toSeq.sortBy(e => (e._1.getTime, e._3))
+
+    // Batch reference: identical expressions over the full table.
+    val expected = Streams.approxDistinctByWindow(
+        Tables.events(spark, graft.SparkSpec.Sf0001))
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    assert(expected.nonEmpty)
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = Streams.approxDistinctByWindow(
+        input.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.format("memory").queryName("sketch_replay")
+      .outputMode("complete").start()
+    try {
+      // HLL merge is associative and commutative (register max), so any
+      // micro-batch slicing must land on the same sketch estimate.
+      timeChunks[(java.sql.Timestamp, String, Long)](events, _._1.getTime, 5)
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("sketch_replay")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("AsofJoin: MemoryStream replay of sf0.001 equals the batch as-of join row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
