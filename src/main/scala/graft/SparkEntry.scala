@@ -60,6 +60,7 @@ object SparkEntry {
     "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
     "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
+    "q_dedup_decision"    -> (Clustering.qDedupDecision(_, _)),
     // corpus preparation: chunking, repetition filters, segment dedup,
     // PII-pattern redaction
     "q_chunk_docs"        -> (Corpus.qChunkDocs(_, _)),
@@ -186,6 +187,7 @@ object SparkEntry {
     "q_asof_join"          -> Temporal.sqlAsofJoin,
     "q_range_join"         -> Temporal.sqlRangeJoin,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
+    "q_dedup_decision"     -> Clustering.sqlDedupDecision,
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,

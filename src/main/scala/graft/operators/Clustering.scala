@@ -92,6 +92,46 @@ object Clustering {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // Dedup decision: the step a training pipeline actually consumes —
+  // every document labeled keep/drop, keeping the canonical (minimum)
+  // doc_id of each near-dup cluster and every unclustered document.
+  // The label frame is |clustered docs| rows (tiny vs the corpus);
+  // the corpus-side join is a slim (doc_id ⋈ doc_id) equi-join.
+  // ------------------------------------------------------------------
+  def qDedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairsCore(spark, dir)
+      .select($"doc_a".as("a"), $"doc_b".as("b"))
+    val labels = connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"label")
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"),
+        (coalesce($"label", $"doc_id") === $"doc_id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlDedupDecision: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(l.label, d.doc_id) AS cluster_id,
+       |  coalesce(l.label, d.doc_id) = d.doc_id AS kept
+       |FROM documents d LEFT JOIN labels l USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Oracle: transitive closure by recursive CTE over the same pair
     * set, labeling each doc with the min reachable doc_id. */
   val sqlDupClusters: String = {
