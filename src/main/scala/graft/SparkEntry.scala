@@ -67,6 +67,7 @@ object SparkEntry {
     "q_repetition"        -> (Corpus.qRepetition(_, _)),
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
+    "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     // embedding vector ops: normalize, mean-pool centroid, coherence
     "q_emb_norm"          -> (Embeddings.qEmbNorm(_, _)),
     "q_emb_centroid"      -> (Embeddings.qEmbCentroid(_, _)),
@@ -74,6 +75,7 @@ object SparkEntry {
     // deterministic sampling
     "q_hash_sample"       -> (Sampling.qHashSample(_, _)),
     "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
+    "q_epoch_shuffle"     -> (Sampling.qEpochShuffle(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -192,11 +194,13 @@ object SparkEntry {
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
+    "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,
     "q_emb_centroid"       -> Embeddings.sqlEmbCentroid,
     "q_emb_centroid_dist"  -> Embeddings.sqlEmbCentroidDist,
     "q_hash_sample"        -> Sampling.sqlHashSample,
     "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
+    "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, TextKernelFunctions}
 import graft.sources.Tables
 
 /**
@@ -213,4 +213,56 @@ object Corpus {
        |    '$LongIdRe', '<ID>', 'g') AS redacted
        |FROM (SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS profile FROM customer)
        |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination: per corpus document, the fraction of its
+  // distinct shingles that appear anywhere in a held-out eval set
+  // (stand-in: doc_id ≡ EvalRem (mod EvalMod)). The eval index is tiny
+  // relative to the corpus (benchmarks are KBs against 100 TB), so the
+  // probe is a broadcast join — the corpus side never shuffles text,
+  // only (doc_id, h60) pairs feed the map-side-combined count. This is
+  // the standard pre-training decontamination pass (n-gram overlap vs
+  // eval suites, as in GPT-3/Gopher appendices).
+  // ------------------------------------------------------------------
+  val EvalMod = 20L
+  val EvalRem = 7L
+  val ContamThreshold = 0.3
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", TextKernelFunctions.shingleHashes($"text").as("sh"))
+    val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
+      .select(explode($"sh").as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val ratio = coalesce(
+      r6($"n_contaminated" / nullif($"n_shingles".cast("double"), lit(0.0))),
+      lit(0.0))
+    docs.filter($"doc_id" % EvalMod =!= EvalRem)
+      .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
+        explode_outer($"sh").as("h"))
+      .join(broadcast(evalIndex), Seq("h"), "left")
+      .groupBy($"doc_id", $"n_shingles")
+      .agg(sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        ratio.as("contam_ratio"),
+        (ratio >= ContamThreshold).as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlDecontaminate: String = {
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
+    val sh = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
+    val ratio = "coalesce(" +
+      rSql("len(list_intersect(d.sh, evl.hs)) / nullif(len(d.sh), 0)::DOUBLE") +
+      ", 0.0)"
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
+       |evl AS (SELECT coalesce(list(h), []) AS hs FROM (
+       |  SELECT DISTINCT unnest(sh) AS h FROM d WHERE doc_id % $EvalMod = $EvalRem))
+       |SELECT d.doc_id, len(d.sh)::BIGINT AS n_shingles,
+       |  len(list_intersect(d.sh, evl.hs))::BIGINT AS n_contaminated,
+       |  $ratio AS contam_ratio,
+       |  $ratio >= $ContamThreshold AS is_contaminated
+       |FROM d, evl WHERE d.doc_id % $EvalMod != $EvalRem
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -78,4 +78,35 @@ object Sampling {
        |WHERE rk <= $QuotaPerStratum
        |ORDER BY lang, rk""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Deterministic epoch shuffle: assign every document a shard and a
+  // position within that shard, both derived solely from (seed, id).
+  // This is the training-order pass: a new seed reshuffles the whole
+  // corpus, yet any worker can recompute its own shard independently —
+  // no global sort, no driver coordination. A single global row_number
+  // would serialize 100 TB through one partition; sharding first keeps
+  // the window per-shard, so each of the N shards sorts only ~1/N of
+  // the keys (and Spark's WindowExec sees NumShards independent
+  // partitions — embarrassingly parallel).
+  // ------------------------------------------------------------------
+  val EpochSeed = "epoch1"
+  val NumShards = 8L
+
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", sampleKey(EpochSeed, $"doc_id").as("shuffle_key"))
+      .withColumn("shard", ($"shuffle_key" % NumShards).cast("long"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .orderBy($"shard", $"shard_pos")
+  }
+
+  val sqlEpochShuffle: String = {
+    val k = sqlSampleKey(EpochSeed, "doc_id")
+    s"""SELECT doc_id, shuffle_key, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)::BIGINT AS shard_pos
+       |FROM (SELECT doc_id, $k AS shuffle_key, $k % $NumShards AS shard FROM documents)
+       |ORDER BY shard, shard_pos""".stripMargin
+  }
 }
