@@ -120,4 +120,23 @@ class PlanSpec extends SparkSpec {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_nationkey"))
   }
+
+  test("q_decontaminate: the eval index probes as a broadcast join, counts combine map-side") {
+    val plan = executed(Corpus.qDecontaminate(spark, Sf0001))
+    // corpus side must stream past a broadcast eval index — a shuffled
+    // join here would move every corpus shingle hash at 100 TB
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("partial_sum") || plan.contains("partial"))
+  }
+
+  test("q_epoch_shuffle: position window is per-shard, never a global single-partition sort") {
+    val plan = executed(Sampling.qEpochShuffle(spark, Sf0001))
+    // row_number must be partitioned by shard (N independent sorts);
+    // a windowspec with an empty partition clause would serialize the
+    // whole corpus through one task
+    assert(plan.contains("windowspecdefinition(shard"))
+    // only shuffles: hash by shard for the window + range for the
+    // presentation sort
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
 }
