@@ -76,6 +76,8 @@ object SparkEntry {
     "q_hash_sample"       -> (Sampling.qHashSample(_, _)),
     "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
     "q_epoch_shuffle"     -> (Sampling.qEpochShuffle(_, _)),
+    "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
+    "q_profile"           -> (Analytics.qProfile(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -201,6 +203,8 @@ object SparkEntry {
     "q_hash_sample"        -> Sampling.sqlHashSample,
     "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
     "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,
+    "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
+    "q_profile"            -> Analytics.sqlProfile,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

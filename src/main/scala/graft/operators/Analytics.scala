@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,4 +82,69 @@ object Analytics {
       |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS total_p
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Column profiling: per-column row/null/distinct counts plus
+  // numeric min/max/mean or string min/max — the data-quality /
+  // schema-drift monitoring pass a pipeline runs on every ingest
+  // batch. ONE scan produces every statistic (a single wide aggregate
+  // row, exploded to long format on the driver side of the agg);
+  // exact multi-column distinct counts ride Spark's Expand, which is
+  // one pass over the data rather than a job per column. Means go
+  // through the exact-decimal sum so both engines agree bit-for-bit.
+  // ------------------------------------------------------------------
+  private val ProfNumCols = Seq("event_id", "user_id", "value")
+  private val ProfStrCols = Seq("event_type", "props")
+
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.events(spark, dir)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+      (ProfNumCols ++ ProfStrCols).flatMap { c =>
+        Seq(count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"dist_$c"),
+          min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))
+      } ++
+      ProfNumCols.map(c => Relational.davg(col(c)).as(s"mean_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    val entries =
+      ProfNumCols.map { c =>
+        struct(lit(c).as("col"), $"n".as("n_rows"),
+          ($"n" - col(s"cnt_$c")).as("n_nulls"),
+          col(s"dist_$c").as("n_distinct"),
+          col(s"min_$c").cast("double").as("min_num"),
+          col(s"max_$c").cast("double").as("max_num"),
+          col(s"mean_$c").as("mean"),
+          nullS.as("min_str"), nullS.as("max_str"))
+      } ++
+      ProfStrCols.map { c =>
+        struct(lit(c).as("col"), $"n".as("n_rows"),
+          ($"n" - col(s"cnt_$c")).as("n_nulls"),
+          col(s"dist_$c").as("n_distinct"),
+          nullD.as("min_num"), nullD.as("max_num"), nullD.as("mean"),
+          col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str"))
+      }
+    one.select(explode(array(entries: _*)).as("p"))
+      .select($"p.*")
+      .orderBy($"col")
+  }
+
+  val sqlProfile: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count($c) AS mean,
+         |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM events""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean,
+         |  min($c) AS min_str, max($c) AS max_str FROM events""".stripMargin
+    (ProfNumCols.map(num) ++ ProfStrCols.map(str))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
 }

@@ -109,4 +109,57 @@ object Sampling {
        |FROM (SELECT doc_id, $k AS shuffle_key, $k % $NumShards AS shard FROM documents)
        |ORDER BY shard, shard_pos""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Corpus mixture rebalancing ("data mixing"): draw the LARGEST
+  // corpus that matches a target language mixture exactly, selecting
+  // members deterministically by hash order. All quota math is integer
+  // (weights are per-mille numerators), so both engines compute the
+  // same quotas with no float rounding at the boundaries. Shape at
+  // scale: one tiny per-stratum count, a scalar feasibility min
+  // broadcast everywhere, and one per-stratum ranking window — the
+  // corpus text itself never moves, only (doc_id, lang, hash).
+  // ------------------------------------------------------------------
+  /** Target mixture, integer per-mille weights summing to [[MixDenom]]. */
+  val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 300L, "de" -> 200L, "es" -> 200L, "fr" -> 150L, "zh" -> 150L)
+  val MixDenom: Long = 1000L
+
+  def qMixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.createDataFrame(MixWeights).toDF("lang", "wt")
+    val docs = Tables.documents(spark, dir)
+      .filter($"lang".isin(MixWeights.map(_._1): _*))
+      .select($"doc_id", $"lang", sampleKey(Seed, $"doc_id").as("sample_key"))
+    // Feasible corpus size: N = min over strata of floor(cnt·D/w) —
+    // the largest N with floor-quotas n_s = floor(N·w_s/D) ≤ cnt_s.
+    // `div` is integral division on longs: exact, no float boundary.
+    val feasible = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(weights), Seq("lang"))
+      .agg(min(expr(s"cnt * $MixDenom div wt")).as("n_max"))
+    val quotas = weights.crossJoin(broadcast(feasible))
+      .select($"lang", expr(s"n_max * wt div $MixDenom").as("quota"))
+    val w = Window.partitionBy($"lang").orderBy($"sample_key", $"doc_id")
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"lang", $"sample_key", $"rk", $"quota")
+      .orderBy($"lang", $"rk")
+  }
+
+  val sqlMixtureRebalance: String = {
+    val k = sqlSampleKey(Seed, "doc_id")
+    val values = MixWeights.map { case (l, v) => s"('$l', $v)" }.mkString(", ")
+    s"""WITH w(lang, wt) AS (VALUES $values),
+       |d AS (SELECT doc_id, lang, $k AS sample_key FROM documents
+       |      WHERE lang IN (${MixWeights.map(x => s"'${x._1}'").mkString(", ")})),
+       |n AS (SELECT min(cnt * $MixDenom // wt) AS n_max
+       |      FROM (SELECT lang, count(*) AS cnt FROM d GROUP BY 1) JOIN w USING (lang)),
+       |q AS (SELECT lang, (n_max * wt) // $MixDenom AS quota FROM w CROSS JOIN n),
+       |r AS (SELECT doc_id, lang, sample_key,
+       |        row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rk
+       |      FROM d)
+       |SELECT doc_id, lang, sample_key, rk, quota
+       |FROM r JOIN q USING (lang) WHERE rk <= quota
+       |ORDER BY lang, rk""".stripMargin
+  }
 }
