@@ -58,6 +58,30 @@ object Streams {
         col("event_type"), col("approx_users"), col("n_events"))
 
   // ------------------------------------------------------------------
+  // Ingest-profile streaming face: the column-profiling pass
+  // ([[graft.operators.Analytics.qProfile]]) kept continuously per
+  // event type over a live feed. Every statistic is a bounded-state
+  // monoid — counts, exact-decimal sum, min/max, HLL registers — so
+  // state per group is O(1) regardless of how much has been ingested,
+  // and the complete-mode table equals the identical aggregation run
+  // in batch over everything seen so far (ReplayEquivalenceSpec).
+  // Exact countDistinct is the one batch-profile stat that cannot
+  // stream with bounded state; the face swaps it for HLL, the same
+  // trade [[approxDistinctByWindow]] makes.
+  // ------------------------------------------------------------------
+  def profileByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast(DEC)).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id"),
+          graft.operators.Sketches.HllRsd).as("approx_users"))
+
+  // ------------------------------------------------------------------
   // A1 streaming face: per-update word counts (Flink keyed reduce emits
   // one record per update; Spark's Update output mode is the parity —
   // SURVEY §3.2's semantic note).

@@ -121,6 +121,39 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("profileByType: streamed ingest profile equals the batch aggregation exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Tables.events(spark, graft.SparkSpec.Sf0001)
+      .select($"ts", $"event_type", $"user_id", $"value")
+      .as[(java.sql.Timestamp, String, Long, Double)]
+      .collect().toSeq.sortBy(e => (e._1.getTime, e._3))
+
+    // Batch reference: identical expressions over the full table. Every
+    // stat is a commutative monoid (decimal sum, min/max, counts, HLL
+    // register max), so any micro-batch slicing must converge on it.
+    val expected = Streams.profileByType(
+        Tables.events(spark, graft.SparkSpec.Sf0001))
+      .as[(String, Long, Long, Double, Double, Double, Long)]
+      .collect().toSeq.sorted
+    assert(expected.nonEmpty)
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val q = Streams.profileByType(
+        input.toDF().toDF("ts", "event_type", "user_id", "value"))
+      .writeStream.format("memory").queryName("profile_replay")
+      .outputMode("complete").start()
+    try {
+      timeChunks[(java.sql.Timestamp, String, Long, Double)](events, _._1.getTime, 5)
+        .foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("profile_replay")
+        .as[(String, Long, Long, Double, Double, Double, Long)]
+        .collect().toSeq.sorted
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("AsofJoin: MemoryStream replay of sf0.001 equals the batch as-of join row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
