@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -78,6 +78,7 @@ object SparkEntry {
     "q_epoch_shuffle"     -> (Sampling.qEpochShuffle(_, _)),
     "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
+    "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,
     "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
     "q_profile"            -> Analytics.sqlProfile,
+    "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -37,4 +37,43 @@ object Scale {
       .agg(count(lit(1)).as("_n"), sum(col(value).cast(DEC)).as("_s"))
       .groupBy(col(key))
       .agg(sum($"_n").as("n"), sum($"_s").cast("double").as("total"))
+
+  // ------------------------------------------------------------------
+  // Skew diagnostics: the measurement that tells you WHEN to reach for
+  // the salting/AQE levers above. For a prospective join/group key,
+  // emit the top-k heaviest keys with their share of the table and the
+  // key's skew ratio (its count over the mean count per key). Two
+  // map-side-combined aggregates over slim (key) rows + a top-k that
+  // runs as TakeOrderedAndProject — the diagnostic itself stays cheap
+  // at any scale, which is the point: you run it BEFORE the expensive
+  // join, on the join column only.
+  // ------------------------------------------------------------------
+  val HeavyHitterK = 20
+
+  def qHeavyHitters(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum($"cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+    val r6 = (c: Column) =>
+      c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select($"user_id", $"cnt",
+        r6($"cnt" / $"n_rows").as("share"),
+        r6($"cnt" * $"n_keys" / $"n_rows").as("skew_ratio"))
+      .orderBy($"cnt".desc, $"user_id")
+      .limit(HeavyHitterK)
+  }
+
+  val sqlHeavyHitters: String = {
+    val r6 = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+       |t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c)
+       |SELECT user_id, cnt,
+       |  ${r6("cnt / n_rows")} AS share,
+       |  ${r6("cnt * n_keys / n_rows")} AS skew_ratio
+       |FROM c CROSS JOIN t
+       |ORDER BY cnt DESC, user_id LIMIT $HeavyHitterK""".stripMargin
+  }
 }
