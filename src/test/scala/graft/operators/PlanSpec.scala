@@ -129,6 +129,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial"))
   }
 
+  test("q_heavy_hitters: top-k runs as TakeOrderedAndProject over broadcast totals") {
+    val plan = executed(Scale.qHeavyHitters(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(plan.contains("partial_count") || plan.contains("partial"))
+  }
+
+  test("q_mixture_rebalance: quota join broadcasts, counts combine map-side") {
+    val plan = executed(Sampling.qMixtureRebalance(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("partial_count") || plan.contains("partial"))
+    // ranking window must be per-lang, not global
+    assert(plan.contains("windowspecdefinition(lang"))
+  }
+
+  test("q_profile: every statistic comes from one scan of events") {
+    val plan = executed(Analytics.qProfile(spark, Sf0001))
+    // a single parquet scan feeds the wide aggregate (multi-distinct
+    // rides Expand, not per-column jobs)
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(plan.contains("Expand"))
+  }
+
   test("q_epoch_shuffle: position window is per-shard, never a global single-partition sort") {
     val plan = executed(Sampling.qEpochShuffle(spark, Sf0001))
     // row_number must be partitioned by shard (N independent sorts);
