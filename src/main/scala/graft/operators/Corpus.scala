@@ -265,4 +265,73 @@ object Corpus {
        |FROM d, evl WHERE d.doc_id % $EvalMod != $EvalRem
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Filter funnel: the quality-filter cascade with per-rule
+  // accounting — for each rule, how many documents the rule dropped
+  // among the survivors of the rules before it, and how many remain.
+  // This is the report a corpus pipeline publishes per ingest batch so
+  // a drifting upstream (or an overzealous rule) is visible the day it
+  // happens. ONE scan: every rule flag is a codegen'd expression, the
+  // cascade arithmetic is conditional counts inside a single aggregate
+  // row, exploded to one row per funnel stage.
+  // ------------------------------------------------------------------
+  val FunnelMinTokens = 5L
+  val FunnelMaxTokens = 2000L
+  val FunnelMinDistinctRatio = 0.3
+  val FunnelLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  def qFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("long")
+    val flags = Seq(
+      "too_short" -> (n < FunnelMinTokens),
+      "too_long" -> (n > FunnelMaxTokens),
+      "bad_lang" -> !$"lang".isin(FunnelLangs: _*),
+      "low_diversity" ->
+        (size(array_distinct(toks)).cast("double") / n < FunnelMinDistinctRatio))
+    val flagged = Tables.documents(spark, dir)
+      .select(flags.map { case (name, c) => c.as(name) }: _*)
+    // survivors of rules 1..i-1 that rule i drops: flag_i AND none before
+    val aggs = flags.zipWithIndex.map { case ((name, _), i) =>
+      val prior = flags.take(i).map(f => col(f._1))
+      val aliveBefore = prior.foldLeft(lit(true))((a, f) => a && !f)
+      sum((aliveBefore && col(name)).cast("long")).as(s"drop_$name")
+    }
+    val one = flagged.agg(count(lit(1)).as("n_input"), aggs: _*)
+    val stages = flags.zipWithIndex.map { case ((name, _), i) =>
+      val droppedUpTo = flags.take(i + 1)
+        .map(f => col(s"drop_${f._1}")).reduce(_ + _)
+      struct(lit(i + 1L).as("stage"), lit(name).as("rule"),
+        col(s"drop_$name").as("n_dropped"),
+        ($"n_input" - droppedUpTo).as("n_surviving"))
+    }
+    one.select($"n_input", explode(array(stages: _*)).as("s"))
+      .select($"s.stage", $"s.rule", $"n_input", $"s.n_dropped", $"s.n_surviving")
+      .orderBy($"stage")
+  }
+
+  val sqlFilterFunnel: String = {
+    val t = Hashing.sqlTokens("text")
+    val flagDefs = Seq(
+      "too_short" -> s"len($t) < $FunnelMinTokens",
+      "too_long" -> s"len($t) > $FunnelMaxTokens",
+      "bad_lang" -> s"lang NOT IN (${FunnelLangs.map(l => s"'$l'").mkString(", ")})",
+      "low_diversity" ->
+        s"len(list_distinct($t))::DOUBLE / len($t) < $FunnelMinDistinctRatio")
+    val flagCols = flagDefs.map { case (n, e) => s"($e) AS $n" }.mkString(", ")
+    val aggCols = flagDefs.zipWithIndex.map { case ((n, _), i) =>
+      val alive = flagDefs.take(i).map(f => s"NOT ${f._1}")
+      val cond = (alive :+ n).mkString(" AND ")
+      s"sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS drop_$n"
+    }.mkString(", ")
+    val rows = flagDefs.zipWithIndex.map { case ((n, _), i) =>
+      val droppedUpTo = flagDefs.take(i + 1).map(f => s"drop_${f._1}").mkString(" + ")
+      s"SELECT ${i + 1}::BIGINT AS stage, '$n' AS rule, n_input, drop_$n AS n_dropped, " +
+        s"n_input - ($droppedUpTo) AS n_surviving FROM agg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (SELECT $flagCols FROM documents),
+       |agg AS (SELECT count(*) AS n_input, $aggCols FROM f)
+       |$rows
+       |ORDER BY stage""".stripMargin
+  }
 }
