@@ -66,6 +66,28 @@ object Scale {
       .limit(HeavyHitterK)
   }
 
+  // ------------------------------------------------------------------
+  // Range-sorted compaction writer: materialize a frame as
+  // ceil(rows / targetRows) parquet files with DISJOINT key ranges,
+  // each internally sorted. This is the export-layout step that fixes
+  // the two failure modes of naive writes at 100 TB: thousands of tiny
+  // files per partition (every downstream scan pays per-file open
+  // cost), and key-shuffled files whose parquet min/max stats prune
+  // nothing. Range partitioning gives file-level pruning on the sort
+  // key (a key-range predicate touches exactly the files that hold
+  // it); the within-file sort gives row-group-level pruning inside
+  // each file. Returns the file count so callers can assert layout.
+  // ------------------------------------------------------------------
+  def writeRangeSorted(df: DataFrame, key: String, targetRows: Long,
+                       path: String): Long = {
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows)
+    df.repartitionByRange(files.toInt, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
+    files
+  }
+
   val sqlHeavyHitters: String = {
     val r6 = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
     s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

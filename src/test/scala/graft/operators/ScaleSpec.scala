@@ -30,6 +30,32 @@ class ScaleSpec extends SparkSpec {
     assert(s1.distinct.length > 1) // actually spreads
   }
 
+  test("writeRangeSorted: disjoint per-file key ranges, expected file count, nothing lost") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).select($"doc_id", $"lang")
+    val total = docs.count()
+    val out = java.nio.file.Files.createTempDirectory("range_sorted").toString
+    try {
+      val files = Scale.writeRangeSorted(docs, "doc_id", targetRows = 15, path = out)
+      assert(files == (total + 14) / 15)
+      val back = spark.read.parquet(out)
+        .select(input_file_name().as("f"), $"doc_id")
+      assert(back.count() == total) // nothing dropped or duplicated
+      val ranges = back.groupBy($"f")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.length == files)
+      // file key ranges must not overlap — that disjointness is what
+      // makes a key-range predicate prune whole files
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import spark.implicits._
     // tables land in the default warehouse dir (gitignored) and are
