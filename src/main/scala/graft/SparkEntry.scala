@@ -80,6 +80,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
+    "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
+    "q_winsorize"          -> Analytics.sqlWinsorize,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -19,7 +19,7 @@ import graft.sources.Tables
  */
 object Analytics {
   import Relational.ColInterp
-  import Relational.dsum
+  import Relational.{davg, dsum}
 
   /** p50/p90/p99 of value per event type, exact order statistics. */
   def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
@@ -45,6 +45,56 @@ object Analytics {
        |        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
        |        count(*) OVER (PARTITION BY event_type) AS n
        |      FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Winsorization: clamp outliers to the exact per-group [p05, p95]
+  // order statistics — the standard robustification step before a
+  // mean/σ-based feature or KPI is trusted. ONE shuffle: the same
+  // ranked window that orders each group also yields both thresholds
+  // as conditional window-minima, so rows are clamped in the pass that
+  // ranked them (no threshold join). Exact order stats, not sketches:
+  // deterministic under any partitioning, bit-identical cross-engine.
+  // ------------------------------------------------------------------
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val wT = Window.partitionBy($"event_type")
+    def thresh(q: Double) =
+      min(when($"rn" >= ceil(lit(q) * $"n").cast("long"), $"value")).over(wT)
+    val clamped = Tables.events(spark, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wT))
+      .withColumn("lo", thresh(0.05))
+      .withColumn("hi", thresh(0.95))
+      .withColumn("wins", least(greatest($"value", $"lo"), $"hi"))
+    clamped.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        min($"lo").as("lo"), min($"hi").as("hi"),
+        sum(($"value" < $"lo").cast("long")).as("n_clamped_lo"),
+        sum(($"value" > $"hi").cast("long")).as("n_clamped_hi"),
+        davg($"value").as("mean_raw"),
+        davg($"wins").as("mean_winsorized"))
+      .orderBy($"event_type")
+  }
+
+  val sqlWinsorize: String = {
+    def th(q: Double) =
+      s"min(CASE WHEN rn >= CAST(ceil($q * n) AS BIGINT) THEN value END) " +
+        "OVER (PARTITION BY event_type)"
+    def dm(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / count($e)"
+    s"""SELECT event_type, count(*) AS n, min(lo) AS lo, min(hi) AS hi,
+       |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
+       |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
+       |  ${dm("value")} AS mean_raw,
+       |  ${dm("least(greatest(value, lo), hi)")} AS mean_winsorized
+       |FROM (SELECT event_type, value,
+       |        ${th(0.05)} AS lo, ${th(0.95)} AS hi
+       |      FROM (SELECT event_type, value,
+       |              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |              count(*) OVER (PARTITION BY event_type) AS n
+       |            FROM events))
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
