@@ -152,6 +152,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Expand"))
   }
 
+  test("q_winsorize: thresholds and clamping share ONE hash shuffle") {
+    val plan = executed(Analytics.qWinsorize(spark, Sf0001))
+    // rank window, threshold window-minima, and the final aggregate all
+    // reuse the same event_type partitioning — a second hash exchange
+    // would mean the thresholds were joined back instead
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter_funnel: every stage statistic comes from one scan") {
+    val plan = executed(Corpus.qFilterFunnel(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
   test("q_epoch_shuffle: position window is per-shard, never a global single-partition sort") {
     val plan = executed(Sampling.qEpochShuffle(spark, Sf0001))
     // row_number must be partitioned by shard (N independent sorts);
