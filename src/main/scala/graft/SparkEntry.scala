@@ -81,6 +81,7 @@ object SparkEntry {
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
     "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
+    "q_length_histogram"  -> (TextOps.qLengthHistogram(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -211,6 +212,7 @@ object SparkEntry {
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
     "q_winsorize"          -> Analytics.sqlWinsorize,
+    "q_length_histogram"   -> TextOps.sqlLengthHistogram,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

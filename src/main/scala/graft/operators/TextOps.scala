@@ -237,4 +237,38 @@ object TextOps {
        |  FROM scored)
        |SELECT doc_id, term, tf, df, score, rk FROM ranked
        |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Token-length histogram: fixed-width buckets over per-document
+  // token counts, with doc and token mass per bucket — the
+  // distribution that drives sequence-packing and batch-size planning
+  // (how much of the corpus fits a context window; where truncation
+  // bites). One scan, integral-exact bucket edges, tiny map-side-
+  // combined aggregate: the cheapest possible shape at any corpus
+  // size.
+  // ------------------------------------------------------------------
+  val HistBucketWidth = 16L
+  val HistMaxBucket = 31L
+
+  def qLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n_tokens"))
+      .select($"n_tokens",
+        least(expr(s"n_tokens div $HistBucketWidth"), lit(HistMaxBucket))
+          .as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+      .select($"bucket", ($"bucket" * HistBucketWidth).as("bucket_lo"),
+        $"n_docs", $"total_tokens")
+      .orderBy($"bucket")
+
+  val sqlLengthHistogram: String = {
+    val n = s"len(${Hashing.sqlTokens("text")})"
+    s"""SELECT bucket, bucket * $HistBucketWidth AS bucket_lo,
+       |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+       |FROM (SELECT $n::BIGINT AS n_tokens,
+       |        least($n // $HistBucketWidth, $HistMaxBucket) AS bucket
+       |      FROM documents)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
