@@ -69,6 +69,7 @@ object SparkEntry {
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_filter_funnel"     -> (Corpus.qFilterFunnel(_, _)),
+    "q_corpus_verdict"    -> (Corpus.qCorpusVerdict(_, _)),
     // embedding vector ops: normalize, mean-pool centroid, coherence
     "q_emb_norm"          -> (Embeddings.qEmbNorm(_, _)),
     "q_emb_centroid"      -> (Embeddings.qEmbCentroid(_, _)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_filter_funnel"      -> Corpus.sqlFilterFunnel,
+    "q_corpus_verdict"     -> Corpus.sqlCorpusVerdict,
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,
     "q_emb_centroid"       -> Embeddings.sqlEmbCentroid,
     "q_emb_centroid_dist"  -> Embeddings.sqlEmbCentroidDist,

@@ -310,6 +310,59 @@ object Corpus {
       .orderBy($"stage")
   }
 
+  // ------------------------------------------------------------------
+  // End-to-end corpus verdict: the pipeline composition a training run
+  // actually consumes — one row per document with the three gate
+  // outcomes (quality funnel, near-dup canonical decision, benchmark
+  // decontamination) and the final selected flag. Eval-holdout docs
+  // are excluded by construction (they are the benchmark). The three
+  // inputs reuse the individual operators' logic — and the memoized
+  // cluster labels — so the composition costs one extra slim
+  // (doc_id ⋈ doc_id) join per gate, never a recompute of the heavy
+  // LSH/clustering work.
+  // ------------------------------------------------------------------
+  def qCorpusVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("long")
+    val passQuality = (n >= FunnelMinTokens) && (n <= FunnelMaxTokens) &&
+      $"lang".isin(FunnelLangs: _*) &&
+      (size(array_distinct(toks)).cast("double") / n >= FunnelMinDistinctRatio)
+    val quality = Tables.documents(spark, dir)
+      .select($"doc_id", passQuality.as("pass_quality"))
+    val kept = Clustering.qDedupDecision(spark, dir)
+      .select($"doc_id", $"kept".as("kept_dedup"))
+    val clean = qDecontaminate(spark, dir)
+      .select($"doc_id", (!$"is_contaminated").as("clean_decontam"))
+    quality
+      .filter($"doc_id" % EvalMod =!= EvalRem) // benchmark docs held out
+      .join(kept, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select($"doc_id", $"pass_quality",
+        coalesce($"kept_dedup", lit(true)).as("kept_dedup"),
+        coalesce($"clean_decontam", lit(true)).as("clean_decontam"))
+      .withColumn("selected",
+        $"pass_quality" && $"kept_dedup" && $"clean_decontam")
+      .orderBy($"doc_id")
+  }
+
+  val sqlCorpusVerdict: String = {
+    val t = Hashing.sqlTokens("text")
+    val passQ = s"(len($t) >= $FunnelMinTokens AND len($t) <= $FunnelMaxTokens" +
+      s" AND lang IN (${FunnelLangs.map(l => s"'$l'").mkString(", ")})" +
+      s" AND len(list_distinct($t))::DOUBLE / len($t) >= $FunnelMinDistinctRatio)"
+    s"""WITH dec AS (${Clustering.sqlDedupDecision}),
+       |cont AS ($sqlDecontaminate)
+       |SELECT d.doc_id, $passQ AS pass_quality,
+       |  coalesce(dec.kept, TRUE) AS kept_dedup,
+       |  coalesce(NOT cont.is_contaminated, TRUE) AS clean_decontam,
+       |  ($passQ AND coalesce(dec.kept, TRUE)
+       |    AND coalesce(NOT cont.is_contaminated, TRUE)) AS selected
+       |FROM documents d
+       |LEFT JOIN dec USING (doc_id)
+       |LEFT JOIN cont ON d.doc_id = cont.doc_id
+       |WHERE d.doc_id % $EvalMod != $EvalRem
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val sqlFilterFunnel: String = {
     val t = Hashing.sqlTokens("text")
     val flagDefs = Seq(
