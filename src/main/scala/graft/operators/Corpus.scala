@@ -228,26 +228,39 @@ object Corpus {
   val EvalRem = 7L
   val ContamThreshold = 0.3
 
-  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsSharded(spark, dir)
-      .select($"doc_id", TextKernelFunctions.shingleHashes($"text").as("sh"))
-    val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
-      .select(explode($"sh").as("h")).distinct()
-      .withColumn("hit", lit(1L))
-    val ratio = coalesce(
-      r6($"n_contaminated" / nullif($"n_shingles".cast("double"), lit(0.0))),
-      lit(0.0))
-    docs.filter($"doc_id" % EvalMod =!= EvalRem)
-      .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
-        explode_outer($"sh").as("h"))
-      .join(broadcast(evalIndex), Seq("h"), "left")
-      .groupBy($"doc_id", $"n_shingles")
-      .agg(sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
-      .select($"doc_id", $"n_shingles", $"n_contaminated",
-        ratio.as("contam_ratio"),
-        (ratio >= ContamThreshold).as("is_contaminated"))
-      .orderBy($"doc_id")
-  }
+  /** Per-document contamination frame (unordered), computed once per
+    * session and memoized — the sha-heavy shingle pass is shared by
+    * the decontamination gate query and [[qCorpusVerdict]], the same
+    * warm-materialized-store stance as [[Clustering.dupLabels]]. */
+  private val contamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def decontaminateCore(spark: SparkSession, dir: String): DataFrame =
+    contamCache.getOrElseUpdate((spark, dir), {
+      val docs = Tables.documentsSharded(spark, dir)
+        .select($"doc_id", TextKernelFunctions.shingleHashes($"text").as("sh"))
+      val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
+        .select(explode($"sh").as("h")).distinct()
+        .withColumn("hit", lit(1L))
+      val ratio = coalesce(
+        r6($"n_contaminated" / nullif($"n_shingles".cast("double"), lit(0.0))),
+        lit(0.0))
+      val core = docs.filter($"doc_id" % EvalMod =!= EvalRem)
+        .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
+          explode_outer($"sh").as("h"))
+        .join(broadcast(evalIndex), Seq("h"), "left")
+        .groupBy($"doc_id", $"n_shingles")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+        .select($"doc_id", $"n_shingles", $"n_contaminated",
+          ratio.as("contam_ratio"),
+          (ratio >= ContamThreshold).as("is_contaminated"))
+        .persist()
+      core.count() // eager, so every consumer reads the materialized store
+      core
+    })
+
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCore(spark, dir).orderBy($"doc_id")
 
   val sqlDecontaminate: String = {
     val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
@@ -330,7 +343,7 @@ object Corpus {
       .select($"doc_id", passQuality.as("pass_quality"))
     val kept = Clustering.qDedupDecision(spark, dir)
       .select($"doc_id", $"kept".as("kept_dedup"))
-    val clean = qDecontaminate(spark, dir)
+    val clean = decontaminateCore(spark, dir)
       .select($"doc_id", (!$"is_contaminated").as("clean_decontam"))
     quality
       .filter($"doc_id" % EvalMod =!= EvalRem) // benchmark docs held out
