@@ -74,6 +74,7 @@ object SparkEntry {
     "q_emb_norm"          -> (Embeddings.qEmbNorm(_, _)),
     "q_emb_centroid"      -> (Embeddings.qEmbCentroid(_, _)),
     "q_emb_centroid_dist" -> (Embeddings.qEmbCentroidDist(_, _)),
+    "q_emb_quantize"      -> (Embeddings.qEmbQuantize(_, _)),
     // deterministic sampling
     "q_hash_sample"       -> (Sampling.qHashSample(_, _)),
     "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,
     "q_emb_centroid"       -> Embeddings.sqlEmbCentroid,
     "q_emb_centroid_dist"  -> Embeddings.sqlEmbCentroidDist,
+    "q_emb_quantize"       -> Embeddings.sqlEmbQuantize,
     "q_hash_sample"        -> Sampling.sqlHashSample,
     "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
     "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,

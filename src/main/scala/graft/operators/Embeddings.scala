@@ -131,4 +131,57 @@ object Embeddings {
        |FROM e JOIN cent USING (label)
        |ORDER BY vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Symmetric int8 quantization: per-vector absmax scale, 4× storage
+  // compression with per-row reconstruction-error accounting — the
+  // vector-store compression step, with the error columns that tell
+  // you whether the ANN recall budget survives it. All per-row fold
+  // math inside one scan (no shuffle except the presentation sort).
+  // Rounding goes through the exact-decimal cast so both engines
+  // round the identical double identically; error sums fold strictly
+  // left-to-right, same as every other vector reduction here.
+  // ------------------------------------------------------------------
+  val QuantLevels = 127L
+
+  def qEmbQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val amax = array_max(transform($"v", x => abs(x)))
+    // the raw scale is named `_scale`, NOT `scale`: the output column
+    // below aliases the ROUNDED value as `scale`, and Spark 4's
+    // lateral column alias resolution would otherwise let that alias
+    // shadow the raw column inside sibling select expressions —
+    // quantizing against the rounded scale (observed: max_abs_err
+    // drifted at the 4th significant digit vs the oracle)
+    val qi = (x: Column) =>
+      x.divide($"_scale").cast(DecimalType(28, 12)).cast(DecimalType(28, 0))
+        .cast("long")
+    val errs = transform($"v",
+      x => abs(x - qi(x).cast("double") * $"_scale"))
+    vecs(spark, dir)
+      .withColumn("_scale", amax / QuantLevels.toDouble)
+      .filter($"_scale" > 0.0) // all-zero vectors carry no information
+      .select($"vec_id", $"label", r6($"_scale").as("scale"),
+        qi(element_at($"v", 1)).as("q0"),
+        qi(element_at($"v", 2)).as("q1"),
+        r6(array_max(errs)).as("max_abs_err"),
+        r6(aggregate(errs, lit(0.0), (a, x) => a + x) / size($"v"))
+          .as("mean_abs_err"))
+      .orderBy($"vec_id")
+  }
+
+  val sqlEmbQuantize: String = {
+    val qi = (x: String) =>
+      s"CAST(CAST(round(CAST(($x) / scale AS DECIMAL(28,12)), 0) AS DECIMAL(28,0)) AS BIGINT)"
+    val errs = s"list_transform(v, x -> abs(x - ${qi("x")}::DOUBLE * scale))"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, label, v,
+       |        list_max(list_transform(v, x -> abs(x))) / $QuantLevels.0 AS scale
+       |      FROM e)
+       |SELECT vec_id, label, ${rSql("scale")} AS scale,
+       |  ${qi("v[1]")} AS q0, ${qi("v[2]")} AS q1,
+       |  ${rSql(s"list_max($errs)")} AS max_abs_err,
+       |  ${rSql(s"${Similarity.sqlFsum(errs)} / len(v)")} AS mean_abs_err
+       |FROM s WHERE scale > 0.0
+       |ORDER BY vec_id""".stripMargin
+  }
 }
