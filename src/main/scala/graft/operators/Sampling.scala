@@ -111,6 +111,60 @@ object Sampling {
   }
 
   // ------------------------------------------------------------------
+  // Leakage-safe train/valid/test split: the assignment unit is the
+  // near-dup CLUSTER, not the document. Hashing doc_id alone would
+  // scatter near-duplicate families across splits — the eval set then
+  // contains paraphrases of training documents and measures
+  // memorization, not generalization. Here every document inherits its
+  // cluster representative ([[Clustering.dupLabels]], min doc_id of the
+  // component; itself when unclustered) and the split is decided by
+  // hashing that representative — so a whole near-dup family moves as
+  // one unit, deterministically. Cost at scale: the label frame is
+  // |clustered docs| (tiny), the join is a slim id⋈id equi-join, and
+  // the hash decision is per-row codegen — no extra shuffle beyond the
+  // label join.
+  // ------------------------------------------------------------------
+  val SplitSeed = "split1"
+
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Clustering.dupLabels(spark, dir)
+      .select($"id".as("doc_id"), $"label")
+    Tables.documents(spark, dir)
+      .select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("split_unit"))
+      .withColumn("split_key", sampleKey(SplitSeed, $"split_unit"))
+      .select($"doc_id", $"split_unit",
+        when($"split_key" % 10 === 8, "valid")
+          .when($"split_key" % 10 === 9, "test")
+          .otherwise("train").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: same recursive-CTE connected components as
+    * [[Clustering.sqlDupClusters]], then the same seeded-hash split
+    * decision on the cluster representative. */
+  val sqlLeakageSplit: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    val k = sqlSampleKey(SplitSeed, "split_unit")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+       |u AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_unit
+       |      FROM documents d LEFT JOIN labels l USING (doc_id))
+       |SELECT doc_id, split_unit,
+       |  CASE $k % 10 WHEN 8 THEN 'valid' WHEN 9 THEN 'test' ELSE 'train' END AS split
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Corpus mixture rebalancing ("data mixing"): draw the LARGEST
   // corpus that matches a target language mixture exactly, selecting
   // members deterministically by hash order. All quota math is integer

@@ -120,6 +120,20 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("leakage split: every near-dup cluster lands in exactly one split, all docs covered") {
+    val s = Sampling.qLeakageSplit(spark, Sf0001).cache()
+    try {
+      assert(s.count() == Tables.documents(spark, Sf0001).count()) // total cover
+      assert(s.select($"doc_id").distinct().count() == s.count())  // one verdict per doc
+      // The leakage guarantee: a split unit (near-dup family) never straddles splits.
+      assert(s.groupBy($"split_unit").agg(countDistinct($"split").as("k"))
+        .filter($"k" > 1).isEmpty)
+      // Clustered families exist at this SF and move as one unit.
+      assert(s.filter($"split_unit" =!= $"doc_id").count() > 0)
+      assert(s.select($"split").distinct().count() == 3) // all three splits drawn
+    } finally s.unpersist()
+  }
+
   test("tfidf: at most k terms per doc and score is exactly tf * n_docs / df") {
     val n = Tables.documents(spark, Sf0001).count()
     val t = TextOps.qTfidf(spark, Sf0001).cache()
