@@ -73,6 +73,18 @@ object Clustering {
       round += 1
     }
     e.unpersist()
+    // Truncated propagation would return labels that silently split one
+    // component into several — corrupting every downstream consumer
+    // (dedup decisions, leakage splits, corpus verdicts) with no error.
+    // A long-diameter graph must fail the job, not degrade it.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxRounds rounds — " +
+          "the edge graph has a longer diameter than min-label propagation " +
+          "was budgeted for; raise maxRounds or switch to large-star/" +
+          "small-star contraction (O(log n) rounds)")
+    }
     labels
   }
 
@@ -87,6 +99,16 @@ object Clustering {
     * downstream decision, not recomputed per report. */
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop every memoized label frame (unpersisting its blocks). The
+    * memo has no data-change detection — callers that rewrite the
+    * parquet under a cached dir, and anything that calls
+    * `sqlContext.clearCache()` (which would strand the memo serving
+    * now-cold plans), must invalidate through here. Bench does. */
+  def invalidateLabelCache(): Unit = {
+    labelCache.values.foreach(_.unpersist())
+    labelCache.clear()
+  }
 
   def dupLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate((spark, dir), {

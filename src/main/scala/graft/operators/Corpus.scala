@@ -235,6 +235,15 @@ object Corpus {
   private val contamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop every memoized contamination frame (unpersisting its
+    * blocks) — same contract as [[Clustering.invalidateLabelCache]]:
+    * required after rewriting data under a cached dir or calling
+    * `sqlContext.clearCache()`. Bench does. */
+  def invalidateContamCache(): Unit = {
+    contamCache.values.foreach(_.unpersist())
+    contamCache.clear()
+  }
+
   def decontaminateCore(spark: SparkSession, dir: String): DataFrame =
     contamCache.getOrElseUpdate((spark, dir), {
       val docs = Tables.documentsSharded(spark, dir)

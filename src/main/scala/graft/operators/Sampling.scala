@@ -187,9 +187,14 @@ object Sampling {
     // Feasible corpus size: N = min over strata of floor(cnt·D/w) —
     // the largest N with floor-quotas n_s = floor(N·w_s/D) ≤ cnt_s.
     // `div` is integral division on longs: exact, no float boundary.
-    val feasible = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(weights), Seq("lang"))
-      .agg(min(expr(s"cnt * $MixDenom div wt")).as("n_max"))
+    // The min is taken over the WEIGHT table (left join, absent stratum
+    // counts as 0), not the observed strata: a weighted language with
+    // zero documents must force n_max = 0 — otherwise it would silently
+    // drop out of the min and the output mixture would no longer match
+    // the declared target.
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val feasible = weights.join(broadcast(counts), Seq("lang"), "left")
+      .agg(min(expr(s"coalesce(cnt, 0) * $MixDenom div wt")).as("n_max"))
     val quotas = weights.crossJoin(broadcast(feasible))
       .select($"lang", expr(s"n_max * wt div $MixDenom").as("quota"))
     val w = Window.partitionBy($"lang").orderBy($"sample_key", $"doc_id")
@@ -206,8 +211,8 @@ object Sampling {
     s"""WITH w(lang, wt) AS (VALUES $values),
        |d AS (SELECT doc_id, lang, $k AS sample_key FROM documents
        |      WHERE lang IN (${MixWeights.map(x => s"'${x._1}'").mkString(", ")})),
-       |n AS (SELECT min(cnt * $MixDenom // wt) AS n_max
-       |      FROM (SELECT lang, count(*) AS cnt FROM d GROUP BY 1) JOIN w USING (lang)),
+       |n AS (SELECT min(coalesce(cnt, 0) * $MixDenom // wt) AS n_max
+       |      FROM w LEFT JOIN (SELECT lang, count(*) AS cnt FROM d GROUP BY 1) USING (lang)),
        |q AS (SELECT lang, (n_max * wt) // $MixDenom AS quota FROM w CROSS JOIN n),
        |r AS (SELECT doc_id, lang, sample_key,
        |        row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rk

@@ -76,16 +76,28 @@ object Scale {
   // nothing. Range partitioning gives file-level pruning on the sort
   // key (a key-range predicate touches exactly the files that hold
   // it); the within-file sort gives row-group-level pruning inside
-  // each file. Returns the file count so callers can assert layout.
+  // each file. Returns the number of data files ACTUALLY written (by
+  // listing the output) — repartitionByRange can produce fewer
+  // non-empty partitions than requested when the key has few distinct
+  // values or heavy ties, so the plan count would over-report.
+  //
+  // `rowCount`: pass the input size when the caller already knows it —
+  // otherwise the writer pays one extra counting scan of `df` to size
+  // the partitioning.
   // ------------------------------------------------------------------
   def writeRangeSorted(df: DataFrame, key: String, targetRows: Long,
-                       path: String): Long = {
-    val n = df.count()
+                       path: String, rowCount: Option[Long] = None): Long = {
+    val n = rowCount.getOrElse(df.count())
     val files = math.max(1L, (n + targetRows - 1) / targetRows)
     df.repartitionByRange(files.toInt, col(key))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").parquet(path)
-    files
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(out).count { s =>
+      val name = s.getPath.getName
+      s.isFile && name.startsWith("part-") && !name.endsWith(".crc")
+    }.toLong
   }
 
   val sqlHeavyHitters: String = {

@@ -240,9 +240,12 @@ object PositionTracker {
 
   // ------------------------------------------------------------------
   // Events-table replay: a deterministic command synthesis so the
-  // operator runs under the driver gate (rows-only check — the
-  // sequential FSM is not SQL-expressible; its semantics are pinned by
-  // PositionTrackerSpec instead).
+  // operator runs under the driver gate. The replay uses a single
+  // position family per user, which makes the whole sequential FSM
+  // re-runnable in SQL as a recursive CTE — [[sqlPositionEvents]]
+  // below is a FULL-VALUE oracle (every output column hash-compared),
+  // and PositionTrackerSpec additionally pins the multi-family
+  // semantics the gate can't reach.
   //   click    -> BUY signal   (reason PWAVE)
   //   view     -> SELL signal
   //   purchase -> SUCCESS feedback; its signal id is derived from the

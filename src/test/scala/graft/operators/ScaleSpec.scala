@@ -56,6 +56,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("writeRangeSorted: heavy ties collapse partitions — returns files actually written") {
+    import spark.implicits._
+    // constant key: repartitionByRange puts every row in one range, so
+    // the planned ceil(n/target) over-reports; the return value must be
+    // the real layout (1 data file), which is what callers assert on
+    val docs = Tables.documents(spark, Sf0001)
+      .select(lit(1L).as("k"), $"doc_id")
+    val out = java.nio.file.Files.createTempDirectory("range_ties").toString
+    try {
+      val files = Scale.writeRangeSorted(docs, "k", targetRows = 15, path = out,
+        rowCount = Some(docs.count()))
+      assert(files == 1L)
+      assert(spark.read.parquet(out).count() == docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     import spark.implicits._
     // tables land in the default warehouse dir (gitignored) and are

@@ -71,6 +71,31 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connected components: un-converged propagation fails loudly, not silently") {
+    // a 12-node chain has diameter 11 — two rounds cannot converge, and
+    // returning the half-propagated labels would silently split the
+    // component for every downstream consumer
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Clustering.connectedComponents(chain, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("mixture rebalance: a weighted language with zero documents forces an empty draw") {
+    // the target mixture is infeasible when a weighted stratum is
+    // absent — the feasibility min must see the 0, not drop the stratum
+    val tmp = java.nio.file.Files.createTempDirectory("mix_zero").toString
+    try {
+      Tables.documents(spark, Sf0001)
+        .filter($"lang" =!= Sampling.MixWeights.head._1)
+        .write.parquet(s"$tmp/documents.parquet")
+      assert(Sampling.qMixtureRebalance(spark, tmp).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("dup clusters: every LSH pair is co-clustered and cluster_id is the member min") {
     val clusters = Clustering.qDupClusters(spark, Sf0001).cache()
     try {
