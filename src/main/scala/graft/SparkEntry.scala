@@ -88,6 +88,7 @@ object SparkEntry {
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
+    "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
     // ingestion chain: JSON enrich, validation routing, scalar/date fns
@@ -243,6 +244,7 @@ object SparkEntry {
     "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
+    "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
     "q_ann_ivf"            -> Similarity.sqlAnnIvf,
     "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
     "q_json_enrich"        -> Ingestion.sqlJsonEnrich,

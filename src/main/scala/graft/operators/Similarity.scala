@@ -170,34 +170,52 @@ object Similarity {
 
   // ------------------------------------------------------------------
   // ANN via IVF cells: every vector is assigned to its nearest of
-  // NumCells centroid vectors (argmax cosine, centroid-id tie-break);
-  // a query probes its own cell only (nprobe=1). The inverted-file
+  // NumCells k-means centroids (argmax cosine, centroid-id tie-break);
+  // a query probes its IvfNprobe nearest cells. The inverted-file
   // counterpart to the hyperplane LSH path: assignment is one
   // broadcast join against the centroids (K cosines per row, codegen'd
-  // dot), then the search shuffles on cell id only. Centroids here are
-  // the first NumCells corpus vectors — a deterministic stand-in for
-  // the k-means step (which is training, not query, work).
+  // dot), then the search shuffles on cell id only. The centroids are
+  // REAL seeded-k-means output, frozen as exact 2^-20-grid constants
+  // ([[IvfGateCentroids]]) so the DuckDB oracle scores the identical
+  // index — the k-means step is training work, run once per index
+  // build, never per query. Each corpus vector lives in exactly one
+  // cell, so the nprobe cells contribute disjoint candidate sets (no
+  // dedup needed).
   // ------------------------------------------------------------------
   val NumCells = 8
+  val IvfNprobe = 2
+  /** 2^20: the centroid quantization denominator (exact in double). */
+  private val CentDenom = (1L << 20).toDouble
+
+  def ivfGateCentroids: Seq[Seq[Double]] =
+    IvfGateCentroids.Nums.map(_.map(_ / CentDenom))
 
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
-    val cents = base.filter($"vec_id" < NumCells)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nv".as("ncv"))
+    val cents = ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = base.join(broadcast(cents))
+    // One ranking pass feeds both the inverted file (rk = 1) and the
+    // query probe list (rk ≤ nprobe) — materialized once.
+    val ranked = base.join(broadcast(cents))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" === 1)
+      .filter($"rk" <= IvfNprobe)
+      .persist()
+    ranked.count() // eager: the inverted file + probe lists, built once
+    val assigned = ranked.filter($"rk" === 1)
       .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
-      .persist() // the inverted file: built once, probed by the query join
-    assigned.count() // eager materialization
-    val queries = assigned.filter($"vec_id" < 10)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"), $"cell")
+    val queryCells = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    val queries = ranked.filter($"vec_id" < 10 && $"rk" === 1)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    assigned.join(broadcast(queries), Seq("cell"))
+    assigned.join(broadcast(queryCells), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(queries), Seq("query_id"))
       .select($"query_id", $"vec_id",
         cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -206,22 +224,32 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  val sqlAnnIvf: String =
+  val sqlAnnIvf: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / ${CentDenom.toLong}.0))"
+    }.mkString(",\n  ")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |a AS (SELECT vec_id, v, cell FROM (
-       |    SELECT v.vec_id, v.v, c.vec_id AS cell,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY ${sqlCosine("v.v", "c.v")} DESC, c.vec_id) AS rk
-       |    FROM v JOIN v c ON c.vec_id < $NumCells)
-       |  WHERE rk = 1),
-       |c2 AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |c(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT v.vec_id, v.v, c.cent_id,
+       |        ${sqlCosine("v.v", "c.cv")} AS ccos
+       |      FROM v CROSS JOIN c),
+       |r AS (SELECT vec_id, v, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, v, cent_id AS cell FROM r WHERE rk = 1),
+       |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
+       |       WHERE vec_id < 10 AND rk <= $IvfNprobe),
+       |c2 AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
        |        ${sqlCosine("q.v", "a.v")} AS cosine
-       |      FROM a q JOIN a ON q.cell = a.cell AND q.vec_id < 10 AND a.vec_id <> q.vec_id)
+       |      FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |      JOIN v q ON q.vec_id = qc.query_id)
        |SELECT query_id, rank, neighbor_id, cosine FROM (
        |  SELECT query_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM c2)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // Embedding near-dup pairs: same-bucket candidates with cosine above
@@ -345,6 +373,60 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+  }
+
+  // ------------------------------------------------------------------
+  // Gate face of [[annLshTopK]] — the scale-parameterized banded path
+  // under the driver's hard oracle, with small-but-real parameters:
+  // 2 bands × 8 bits = 256 buckets PER BAND (a keyspace that grows as
+  // 2^bitsPerBand, not the fixed 16 of [[qAnnLsh]]), multi-probe
+  // radius 1. The planes are sha-deterministic (planesFor), so the
+  // DuckDB oracle rebuilds the identical band keys, probe masks, and
+  // exact-cosine rerank. AnnRecallSpec separately proves the SAME
+  // function at production params (12×12, radius 3) reaches ≥0.9
+  // recall vs brute force.
+  // ------------------------------------------------------------------
+  val BandedGate = LshParams(bands = 2, bitsPerBand = 8, probeRadius = 1)
+
+  def qAnnLshBanded(spark: SparkSession, dir: String): DataFrame =
+    annLshTopK(vecs(spark, dir), $"vec_id" < 10, 3, BandedGate)
+      .orderBy($"query_id", $"rank")
+
+  val sqlAnnLshBanded: String = {
+    val p = BandedGate
+    val pls = planesFor(p.numPlanes)
+    def planeLit(idx: Int): String =
+      pls(idx).map(c => c.toLong.toString + ".0").mkString("[", ", ", "]::DOUBLE[]")
+    def keyExpr(b: Int, v: String): String =
+      (0 until p.bitsPerBand).map { i =>
+        val dot = sqlFsum(
+          s"list_transform(range(1, $Dims + 1), i -> ($v)[i] * (${planeLit(b * p.bitsPerBand + i)})[i])")
+        s"(CASE WHEN ($dot) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")::INTEGER")
+    val bandKeys = (0 until p.bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${keyExpr(b, "v")} AS key FROM v")
+      .mkString("\n  UNION ALL\n  ")
+    val masks = probeMasks(p).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |keys AS (
+       |  $bandKeys),
+       |probes AS (
+       |  SELECT k.vec_id AS query_id, k.band, xor(k.key, m.mask)::INTEGER AS key
+       |  FROM keys k CROSS JOIN (SELECT unnest($masks) AS mask) m
+       |  WHERE k.vec_id < 10),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, i.vec_id
+       |  FROM keys i JOIN probes p ON i.band = p.band AND i.key = p.key
+       |  WHERE i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ${sqlCosine("q.v", "n.v")} AS cosine
+       |  FROM cands c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Deterministic k-means centroids for the IVF index (fixed seed —

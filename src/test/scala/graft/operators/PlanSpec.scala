@@ -178,4 +178,16 @@ class PlanSpec extends SparkSpec {
     // presentation sort
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
+
+  test("q_ann_lsh_banded: probes broadcast over the postings index — no corpus shuffle to find candidates") {
+    val plan = executed(Similarity.qAnnLshBanded(spark, Sf0001))
+    // candidate generation must be a broadcast join (probe keys are
+    // tiny: queries × bands × probes); shuffling the full postings
+    // index on (band, key) would move the whole corpus per query batch
+    assert(plan.contains("BroadcastHashJoin"))
+    // the index side carries only (vec_id, band, key) — the fat
+    // embedding vector must not ride the candidate join
+    val genLines = plan.linesIterator.filter(_.contains("Generate posexplode")).toSeq
+    assert(genLines.nonEmpty)
+  }
 }
