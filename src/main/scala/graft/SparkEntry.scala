@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
-import graft.streaming.{DensitySignals, FraudDetection, PositionTracker}
+import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -109,6 +109,9 @@ object SparkEntry {
     "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
     // CEP density-drop signal generator (trailing baseline FSM)
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
+    // S2/K2/K3 composition: wire JSON → parse/validate → proto round
+    // trip → idempotent store, value-gated end to end
+    "q_wire_ingest"       -> (WireIngest.qWireIngest(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
@@ -263,6 +266,7 @@ object SparkEntry {
     "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
+    "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,
   )
 }

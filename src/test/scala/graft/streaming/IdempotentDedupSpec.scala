@@ -73,4 +73,46 @@ class IdempotentDedupSpec extends SparkSpec {
     assert(oneBatch == expected)
     assert(perRow == expected)
   }
+
+  test("replay equivalence property: any consecutive micro-batch split of the same rows emits the same signals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Seeded random stream: 3 ids, gaps straddling the TTL both ways,
+    // occasional equal timestamps. The property: how the stream is cut
+    // into micro-batches (the one thing a replay never controls) must
+    // not change what survives dedup. Cuts are random; within-batch
+    // arrival order is shuffled (the operator sorts per batch); batches
+    // respect global event-time order, as any watermarked source does.
+    val rnd = new scala.util.Random(42)
+    val ids = Vector("sig-a", "sig-b", "sig-c")
+    var ts = 1000L
+    val rows = (1 to 60).map { _ =>
+      ts += (if (rnd.nextBoolean()) rnd.nextInt(900) else 900 + rnd.nextInt(1500)).toLong
+      SignalRow(ids(rnd.nextInt(ids.size)), "KRW-BTC", ts, rnd.nextInt(5).toDouble)
+    }
+
+    def run(name: String, batches: Seq[Seq[SignalRow]]): Seq[(String, Long, Double)] = {
+      val input = MemoryStream[SignalRow]
+      val q = dedupStream(input.toDS(), ttlMs = 1000L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name).as[SignalRow]
+          .collect().map(r => (r.signal_id, r.ts_ms, r.value)).sorted.toSeq
+      } finally q.stop()
+    }
+
+    val expected = run("dedup_prop_ref", Seq(rows))
+    assert(expected.nonEmpty && expected.size < rows.size) // both paths exercised
+    (1 to 3).foreach { i =>
+      val batches = rows.foldLeft(Vector(Vector.empty[SignalRow])) { (acc, r) =>
+        if (acc.last.nonEmpty && rnd.nextDouble() < 0.3)
+          acc :+ Vector(r)
+        else acc.init :+ (acc.last :+ r)
+      }.filter(_.nonEmpty).map(b => rnd.shuffle(b))
+      assert(batches.size > 3, s"split $i degenerate")
+      assert(run(s"dedup_prop_$i", batches) == expected,
+        s"split $i (${batches.size} batches) diverged from the one-batch replay")
+    }
+  }
 }
