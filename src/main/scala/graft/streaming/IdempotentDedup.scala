@@ -16,11 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * row by event time, not arrival order).
  *
  * Note: Spark 4's `transformWithState` offers native per-state TTL
- * (`TTLConfig` + RocksDB provider) and would be the idiomatic home for
- * this at cluster scale; in this environment that provider stalls, so
- * the TTL is event-time bookkeeping inside `flatMapGroupsWithState`
- * with identical semantics — and event-time TTL replays
- * deterministically, which processing-time TTL does not.
+ * (`TTLConfig` + RocksDB provider); that variant is implemented behind
+ * a flag in [[NativeTtlDedup]] and retried each round — in this
+ * environment the RocksDB provider stalls the first micro-batch (see
+ * the note there). Here the TTL is event-time bookkeeping inside
+ * `flatMapGroupsWithState` — which stays the canonical path anyway:
+ * event-time TTL replays deterministically (proven batching-invariant
+ * by the property spec), which processing-time TTL does not.
  */
 object IdempotentDedup {
 
