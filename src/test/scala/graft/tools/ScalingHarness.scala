@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Analytics, Clustering, Corpus, Similarity}
+import graft.sources.Tables
+import graft.streaming.PositionTracker
+
+/**
+ * Local proxy for the 100× mandate: run the five heaviest pipelines at
+ * sf0.1 and at a generated 10× replica of it, and report the runtime
+ * ratio — anything super-linear names a plan to fix. Results land in
+ * SCALING.md. Run with:
+ *   sbt "Test/runMain graft.tools.ScalingHarness"
+ *
+ * The 10× corpus replicates sf0.1 with shifted ids and per-replica
+ * content perturbation chosen to PRESERVE the data's structural
+ * densities (what linear scaling is measured against):
+ *  - documents: every token is prefixed with a replica tag, so
+ *    intra-replica near-dup families are preserved exactly while
+ *    cross-replica Jaccard is ~0 — family count grows 10×, family
+ *    SIZE stays constant (appending a suffix instead would create
+ *    cross-replica near-dups and quadratic pair growth by
+ *    construction, which would measure the data, not the plan);
+ *  - embeddings: deterministic per-(replica, dim) jitter keeps
+ *    vectors distinct while leaving the isotropic geometry alone;
+ *  - events: user ids shift per replica — 10× keys, constant per-key
+ *    history, the shape a stateful replay scales along.
+ */
+object ScalingHarness {
+  import graft.operators.Relational.ColInterp
+
+  val Replicas = 10
+
+  def generate(spark: SparkSession, src: String, dst: String): Unit = {
+    val docs = Tables.documents(spark, src)
+    val embs = Tables.embeddings(spark, src)
+    val evs = spark.read.parquet(s"$src/events.parquet")
+    def replicated(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Replicas).map(i => f(df, i)).reduce(_ unionByName _)
+
+    replicated(docs) { (d, i) =>
+      d.withColumn("doc_id", $"doc_id" + lit(i.toLong * 10000000L))
+        .withColumn("text",
+          if (i == 0) $"text"
+          else regexp_replace($"text", "(\\S+)", s"r$i" + "_$1"))
+    }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    replicated(embs) { (d, i) =>
+      d.withColumn("vec_id", $"vec_id" + lit(i.toLong * 10000000L))
+        .withColumn("embedding",
+          if (i == 0) $"embedding"
+          else transform($"embedding",
+            (x, j) => (x + (pmod(j * 31 + lit(i * 97), lit(19)) - 9)
+              .cast("float") * lit(0.002f)).cast("float")))
+    }.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    replicated(evs) { (d, i) =>
+      d.withColumn("event_id", $"event_id" + lit(i.toLong * 10000000L))
+        .withColumn("user_id", $"user_id" + lit(i.toLong * 1000000L))
+    }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+  }
+
+  private def annCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+  def pipelines(spark: SparkSession): Seq[(String, String => Long)] = Seq(
+    "lsh_pairs_clusters_decision" ->
+      (dir => Clustering.qDedupDecision(spark, dir).count()),
+    "corpus_verdict" ->
+      (dir => Corpus.qCorpusVerdict(spark, dir).count()),
+    "ann_lsh_topk_prod_params" ->
+      (dir => Similarity.annLshTopK(annCorpus(spark, dir),
+        $"vec_id" < 100, 5, Similarity.LshParams()).count()),
+    "position_replay" ->
+      (dir => PositionTracker.qPositionEvents(spark, dir).count()),
+    "winsorize" ->
+      (dir => Analytics.qWinsorize(spark, dir).count()))
+
+  private def resetCaches(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    Clustering.invalidateLabelCache()
+    Corpus.invalidateContamCache()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = "target/scaling_sf1"
+    if (!new java.io.File(s"$dst/events.parquet").exists()) {
+      println(s"[scaling] generating ${Replicas}x replica at $dst")
+      generate(spark, src, dst)
+    }
+    // JIT/codegen warmup on the small SF so neither scale pays it
+    pipelines(spark).foreach { case (_, fn) =>
+      resetCaches(spark); fn("/root/testdata/sf0.01")
+    }
+    val rows = pipelines(spark).map { case (name, fn) =>
+      def timed(dir: String): (Double, Long) = {
+        val samples = (1 to 2).map { _ =>
+          resetCaches(spark)
+          val t0 = System.nanoTime()
+          val n = fn(dir)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        samples.minBy(_._1)
+      }
+      val (t1, n1) = timed(src)
+      val (t10, n10) = timed(dst)
+      println(f"[scaling] $name%-30s sf0.1: $t1%7.2fs ($n1%9d rows)  10x: $t10%7.2fs ($n10%9d rows)  ratio ${t10 / t1}%5.2f")
+      (name, t1, n1, t10, n10, t10 / t1)
+    }
+    println("| pipeline | sf0.1 s | rows | 10x s | rows | time ratio |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { case (name, t1, n1, t10, n10, r) =>
+      println(f"| $name | $t1%.2f | $n1 | $t10%.2f | $n10 | $r%.2f |")
+    }
+    spark.stop()
+  }
+}
