@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -89,6 +89,7 @@ object SparkEntry {
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
+    "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
     // ingestion chain: JSON enrich, validation routing, scalar/date fns
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
     "q_sketch_stats"      -> (Sketches.qSketchStats(_, _)),
     "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
+    "q_incremental_rollup" -> (IncrementalAgg.qIncrementalRollup(_, _)),
     "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
     // CEP density-drop signal generator (trailing baseline FSM)
     "q_density_signals"   -> (DensitySignals.qDensitySignals(_, _)),
@@ -248,6 +250,8 @@ object SparkEntry {
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
+    "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,
+    "q_incremental_rollup" -> IncrementalAgg.sqlIncrementalRollup,
     "q_ann_ivf"            -> Similarity.sqlAnnIvf,
     "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
     "q_json_enrich"        -> Ingestion.sqlJsonEnrich,

@@ -50,4 +50,36 @@ object IncrementalAgg {
   /** Read-time derivation: exact decimal mean from the state. */
   def withAvg(state: DataFrame): DataFrame =
     state.withColumn("avg_v", ($"sum_v" / $"n").cast(DEC).cast("double"))
+
+  // ------------------------------------------------------------------
+  // Gate face: the merge path itself under the driver's value oracle.
+  // The Spark side computes rollup(delta₀) ⊕ rollup(delta₁) (events
+  // split by event_id parity — two "days"); the DuckDB oracle computes
+  // the single-pass aggregate over everything. They hash-equal exactly
+  // BECAUSE the state is an exact monoid — the merge ≡ recompute law
+  // the spec pins in-engine, here checked cross-engine on real data.
+  // ------------------------------------------------------------------
+  def qIncrementalRollup(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"event_id", $"event_type", ($"user_id" % 100).as("cohort"), $"value")
+    val keys = Seq("event_type", "cohort")
+    val merged = merge(
+      rollup(ev.filter($"event_id" % 2 === 0), keys, "value"),
+      rollup(ev.filter($"event_id" % 2 =!= 0), keys, "value"))
+    // avg derived in double on both sides (double ÷ long), sum exposed
+    // as double — the repo-wide r6 stance for cross-engine floats
+    merged.select($"event_type", $"cohort", $"n",
+      $"sum_v".cast("double").as("sum_v"), $"min_v", $"max_v")
+      .withColumn("avg_v", $"sum_v" / $"n")
+      .orderBy($"event_type", $"cohort")
+  }
+
+  val sqlIncrementalRollup: String =
+    """SELECT event_type, cohort, n, sum_v, min_v, max_v, sum_v / n AS avg_v
+      |FROM (
+      |  SELECT event_type, user_id % 100 AS cohort, count(*) AS n,
+      |    CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_v,
+      |    min(value) AS min_v, max(value) AS max_v
+      |  FROM events GROUP BY 1, 2)
+      |ORDER BY event_type, cohort""".stripMargin
 }

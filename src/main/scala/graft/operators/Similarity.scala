@@ -392,8 +392,11 @@ object Similarity {
     annLshTopK(vecs(spark, dir), $"vec_id" < 10, 3, BandedGate)
       .orderBy($"query_id", $"rank")
 
-  val sqlAnnLshBanded: String = {
-    val p = BandedGate
+  /** DuckDB body of the per-band sign-key table for [[BandedGate]]-
+    * style params: `SELECT vec_id, band, key FROM v` per band, the
+    * mirror of [[bandKeyCols]] (shared by the banded ANN and banded
+    * near-dup oracles). */
+  def sqlBandKeys(p: LshParams): String = {
     val pls = planesFor(p.numPlanes)
     def planeLit(idx: Int): String =
       pls(idx).map(c => c.toLong.toString + ".0").mkString("[", ", ", "]::DOUBLE[]")
@@ -403,13 +406,17 @@ object Similarity {
           s"list_transform(range(1, $Dims + 1), i -> ($v)[i] * (${planeLit(b * p.bitsPerBand + i)})[i])")
         s"(CASE WHEN ($dot) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString("(", " + ", ")::INTEGER")
-    val bandKeys = (0 until p.bands)
+    (0 until p.bands)
       .map(b => s"SELECT vec_id, $b AS band, ${keyExpr(b, "v")} AS key FROM v")
       .mkString("\n  UNION ALL\n  ")
+  }
+
+  val sqlAnnLshBanded: String = {
+    val p = BandedGate
     val masks = probeMasks(p).mkString("[", ", ", "]")
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |keys AS (
-       |  $bandKeys),
+       |  ${sqlBandKeys(p)}),
        |probes AS (
        |  SELECT k.vec_id AS query_id, k.band, xor(k.key, m.mask)::INTEGER AS key
        |  FROM keys k CROSS JOIN (SELECT unnest($masks) AS mask) m
@@ -428,6 +435,32 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Gate face of [[nearDupPairs]] — the banded near-dup path (the
+  // third scale-parameterized twin, alongside the banded ANN and real-
+  // centroid IVF gates) under the driver's hard oracle at the same
+  // 2-band × 8-bit params. Collision = agreement on ALL bits of at
+  // least one band (OR-amplification); exact cosine verifies.
+  // ------------------------------------------------------------------
+  val NearDupThreshold = 0.4
+
+  def qNearDupBanded(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(vecs(spark, dir), NearDupThreshold, BandedGate)
+      .orderBy($"vec_a", $"vec_b")
+
+  val sqlNearDupBanded: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |keys AS (
+       |  ${sqlBandKeys(BandedGate)}),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT p.vec_a, p.vec_b, ${sqlCosine("x.v", "y.v")} AS cosine
+       |  FROM p JOIN v x ON x.vec_id = p.vec_a JOIN v y ON y.vec_id = p.vec_b)
+       |WHERE cosine >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
 
   /** Deterministic k-means centroids for the IVF index (fixed seed —
     * training work, run once per index build). */
