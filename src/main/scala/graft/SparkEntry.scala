@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +85,7 @@ object SparkEntry {
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
     "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
     "q_length_histogram"  -> (TextOps.qLengthHistogram(_, _)),
+    "q_sequence_pack"     -> (Packing.qSequencePack(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
     "q_winsorize"          -> Analytics.sqlWinsorize,
     "q_length_histogram"   -> TextOps.sqlLengthHistogram,
+    "q_sequence_pack"      -> Packing.sqlSequencePack,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

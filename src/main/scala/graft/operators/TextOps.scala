@@ -142,7 +142,7 @@ object TextOps {
   // digit runs, and single punctuation marks (the GPT-2-style
   // pre-tokenization shape), all as one codegen'd regexp pass.
   // ------------------------------------------------------------------
-  private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private[operators] val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsSharded(spark, dir)

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.SparkSpec.Sf0001
+
+class PackingSpec extends SparkSpec {
+
+  private lazy val rows = Packing.qSequencePack(spark, Sf0001)
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+  // (doc_id, shard, n_tokens, bin, bin_fill)
+
+  test("sequence packing: every doc packed once, fills reconcile, budget respected") {
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((shard, bin), members) =>
+      val total = members.map(_._3).sum
+      // the last fill recorded in a bin is the bin's token total
+      assert(members.maxBy(_._1)._5 == total, s"shard $shard bin $bin fill mismatch")
+      // only an oversized single document may exceed the budget
+      assert(total <= Packing.TokenBudget || members.length == 1,
+        s"shard $shard bin $bin overpacked: $total tokens in ${members.length} docs")
+    }
+  }
+
+  test("sequence packing: bins are contiguous, zero-based, and closed only on overflow") {
+    rows.groupBy(_._2).foreach { case (shard, ms) =>
+      val walk = ms.sortBy(_._1)
+      assert(walk.head._4 == 0L, s"shard $shard must start at bin 0")
+      walk.sliding(2).foreach {
+        case Array((_, _, _, b1, f1), (_, _, n2, b2, f2)) =>
+          if (b2 == b1) assert(f2 == f1 + n2) // same bin: fill accumulates
+          else {
+            assert(b2 == b1 + 1, s"shard $shard skipped a bin")
+            assert(f1 + n2 > Packing.TokenBudget, // closed only when forced
+              s"shard $shard closed bin $b1 with room to spare")
+            assert(f2 == n2)
+          }
+        case _ =>
+      }
+    }
+  }
+
+  test("sequence packing plan: one hash shuffle on shard feeds the streaming fold") {
+    val plan = Packing.qSequencePack(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
