@@ -107,6 +107,7 @@ object SparkEntry {
     "q_kpi_slippage"      -> (Kpi.qKpiSlippage(_, _)),
     "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
     "q_sketch_stats"      -> (Sketches.qSketchStats(_, _)),
+    "q_corpus_overlap"    -> (Sketches.qCorpusOverlap(_, _)),
     "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
     "q_incremental_rollup" -> (IncrementalAgg.qIncrementalRollup(_, _)),
     "q_status_pivot"      -> (Analytics.qStatusPivot(_, _)),
@@ -268,6 +269,7 @@ object SparkEntry {
     "q_kpi_slippage"       -> Kpi.sqlKpiSlippage,
     "q_quantiles"          -> Analytics.sqlQuantiles,
     "q_sketch_stats"       -> Sketches.sqlSketchStats,
+    "q_corpus_overlap"     -> Sketches.sqlCorpusOverlap,
     "q_kpi_rollup"         -> Analytics.sqlKpiRollup,
     "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,

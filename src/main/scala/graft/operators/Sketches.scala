@@ -82,4 +82,94 @@ object Sketches {
        |      FROM events)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Corpus-pair overlap estimation: "should corpus A be deduped
+  // against corpus B?" — the planning metric a multi-source training
+  // pipeline computes BEFORE paying for a cross-corpus dedup join.
+  // A corpus-level MinHash signature is the component-wise min of the
+  // per-document signatures (one map-side-combined aggregate per
+  // corpus — the shuffle carries NumHashes longs per corpus, not
+  // content), and matching-component fraction estimates the
+  // shingle-set Jaccard. The gate also computes the EXACT corpus-pair
+  // Jaccard (one shuffle of slim (h, corpus) rows) so the estimate and
+  // its ground truth sit in the same hash-compared row — at 100 TB
+  // you keep the sketch column and drop the exact one.
+  // Corpora here are the deterministic doc_id % 3 split (near-dup
+  // families straddle it, so overlaps are non-trivial).
+  // ------------------------------------------------------------------
+  val OverlapCorpora = 3
+
+  def qCorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextKernelFunctions
+    val K = Dedup.NumHashes
+    val docs = Tables.documentsSharded(spark, dir)
+      .select(($"doc_id" % OverlapCorpora).as("corpus"),
+        TextKernelFunctions.shingleHashes($"text").as("sh"),
+        TextKernelFunctions.minhashSig($"text").as("sig"))
+      .persist() // one shingle/sig pass feeds both the sketch and the exact branch
+    docs.count()
+    // corpus signature: component-wise min over docs (empty docs carry
+    // -1 sentinels and must not poison the min)
+    val minExprs = (0 until K).map { k =>
+      min(when(element_at($"sig", k + 1) =!= -1L, element_at($"sig", k + 1))).as(s"m$k")
+    }
+    val sigs = docs.groupBy($"corpus").agg(minExprs.head, minExprs.tail: _*)
+    val est = sigs.as("a").join(sigs.as("b"), col("a.corpus") < col("b.corpus"))
+      .select(col("a.corpus").as("corpus_a"), col("b.corpus").as("corpus_b"),
+        ((0 until K).map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / K).as("est_jaccard"))
+    val flags = docs.select($"corpus", explode($"sh").as("h")).distinct()
+      .groupBy($"h").agg(
+        max(when($"corpus" === 0, 1L).otherwise(0L)).as("c0"),
+        max(when($"corpus" === 1, 1L).otherwise(0L)).as("c1"),
+        max(when($"corpus" === 2, 1L).otherwise(0L)).as("c2"))
+    val counts = flags.agg(
+      sum($"c0" * $"c1").as("i01"), sum(greatest($"c0", $"c1")).as("u01"),
+      sum($"c0" * $"c2").as("i02"), sum(greatest($"c0", $"c2")).as("u02"),
+      sum($"c1" * $"c2").as("i12"), sum(greatest($"c1", $"c2")).as("u12"))
+    val exact = counts.selectExpr(
+      "stack(3, 0L, 1L, i01, u01, 0L, 2L, i02, u02, 1L, 2L, i12, u12) as (corpus_a, corpus_b, inter, uni)")
+      .select($"corpus_a", $"corpus_b",
+        ($"inter".cast("double") / $"uni").as("exact_jaccard"))
+    est.join(exact, Seq("corpus_a", "corpus_b"))
+      .select($"corpus_a", $"corpus_b", $"est_jaccard", $"exact_jaccard")
+      .orderBy($"corpus_a", $"corpus_b")
+  }
+
+  val sqlCorpusOverlap: String = {
+    import graft.functions.Hashing
+    val K = Dedup.NumHashes
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
+    val hsh = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
+    val sig = Hashing.sqlMinhash(strs, K)
+    val mins = (0 until K)
+      .map(k => s"min(CASE WHEN sig[${k + 1}] <> -1 THEN sig[${k + 1}] END) AS m$k")
+      .mkString(",\n       ")
+    val matches = (0 until K)
+      .map(k => s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id % $OverlapCorpora AS corpus, $hsh AS sh, $sig AS sig
+       |           FROM documents),
+       |m AS (SELECT corpus,
+       |       $mins
+       |      FROM d GROUP BY 1),
+       |est AS (SELECT a.corpus AS corpus_a, b.corpus AS corpus_b,
+       |          ($matches)::DOUBLE / $K AS est_jaccard
+       |        FROM m a JOIN m b ON a.corpus < b.corpus),
+       |f AS (SELECT h,
+       |        max(CASE WHEN corpus = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+       |        max(CASE WHEN corpus = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+       |        max(CASE WHEN corpus = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+       |      FROM (SELECT DISTINCT corpus, unnest(sh) AS h FROM d) GROUP BY h),
+       |c AS (SELECT sum(c0*c1) AS i01, sum(greatest(c0,c1)) AS u01,
+       |        sum(c0*c2) AS i02, sum(greatest(c0,c2)) AS u02,
+       |        sum(c1*c2) AS i12, sum(greatest(c1,c2)) AS u12 FROM f),
+       |x AS (SELECT 0::BIGINT AS corpus_a, 1::BIGINT AS corpus_b, i01 AS inter, u01 AS uni FROM c
+       |      UNION ALL SELECT 0, 2, i02, u02 FROM c
+       |      UNION ALL SELECT 1, 2, i12, u12 FROM c)
+       |SELECT est.corpus_a, est.corpus_b, est_jaccard, inter::DOUBLE / uni AS exact_jaccard
+       |FROM est JOIN x ON est.corpus_a = x.corpus_a AND est.corpus_b = x.corpus_b
+       |ORDER BY 1, 2""".stripMargin
+  }
 }
