@@ -116,6 +116,7 @@ object SparkEntry {
     // S2/K2/K3 composition: wire JSON → parse/validate → proto round
     // trip → idempotent store, value-gated end to end
     "q_wire_ingest"       -> (WireIngest.qWireIngest(_, _)),
+    "q_wire_books"        -> (WireIngest.qWireBooks(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
@@ -275,6 +276,7 @@ object SparkEntry {
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
+    "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,
   )
 }

@@ -91,6 +91,80 @@ object WireIngest {
       .orderBy($"sequential_id")
   }
 
+  // ------------------------------------------------------------------
+  // Orderbook face: the NESTED proto path (repeated OrderBookLevel
+  // messages inside OrderBookUpdate) under the same kind of value
+  // gate. Frames vary by event_id % 6 — full 3-level book (0),
+  // `timestamp` absent so `event_timestamp` back-fills (1), one unit
+  // missing its ask side so per-side filtering keeps it bids-only (2),
+  // non-book type (3, dropped), absent code (4, dropped), no units and
+  // no totals → proto3 empty-list/zero defaults (5). The decoded
+  // books are projected to flattened columns the oracle recomputes
+  // from `events` directly.
+  // ------------------------------------------------------------------
+  def bookFrames(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", unix_millis($"ts").as("ts_ms"),
+        $"user_id", $"event_type", $"value")
+    val m = $"event_id" % 6
+    def unit(j: Int) = {
+      // variant 2 drops the ask side of unit 0 only
+      val askPresent = if (j == 0) m =!= 2 else lit(true)
+      struct(
+        when(askPresent, $"value" + j).as("ask_price"),
+        when(askPresent, $"user_id".cast("double") + j).as("ask_size"),
+        ($"value" - j).as("bid_price"),
+        ($"user_id".cast("double") + 10 + j).as("bid_size"))
+    }
+    ev.select(
+      $"ts_ms",
+      to_json(struct(
+        when(m =!= 3, lit("orderbook")).otherwise(lit("trade")).as("type"),
+        when(m =!= 4, concat(lit("B-"), lpad($"event_id".cast("string"), 9, "0"))).as("code"),
+        when(m.isin(0, 1, 2), $"value" * 2).as("total_ask_size"),
+        when(m.isin(0, 1, 2), $"value" * 3).as("total_bid_size"),
+        when(m.isin(0, 1, 2), array(unit(0), unit(1), unit(2))).as("orderbook_units"),
+        when(m =!= 1, $"ts_ms").as("timestamp"),
+        when(m === 1, $"ts_ms").as("event_timestamp"))).as("frame"))
+  }
+
+  def qWireBooks(spark: SparkSession, dir: String): DataFrame = {
+    val books = UpbitWire.parseOrderBooks(
+      bookFrames(spark, dir), "frame", "Upbit", $"ts_ms" + 7)
+    val decoded = Streams.orderBooksFromProtoRecords(
+      Streams.orderBookProtoRecords(books))
+    decoded.select(
+      $"code",
+      $"totalAskSize".as("total_ask"),
+      $"totalBidSize".as("total_bid"),
+      size($"asks").cast("long").as("n_asks"),
+      size($"bids").cast("long").as("n_bids"),
+      try_element_at($"asks", lit(1)).getField("price").as("best_ask_price"),
+      try_element_at($"asks", lit(1)).getField("size").as("best_ask_size"),
+      try_element_at($"bids", lit(1)).getField("price").as("best_bid_price"),
+      try_element_at($"bids", lit(1)).getField("size").as("best_bid_size"),
+      $"eventTimestampMs".as("event_ts_ms"),
+      $"receivedTimestampMs".as("recv_ms"))
+      .orderBy($"code")
+  }
+
+  val sqlWireBooks: String =
+    """SELECT
+      |  'B-' || lpad(event_id::VARCHAR, 9, '0') AS code,
+      |  CASE WHEN event_id % 6 IN (0, 1, 2) THEN value * 2 ELSE 0.0 END AS total_ask,
+      |  CASE WHEN event_id % 6 IN (0, 1, 2) THEN value * 3 ELSE 0.0 END AS total_bid,
+      |  CASE WHEN event_id % 6 IN (0, 1) THEN 3 WHEN event_id % 6 = 2 THEN 2 ELSE 0 END::BIGINT AS n_asks,
+      |  CASE WHEN event_id % 6 IN (0, 1, 2) THEN 3 ELSE 0 END::BIGINT AS n_bids,
+      |  CASE WHEN event_id % 6 IN (0, 1) THEN value WHEN event_id % 6 = 2 THEN value + 1 END AS best_ask_price,
+      |  CASE WHEN event_id % 6 IN (0, 1) THEN user_id::DOUBLE WHEN event_id % 6 = 2 THEN user_id::DOUBLE + 1 END AS best_ask_size,
+      |  CASE WHEN event_id % 6 IN (0, 1, 2) THEN value END AS best_bid_price,
+      |  CASE WHEN event_id % 6 IN (0, 1, 2) THEN user_id::DOUBLE + 10 END AS best_bid_size,
+      |  epoch_ms(ts) AS event_ts_ms,
+      |  epoch_ms(ts) + 7 AS recv_ms
+      |FROM events
+      |WHERE event_id % 6 IN (0, 1, 2, 5)
+      |ORDER BY code""".stripMargin
+
   /** Oracle: the expected post-chain values computed straight from
     * `events` — survivors are event_id % 7 ∈ {0,1,2,6}; every field
     * follows the connector/mapper semantics the chain implements. */
