@@ -179,6 +179,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("q_incremental_rollup: both deltas combine map-side before one hash shuffle") {
+    val plan = executed(IncrementalAgg.qIncrementalRollup(spark, Sf0001))
+    assert(plan.contains("partial_count") || plan.contains("partial"))
+    // merge(rollup(d0), rollup(d1)) must not multiply shuffles: the two
+    // delta rollups + the merge re-aggregate and the presentation sort
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3)
+  }
+
+  test("q_corpus_overlap: corpus signatures aggregate map-side; exact branch shuffles slim (h, corpus) rows only") {
+    val plan = executed(Sketches.qCorpusOverlap(spark, Sf0001))
+    assert(plan.contains("partial"))
+    // the shingle arrays are exploded AFTER the persisted store — the
+    // per-hash flag aggregate must not carry the arrays
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      "tiny 3-row signature self-join may broadcast, but nothing bigger may go nested-loop")
+  }
+
   test("q_ann_lsh_banded: probes broadcast over the postings index — no corpus shuffle to find candidates") {
     val plan = executed(Similarity.qAnnLshBanded(spark, Sf0001))
     // candidate generation must be a broadcast join (probe keys are
