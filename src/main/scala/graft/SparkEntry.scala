@@ -80,6 +80,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Sampling.qStratifiedSample(_, _)),
     "q_epoch_shuffle"     -> (Sampling.qEpochShuffle(_, _)),
     "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
+    "q_temperature_mix"   -> (Sampling.qTemperatureMix(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_stratified_sample"  -> Sampling.sqlStratifiedSample,
     "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,
     "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
+    "q_temperature_mix"    -> Sampling.sqlTemperatureMix,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,

@@ -205,6 +205,53 @@ object Sampling {
       .orderBy($"lang", $"rk")
   }
 
+  // ------------------------------------------------------------------
+  // Temperature mixing ("multinomial sampling with α = 0.5"): quotas
+  // proportional to cnt_s^α instead of fixed weights — the standard
+  // multi-source trick that upsamples small sources without letting
+  // the largest one dominate (GPT-3 §2.2, XLM-R §3.1 style). All math
+  // stays in exact integers: w_s = ⌊√cnt_s⌋ is exact in double for any
+  // cnt < 2^52 (so floor(sqrt(·)) agrees bit-for-bit across engines),
+  // and quotas are integer division against Σw. A quota may exceed a
+  // tiny stratum's size — the draw then takes the whole stratum (no
+  // replacement), which is the conventional cap. Same shape at scale
+  // as [[qMixtureRebalance]]: tiny count aggregate, broadcast quotas,
+  // one per-stratum ranking window; text never moves.
+  // ------------------------------------------------------------------
+  val TempTargetN = 200L
+
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", sampleKey(Seed, $"doc_id").as("sample_key"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", floor(sqrt($"cnt".cast("double"))).cast("long"))
+    val tot = counts.agg(sum($"w").as("w_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select($"lang", $"cnt", $"w", expr(s"$TempTargetN * w div w_tot").as("quota"))
+    val rw = Window.partitionBy($"lang").orderBy($"sample_key", $"doc_id")
+    docs.withColumn("rk", row_number().over(rw).cast("long"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"lang", $"cnt", $"w", $"quota", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  val sqlTemperatureMix: String = {
+    val k = sqlSampleKey(Seed, "doc_id")
+    s"""WITH d AS (SELECT doc_id, lang, $k AS sample_key FROM documents),
+       |c AS (SELECT lang, count(*) AS cnt, floor(sqrt(count(*)))::BIGINT AS w
+       |      FROM d GROUP BY 1),
+       |t AS (SELECT sum(w)::BIGINT AS w_tot FROM c),
+       |q AS (SELECT lang, cnt, w, ($TempTargetN * w) // w_tot AS quota
+       |      FROM c CROSS JOIN t),
+       |r AS (SELECT doc_id, lang, sample_key,
+       |        row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rk
+       |      FROM d)
+       |SELECT doc_id, lang, cnt, w, quota, rk
+       |FROM r JOIN q USING (lang) WHERE rk <= quota
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val sqlMixtureRebalance: String = {
     val k = sqlSampleKey(Seed, "doc_id")
     val values = MixWeights.map { case (l, v) => s"('$l', $v)" }.mkString(", ")
