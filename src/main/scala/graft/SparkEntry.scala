@@ -68,6 +68,7 @@ object SparkEntry {
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
+    "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
     "q_filter_funnel"     -> (Corpus.qFilterFunnel(_, _)),
     "q_corpus_verdict"    -> (Corpus.qCorpusVerdict(_, _)),
     // embedding vector ops: normalize, mean-pool centroid, coherence
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
+    "q_contam_spans"       -> Corpus.sqlContamSpans,
     "q_filter_funnel"      -> Corpus.sqlFilterFunnel,
     "q_corpus_verdict"     -> Corpus.sqlCorpusVerdict,
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,

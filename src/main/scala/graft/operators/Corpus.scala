@@ -289,6 +289,58 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Span-level contamination: WHERE the eval overlap sits inside each
+  // document, not just how much. A long CONTIGUOUS run of
+  // eval-matching shingles is a verbatim leak (surgical removal or a
+  // hard drop); the same count scattered as isolated hits is usually
+  // natural n-gram coincidence — the doc-level ratio in
+  // [[qDecontaminate]] cannot tell them apart. Shingles here are
+  // ORDERED (not the distinct set): positions matter. Shape at scale:
+  // eval index broadcast (as in decontaminate), one corpus scan, and
+  // the run-detection shuffle carries only the sparse contaminated
+  // (doc_id, pos) pairs. Runs via the standard gaps-and-islands key
+  // (pos − row_number over pos): constant within a consecutive run.
+  // ------------------------------------------------------------------
+  def qContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        Hashing.wordShingles(Hashing.tokens($"text"), Dedup.ShingleN).as("sh"))
+    val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
+      .select(explode($"sh").as("s")).select(Hashing.h60($"s").as("h")).distinct()
+    val hits = docs.filter($"doc_id" % EvalMod =!= EvalRem)
+      .select($"doc_id", posexplode($"sh")).toDF("doc_id", "pos", "s")
+      .select($"doc_id", $"pos", Hashing.h60($"s").as("h"))
+      .join(broadcast(evalIndex), Seq("h"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("run_id", $"pos" - row_number().over(wDoc))
+      .groupBy($"doc_id", $"run_id").agg(count(lit(1)).as("run_len"))
+      .groupBy($"doc_id").agg(
+        sum($"run_len").cast("long").as("n_contaminated"),
+        max($"run_len").as("max_run"),
+        count(lit(1)).as("n_runs"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlContamSpans: String = {
+    val sh = Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)
+    s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
+       |ev AS (SELECT DISTINCT ${Hashing.sqlH60("s")} AS h
+       |       FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id % $EvalMod = $EvalRem)),
+       |p AS (SELECT doc_id, i AS pos, ${Hashing.sqlH60("sh[i]")} AS h
+       |      FROM d, unnest(range(1, len(sh) + 1)) AS t(i)
+       |      WHERE doc_id % $EvalMod != $EvalRem),
+       |hits AS (SELECT p.doc_id, p.pos FROM p JOIN ev USING (h)),
+       |runs AS (SELECT doc_id,
+       |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |         FROM hits),
+       |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2)
+       |SELECT doc_id, sum(run_len)::BIGINT AS n_contaminated,
+       |  max(run_len) AS max_run, count(*) AS n_runs
+       |FROM rl GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Filter funnel: the quality-filter cascade with per-rule
   // accounting — for each rule, how many documents the rule dropped
   // among the survivors of the rules before it, and how many remain.
