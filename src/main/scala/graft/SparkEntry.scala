@@ -69,6 +69,7 @@ object SparkEntry {
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
+    "q_source_health"     -> (Corpus.qSourceHealth(_, _)),
     "q_filter_funnel"     -> (Corpus.qFilterFunnel(_, _)),
     "q_corpus_verdict"    -> (Corpus.qCorpusVerdict(_, _)),
     // embedding vector ops: normalize, mean-pool centroid, coherence
@@ -216,6 +217,7 @@ object SparkEntry {
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_contam_spans"       -> Corpus.sqlContamSpans,
+    "q_source_health"      -> Corpus.sqlSourceHealth,
     "q_filter_funnel"      -> Corpus.sqlFilterFunnel,
     "q_corpus_verdict"     -> Corpus.sqlCorpusVerdict,
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,

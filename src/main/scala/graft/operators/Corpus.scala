@@ -289,6 +289,70 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Per-source corpus health: the report a multi-source pipeline
+  // publishes per ingest batch — for every `source`, document and
+  // token mass, exact-duplicate rate (non-canonical copies by content
+  // hash, same digest as [[Dedup.qExactDedup]]), and contamination
+  // rate (same eval-index probe as [[qDecontaminate]], via the shared
+  // memoized store). "Which source is polluting the corpus" is the
+  // question this answers the day a crawler misbehaves. Shape at
+  // scale: one corpus scan for tokens+digest, a digest-only shuffle
+  // for canonicals, the broadcast eval probe, then a tiny per-source
+  // aggregate.
+  // ------------------------------------------------------------------
+  def qSourceHealth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Hashing.tokens($"text")
+    val docs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", $"source",
+        size(regexp_extract_all($"text", lit(TextOps.BpeIshPattern), lit(0)))
+          .cast("long").as("n_tokens"),
+        sha2(concat_ws(" ", toks), 256).as("content_hash"))
+    val canon = docs.groupBy($"content_hash").agg(min($"doc_id").as("canonical_id"))
+    val contam = decontaminateCore(spark, dir).select($"doc_id", $"is_contaminated")
+    docs.join(canon, Seq("content_hash"))
+      .join(contam, Seq("doc_id"), "left") // eval docs have no contamination row
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"),
+        sum(when($"doc_id" =!= $"canonical_id", 1L).otherwise(0L)).as("n_dups"),
+        sum(when($"is_contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when($"is_contaminated".isNull, 1L).otherwise(0L)).as("n_eval"))
+      .withColumn("dup_rate", r6($"n_dups".cast("double") / $"n_docs"))
+      .withColumn("contam_rate", r6($"n_contaminated".cast("double") /
+        nullif(($"n_docs" - $"n_eval").cast("double"), lit(0.0))))
+      .orderBy($"source")
+  }
+
+  val sqlSourceHealth: String = {
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
+    val sh = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
+    val ratio = "coalesce(" +
+      rSql("len(list_intersect(d.sh, evl.hs)) / nullif(len(d.sh), 0)::DOUBLE") +
+      ", 0.0)"
+    s"""WITH t AS (SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '${TextOps.BpeIshPattern}'))::BIGINT AS n_tokens,
+       |    sha256(list_aggregate(${Hashing.sqlTokens("text")}, 'string_agg', ' ')) AS content_hash
+       |  FROM documents),
+       |canon AS (SELECT content_hash, min(doc_id) AS canonical_id FROM t GROUP BY 1),
+       |dsh AS (SELECT doc_id, $sh AS sh FROM documents),
+       |evl AS (SELECT coalesce(list(h), []) AS hs FROM (
+       |  SELECT DISTINCT unnest(sh) AS h FROM dsh WHERE doc_id % $EvalMod = $EvalRem)),
+       |cont AS (SELECT d.doc_id, $ratio >= $ContamThreshold AS is_contaminated
+       |         FROM dsh d, evl WHERE d.doc_id % $EvalMod != $EvalRem),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |    sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       |    sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |    sum(CASE WHEN is_contaminated IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_eval
+       |  FROM t JOIN canon USING (content_hash) LEFT JOIN cont USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_dups, n_contaminated, n_eval,
+       |  ${rSql("n_dups / n_docs")} AS dup_rate,
+       |  ${rSql("n_contaminated / nullif(n_docs - n_eval, 0)")} AS contam_rate
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Span-level contamination: WHERE the eval overlap sits inside each
   // document, not just how much. A long CONTIGUOUS run of
   // eval-matching shingles is a verbatim leak (surgical removal or a
