@@ -91,6 +91,7 @@ object SparkEntry {
     "q_sequence_pack"     -> (Packing.qSequencePack(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
+    "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
     "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "q_simhash_pairs"      -> Dedup.sqlSimhashPairs,
     "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
+    "q_hard_negatives"     -> Similarity.sqlHardNegatives,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
     "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,

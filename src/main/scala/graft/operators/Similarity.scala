@@ -93,6 +93,44 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ------------------------------------------------------------------
+  // Hard-negative mining: for each query, the most-similar vectors
+  // with a DIFFERENT label — the contrastive-training data-prep step
+  // (a hard negative is near in embedding space but semantically
+  // other). Same broadcast-queries / one-corpus-scan shape as the
+  // brute top-k; the label inequality rides the join condition so
+  // same-label rows never reach the ranking window.
+  // ------------------------------------------------------------------
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"), $"label")
+      .withColumn("nv", normCol($"v"))
+    val queries = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"),
+        $"label".as("q_label"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    base.join(broadcast(queries), $"label" =!= $"q_label")
+      .select($"query_id", $"q_label", $"vec_id", $"label".as("neg_label"),
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("negative_id"),
+        $"q_label", $"neg_label", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlHardNegatives: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+       |c AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+       |        v.vec_id AS negative_id, v.label AS neg_label,
+       |        ${sqlCosine("q.v", "v.v")} AS cosine
+       |      FROM v q JOIN v ON q.vec_id < 10 AND v.label <> q.label)
+       |SELECT query_id, rank, negative_id, q_label, neg_label, cosine FROM (
+       |  SELECT query_id, q_label, negative_id, neg_label, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank
+       |  FROM c)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // -- DuckDB mirrors ------------------------------------------------
 
   /** DuckDB: strict left-fold sum over a DOUBLE list expression. */
