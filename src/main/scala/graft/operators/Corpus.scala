@@ -364,17 +364,20 @@ object Corpus {
   // the run-detection shuffle carries only the sparse contaminated
   // (doc_id, pos) pairs. Runs via the standard gaps-and-islands key
   // (pos − row_number over pos): constant within a consecutive run.
+  // The probe joins on the raw shingle STRING — unlike decontaminate's
+  // list-intersection math, an equi-join needs no engine-identical
+  // h60, and skipping it saves one sha256 per shingle OCCURRENCE
+  // (millions per corpus shard).
   // ------------------------------------------------------------------
   def qContamSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsSharded(spark, dir)
       .select($"doc_id",
         Hashing.wordShingles(Hashing.tokens($"text"), Dedup.ShingleN).as("sh"))
     val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
-      .select(explode($"sh").as("s")).select(Hashing.h60($"s").as("h")).distinct()
+      .select(explode($"sh").as("s")).distinct()
     val hits = docs.filter($"doc_id" % EvalMod =!= EvalRem)
       .select($"doc_id", posexplode($"sh")).toDF("doc_id", "pos", "s")
-      .select($"doc_id", $"pos", Hashing.h60($"s").as("h"))
-      .join(broadcast(evalIndex), Seq("h"))
+      .join(broadcast(evalIndex), Seq("s"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     hits
       .withColumn("run_id", $"pos" - row_number().over(wDoc))
@@ -389,12 +392,11 @@ object Corpus {
   val sqlContamSpans: String = {
     val sh = Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)
     s"""WITH d AS (SELECT doc_id, $sh AS sh FROM documents),
-       |ev AS (SELECT DISTINCT ${Hashing.sqlH60("s")} AS h
-       |       FROM (SELECT unnest(sh) AS s FROM d WHERE doc_id % $EvalMod = $EvalRem)),
-       |p AS (SELECT doc_id, i AS pos, ${Hashing.sqlH60("sh[i]")} AS h
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % $EvalMod = $EvalRem),
+       |p AS (SELECT doc_id, i AS pos, sh[i] AS s
        |      FROM d, unnest(range(1, len(sh) + 1)) AS t(i)
        |      WHERE doc_id % $EvalMod != $EvalRem),
-       |hits AS (SELECT p.doc_id, p.pos FROM p JOIN ev USING (h)),
+       |hits AS (SELECT p.doc_id, p.pos FROM p JOIN ev USING (s)),
        |runs AS (SELECT doc_id,
        |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
        |         FROM hits),
