@@ -78,7 +78,9 @@ object ScalingHarness {
     "position_replay" ->
       (dir => PositionTracker.qPositionEvents(spark, dir).count()),
     "winsorize" ->
-      (dir => Analytics.qWinsorize(spark, dir).count()))
+      (dir => Analytics.qWinsorize(spark, dir).count()),
+    "contam_spans" ->
+      (dir => Corpus.qContamSpans(spark, dir).count()))
 
   private def resetCaches(spark: SparkSession): Unit = {
     spark.sqlContext.clearCache()
