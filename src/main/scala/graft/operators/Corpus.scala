@@ -68,7 +68,7 @@ object Corpus {
        |  ((s - 1) // $ChunkStride)::BIGINT AS chunk_idx,
        |  s::BIGINT AS start_tok,
        |  len($chunk)::BIGINT AS n_chunk_tokens,
-       |  sha256(list_aggregate($chunk, 'string_agg', ' ')) AS chunk_hash
+       |  sha256(coalesce(list_aggregate($chunk, 'string_agg', ' '), '')) AS chunk_hash
        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
@@ -331,7 +331,7 @@ object Corpus {
       ", 0.0)"
     s"""WITH t AS (SELECT doc_id, source,
        |    len(regexp_extract_all(text, '${TextOps.BpeIshPattern}'))::BIGINT AS n_tokens,
-       |    sha256(list_aggregate(${Hashing.sqlTokens("text")}, 'string_agg', ' ')) AS content_hash
+       |    sha256(coalesce(list_aggregate(${Hashing.sqlTokens("text")}, 'string_agg', ' '), '')) AS content_hash
        |  FROM documents),
        |canon AS (SELECT content_hash, min(doc_id) AS canonical_id FROM t GROUP BY 1),
        |dsh AS (SELECT doc_id, $sh AS sh FROM documents),

@@ -45,7 +45,7 @@ object Dedup {
 
   val sqlExactDedup: String = {
     val t = Hashing.sqlTokens("text")
-    s"""SELECT sha256(list_aggregate($t, 'string_agg', ' ')) AS content_hash,
+    s"""SELECT sha256(coalesce(list_aggregate($t, 'string_agg', ' '), '')) AS content_hash,
        |  min(doc_id) AS canonical_id, count(*) AS n_copies
        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
   }

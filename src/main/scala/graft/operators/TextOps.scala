@@ -183,7 +183,7 @@ object TextOps {
   val sqlFingerprint: String = {
     val t = Hashing.sqlTokens("text")
     s"""SELECT doc_id,
-       |  sha256(list_aggregate($t, 'string_agg', ' ')) AS content_hash,
+       |  sha256(coalesce(list_aggregate($t, 'string_agg', ' '), '')) AS content_hash,
        |  list_reduce([0::BIGINT] || list_transform($t, w -> ${Hashing.sqlH60("w")}),
        |              (acc, h) -> (acc * 31 + h) % $RollMod) AS rolling_hash
        |FROM documents ORDER BY doc_id""".stripMargin

@@ -192,8 +192,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
     // the shingle arrays are exploded AFTER the persisted store — the
     // per-hash flag aggregate must not carry the arrays
-    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
-      "tiny 3-row signature self-join may broadcast, but nothing bigger may go nested-loop")
+    assert(!plan.contains("CartesianProduct"), "no join may fall back to a cartesian product")
+    // the one nested-loop join allowed is the tiny per-corpus signature
+    // self-join (3 corpus rows, broadcast); a second BNLJ would mean a
+    // real table went nested-loop
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"at most the 3-row signature self-join may be a BNLJ, found $bnlj")
   }
 
   test("q_ann_lsh_banded: probes broadcast over the postings index — no corpus shuffle to find candidates") {

@@ -6,7 +6,7 @@ import graft.GraftSession
 import graft.sources.Tables
 
 /** One-off generator for the frozen IVF gate centroids in
-  * [[graft.operators.Similarity.IvfGateCentroidNums]]: seeded k-means
+  * [[graft.operators.IvfGateCentroids.Nums]]: seeded k-means
   * (k = NumCells, seed 42) over the sf0.01 embeddings, each component
   * quantized to the 2^-20 grid (numerator = round(c·2^20)) so the
   * constant is EXACTLY representable in double and reconstructed

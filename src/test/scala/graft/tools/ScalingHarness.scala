@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.streaming.PositionTracker
 
 /**
- * Local proxy for the 100× mandate: run the five heaviest pipelines at
+ * Local proxy for the 100× mandate: run the six heaviest pipelines at
  * sf0.1 and at a generated 10× replica of it, and report the runtime
  * ratio — anything super-linear names a plan to fix. Results land in
  * SCALING.md. Run with:
