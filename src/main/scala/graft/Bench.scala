@@ -34,6 +34,7 @@ object Bench {
     // downstream job, which is exactly the warm-engine number.
     val tPre = System.nanoTime()
     try {
+      graft.operators.Corpus.shingleStore(spark, sfDir).count()
       graft.operators.Dedup.minhashLshPairsCore(spark, sfDir).count()
       graft.operators.Clustering.dupLabels(spark, sfDir).count()
       graft.operators.Corpus.decontaminateCore(spark, sfDir).count()
