@@ -89,6 +89,8 @@ object SparkEntry {
     "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
     "q_length_histogram"  -> (TextOps.qLengthHistogram(_, _)),
     "q_sequence_pack"     -> (Packing.qSequencePack(_, _)),
+    "q_sequence_pack_wide" -> (Packing.qSequencePackWide(_, _)),
+    "q_pack_stats"        -> (Packing.qPackStats(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
@@ -236,6 +238,8 @@ object SparkEntry {
     "q_winsorize"          -> Analytics.sqlWinsorize,
     "q_length_histogram"   -> TextOps.sqlLengthHistogram,
     "q_sequence_pack"      -> Packing.sqlSequencePack,
+    "q_sequence_pack_wide" -> Packing.sqlSequencePackWide,
+    "q_pack_stats"         -> Packing.sqlPackStats,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

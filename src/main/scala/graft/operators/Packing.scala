@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.SecondarySort
 import graft.sources.Tables
@@ -14,30 +15,50 @@ import graft.sources.Tables
  * same BPE-ish regex as [[TextOps.qTokenCount]] (so the count itself
  * is already value-gated).
  *
- * Algorithm: deterministic per-shard NEXT-FIT — docs are sharded by
- * `doc_id % NumShards`, walked in doc_id order, and a bin closes when
- * the next document would overflow [[TokenBudget]] (an oversized
- * document still gets a bin of its own). Packing is inherently a
- * sequential fold, so the scale shape is the repo's spillable
- * secondary-sort FSM (one shuffle on shard, external sort, O(1) state
- * per shard — core/SecondarySort.scala): 1000 executors pack 1000s of
- * shards independently, and shard count scales with the corpus while
- * the per-shard walk stays a cheap streaming pass. Next-fit (not
- * first-fit-decreasing) on a hash shard is the standard large-corpus
+ * Algorithm: deterministic per-shard NEXT-FIT — docs are walked in
+ * doc_id order within a shard, and a bin closes when the next document
+ * would overflow [[TokenBudget]] (an oversized document still gets a
+ * bin of its own). Packing is inherently a sequential fold, so the
+ * scale shape is the repo's spillable secondary-sort FSM (one shuffle
+ * on shard, external sort, O(1) state per shard —
+ * core/SecondarySort.scala).
+ *
+ * The shard key is a PARAMETER ([[packBy]]); two policies ship:
+ *
+ *   - `doc_id % NumShards` ([[qSequencePack]], the legacy 8-shard
+ *     oracle gate) — a fixed modulus caps concurrent walkers at the
+ *     modulus, so it is a test face, not the scale path;
+ *   - `doc_id div DocsPerShard` ([[qSequencePackWide]]) — block
+ *     sharding at a FIXED docs-per-shard, so shard count (and with it
+ *     walker parallelism) grows linearly with the corpus: ~125 shards
+ *     at sf0.01, millions at 100 TB, 1000 executors all busy. Because
+ *     a shard's membership depends only on the ids inside its block,
+ *     per-bin contents are invariant both to the total shard count and
+ *     to Spark's partition layout (PackingSpec pins the latter), and
+ *     appending new documents never repacks old shards — the property
+ *     an incremental dataloader needs.
+ *
+ * Next-fit (not first-fit-decreasing) is the standard large-corpus
  * choice: within-bin order stays document order, waste is bounded by
  * the mean doc length, and the result is reproducible under any
- * cluster layout.
+ * cluster layout. [[qPackStats]] reports the planning numbers a
+ * dataloader needs: bin count, fill rate, waste, oversize count.
  */
 object Packing {
   import Relational.ColInterp
 
+  private val DEC = DecimalType(18, 6)
+  private def r6(c: Column): Column = c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+
   val NumShards = 8
   val TokenBudget = 512L
+  val DocsPerShard = 4L
 
-  def qSequencePack(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared next-fit walk over an arbitrary integral shard key. */
+  def packBy(spark: SparkSession, dir: String, shardOf: Column): DataFrame = {
     import spark.implicits.newProductEncoder
     val toks = Tables.documentsSharded(spark, dir)
-      .select(($"doc_id" % NumShards).as("shard"), $"doc_id",
+      .select(shardOf.cast("long").as("shard"), $"doc_id",
         size(regexp_extract_all($"text", lit(TextOps.BpeIshPattern), lit(0)))
           .cast("long").as("n_tokens"))
       .as[(Long, Long, Long)]
@@ -60,13 +81,38 @@ object Packing {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: the same next-fit walk as a recursive CTE (one step per
-    * row per shard, joined on the shard-local row number). */
-  val sqlSequencePack: String =
+  def qSequencePack(spark: SparkSession, dir: String): DataFrame =
+    packBy(spark, dir, $"doc_id" % NumShards)
+
+  def qSequencePackWide(spark: SparkSession, dir: String): DataFrame =
+    packBy(spark, dir, expr(s"doc_id div $DocsPerShard"))
+
+  /** Fill-rate / waste summary over the block-sharded packing: the
+    * one-row planning report (how many sequences, how full, how many
+    * tokens of padding, how many oversized documents got solo bins). */
+  def qPackStats(spark: SparkSession, dir: String): DataFrame =
+    qSequencePackWide(spark, dir)
+      .groupBy($"shard", $"bin")
+      .agg(count(lit(1)).as("docs_in_bin"), sum($"n_tokens").as("bin_tokens"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum($"docs_in_bin").cast("long").as("n_docs"),
+        sum($"bin_tokens").cast("long").as("sum_tokens"),
+        sum(when($"bin_tokens" > TokenBudget, 1L).otherwise(0L)).as("n_oversize"),
+        sum(greatest(lit(TokenBudget) - $"bin_tokens", lit(0L))).cast("long")
+          .as("waste_tokens"))
+      .select($"n_bins", $"n_docs", $"sum_tokens", $"n_oversize", $"waste_tokens",
+        r6($"sum_tokens".cast("double") /
+          ($"n_bins" * TokenBudget).cast("double")).as("fill_rate"))
+
+  /** Oracle walk: the same next-fit fold as a recursive CTE (one step
+    * per row per shard, joined on the shard-local row number), over an
+    * arbitrary shard expression. */
+  private def sqlWalk(shardExpr: String): String =
     s"""WITH RECURSIVE d AS (
-       |  SELECT doc_id % $NumShards AS shard, doc_id,
+       |  SELECT $shardExpr AS shard, doc_id,
        |    len(regexp_extract_all(text, '${TextOps.BpeIshPattern}'))::BIGINT AS n_tokens,
-       |    row_number() OVER (PARTITION BY doc_id % $NumShards ORDER BY doc_id) AS rn
+       |    row_number() OVER (PARTITION BY $shardExpr ORDER BY doc_id) AS rn
        |  FROM documents),
        |walk(shard, rn, doc_id, n_tokens, bin, bin_fill) AS (
        |  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, n_tokens FROM d WHERE rn = 1
@@ -75,7 +121,30 @@ object Packing {
        |    CASE WHEN w.bin_fill + d.n_tokens > $TokenBudget THEN w.bin + 1 ELSE w.bin END,
        |    CASE WHEN w.bin_fill + d.n_tokens > $TokenBudget THEN d.n_tokens
        |         ELSE w.bin_fill + d.n_tokens END
-       |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)
+       |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)""".stripMargin
+
+  val sqlSequencePack: String =
+    s"""${sqlWalk(s"doc_id % $NumShards")}
        |SELECT doc_id, shard, n_tokens, bin, bin_fill
        |FROM walk ORDER BY doc_id""".stripMargin
+
+  val sqlSequencePackWide: String =
+    s"""${sqlWalk(s"doc_id // $DocsPerShard")}
+       |SELECT doc_id, shard, n_tokens, bin, bin_fill
+       |FROM walk ORDER BY doc_id""".stripMargin
+
+  val sqlPackStats: String =
+    s"""${sqlWalk(s"doc_id // $DocsPerShard")},
+       |bins AS (
+       |  SELECT shard, bin, count(*) AS docs_in_bin,
+       |    sum(n_tokens)::BIGINT AS bin_tokens
+       |  FROM walk GROUP BY 1, 2)
+       |SELECT count(*)::BIGINT AS n_bins,
+       |  sum(docs_in_bin)::BIGINT AS n_docs,
+       |  sum(bin_tokens)::BIGINT AS sum_tokens,
+       |  sum(CASE WHEN bin_tokens > $TokenBudget THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+       |  sum(greatest($TokenBudget - bin_tokens, 0))::BIGINT AS waste_tokens,
+       |  CAST(round(CAST(sum(bin_tokens)::DOUBLE /
+       |    (count(*) * $TokenBudget)::DOUBLE AS DECIMAL(28,12)), 6) AS DOUBLE) AS fill_rate
+       |FROM bins""".stripMargin
 }

@@ -41,6 +41,31 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("wide packing: per-bin contents invariant under walker parallelism") {
+    // block sharding (fixed docs-per-shard) decouples the shard key
+    // from the cluster layout: whatever spark.sql.shuffle.partitions
+    // is, SecondarySort.runs walks each shard's docs in id order, so
+    // the (doc_id, shard, bin, bin_fill) assignment must be identical
+    def run(): Seq[(Long, Long, Long, Long, Long)] =
+      Packing.qSequencePackWide(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val narrow =
+      try { spark.conf.set("spark.sql.shuffle.partitions", "4"); run() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val wide =
+      try { spark.conf.set("spark.sql.shuffle.partitions", "64"); run() }
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(narrow.nonEmpty && narrow == wide)
+  }
+
+  test("wide packing: shard count grows with the corpus (>= 64 shards at sf0.01)") {
+    val n = Packing.qSequencePackWide(spark, SparkSpec.Sf001)
+      .select("shard").distinct().count()
+    assert(n >= 64, s"expected block sharding to yield >= 64 shards at sf0.01, got $n")
+  }
+
   test("sequence packing plan: one hash shuffle on shard feeds the streaming fold") {
     val plan = Packing.qSequencePack(spark, Sf0001)
       .queryExecution.executedPlan.toString
