@@ -95,6 +95,7 @@ object SparkEntry {
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
+    "q_semantic_dedup"    -> (Similarity.qSemanticDedup(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
     "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_hard_negatives"     -> Similarity.sqlHardNegatives,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
+    "q_semantic_dedup"     -> Similarity.sqlSemanticDedup,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
     "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,
     "q_incremental_rollup" -> IncrementalAgg.sqlIncrementalRollup,

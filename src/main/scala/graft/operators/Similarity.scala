@@ -290,6 +290,76 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+  // cluster embeddings into k cells, call two same-cell members
+  // semantic duplicates when their pairwise cosine clears a threshold,
+  // and keep the centroid-nearest member of every duplicate relation.
+  // A member is DROPPED iff some same-cell member that is MORE CENTRAL
+  // (higher cosine-to-centroid; lower vec_id on exact ties) sits
+  // within the threshold — a deterministic pairwise-dominance rule, so
+  // both engines agree without replaying a greedy scan order. Scale
+  // shape: assignment is the broadcast-centroid join of the IVF index
+  // (k cosines per row, codegen'd dot); the pairwise check self-joins
+  // WITHIN a cell only (SemDeDup's deliberate quadratic-in-cluster
+  // step — k scales with the corpus in a real index build, keeping
+  // cells bounded), shuffling slim (cell, vec) rows on cell id.
+  // Centroids are the frozen seeded-k-means cells ([[IvfGateCentroids]])
+  // so the DuckDB oracle scores the identical clustering.
+  // ------------------------------------------------------------------
+  val SemDedupThreshold = 0.4
+
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val cents = ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = base.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos")
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") &&
+          (col("y.ccos") > col("x.ccos") ||
+            (col("y.ccos") === col("x.ccos") && col("y.vec_id") < col("x.vec_id"))) &&
+          cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv"))
+            >= SemDedupThreshold,
+        "leftsemi")
+      .select($"vec_id", lit(true).as("is_dropped"))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"ccos".as("cent_cos"),
+        $"is_dropped".isNull.as("is_kept"))
+      .orderBy($"vec_id")
+  }
+
+  val sqlSemanticDedup: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / ${CentDenom.toLong}.0))"
+    }.mkString(",\n  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT v.vec_id, v.v, c.cent_id,
+       |        ${sqlCosine("v.v", "c.cv")} AS ccos
+       |      FROM v CROSS JOIN c),
+       |r AS (SELECT vec_id, v, cent_id, ccos,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, v, cent_id::BIGINT AS cell, ccos FROM r WHERE rk = 1),
+       |drp AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+       |        ON y.cell = x.cell
+       |        AND (y.ccos > x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id))
+       |        AND ${sqlCosine("x.v", "y.v")} >= $SemDedupThreshold)
+       |SELECT a.vec_id, a.cell, a.ccos AS cent_cos,
+       |  drp.vec_id IS NULL AS is_kept
+       |FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Embedding near-dup pairs: same-bucket candidates with cosine above
   // threshold — the "near-dup by embedding" dedup operator, bucketed
   // so it scales like the MinHash LSH join.
