@@ -54,6 +54,7 @@ object SparkEntry {
     "q_tfidf"             -> (TextOps.qTfidf(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
+    "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_simhash"           -> (Dedup.qSimhash(_, _)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "q_lang_id"            -> TextOps.sqlLangId,
     "q_fingerprint"        -> TextOps.sqlFingerprint,
     "q_exact_dedup"        -> Dedup.sqlExactDedup,
+    "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_simhash"            -> Dedup.sqlSimhash,

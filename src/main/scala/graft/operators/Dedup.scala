@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, TextKernelFunctions}
@@ -212,5 +213,84 @@ object Dedup {
        |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
        |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Exact substring dedup (suffix-array style — Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better",
+  // arXiv:2107.06499): find document pairs sharing a VERBATIM run of
+  // ≥ SubstrLen tokens at ARBITRARY offsets — the leak mode
+  // fixed-segment dedup ([[Corpus.qSegmentDedup]], stride = SegLen)
+  // misses, because a copied passage rarely starts on a segment
+  // boundary. Anchors: every length-SubstrLen sliding token window
+  // (stride 1 = every offset), 60-bit-hashed; two docs sharing any
+  // anchor hash share an exact SubstrLen-token substring, and a run of
+  // r CONSECUTIVE shared anchors on one alignment diagonal
+  // (pos_a − pos_b constant) is a common substring of
+  // SubstrLen + r − 1 tokens — the per-pair `lcs_tokens` is exact.
+  // Scale shape: the shuffle key is the anchor hash (keyspace grows
+  // with the corpus, never text on the wire), and anchors occurring in
+  // more than SubstrMaxOcc windows are dropped BEFORE the pair join —
+  // the standard boilerplate guard that bounds the quadratic blowup a
+  // corpus-wide template would cause (those windows are boilerplate by
+  // definition, not leaks; the cap is mirrored in the oracle). The
+  // run detection shuffles only the sparse matched (pair, diagonal,
+  // pos) rows — gaps-and-islands, as in [[Corpus.qContamSpans]].
+  // ------------------------------------------------------------------
+  val SubstrLen = 8
+  val SubstrMaxOcc = 20L
+
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .where(size($"t") >= SubstrLen)
+      .select($"doc_id",
+        explode(sequence(lit(1), size($"t") - (SubstrLen - 1))).as("pos"), $"t")
+      .select($"doc_id", $"pos",
+        Hashing.h60(array_join(slice($"t", $"pos", lit(SubstrLen)), " ")).as("h"))
+    val rare = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy($"h")))
+      .where($"occ" <= SubstrMaxOcc)
+      .select($"doc_id", $"pos", $"h")
+    val matches = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .distinct()
+    val wRun = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")
+    matches
+      .withColumn("diag", $"pos_a" - $"pos_b")
+      .withColumn("run_id", $"pos_a" - row_number().over(wRun))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"run_id")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(
+        sum($"run_len").cast("long").as("n_shared_windows"),
+        (lit(SubstrLen) + max($"run_len") - 1).cast("long").as("lcs_tokens"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val sqlSubstringDedup: String = {
+    val t = Hashing.sqlTokens("text")
+    val win = s"list_aggregate(list_slice(t, i, i + ${SubstrLen - 1}), 'string_agg', ' ')"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |w AS (SELECT doc_id, i AS pos, ${Hashing.sqlH60(win)} AS h
+       |      FROM tok, unnest(range(1, len(t) - ${SubstrLen - 1} + 1)) AS u(i)
+       |      WHERE len(t) >= $SubstrLen),
+       |rare AS (SELECT doc_id, pos, h FROM (
+       |  SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS occ FROM w)
+       |  WHERE occ <= $SubstrMaxOcc),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        a.pos AS pos_a, b.pos AS pos_b
+       |      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |runs AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS run_id
+       |  FROM p),
+       |rl AS (SELECT doc_a, doc_b, count(*) AS run_len
+       |       FROM runs GROUP BY doc_a, doc_b, diag, run_id)
+       |SELECT doc_a, doc_b, sum(run_len)::BIGINT AS n_shared_windows,
+       |  ($SubstrLen + max(run_len) - 1)::BIGINT AS lcs_tokens
+       |FROM rl GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
 }
