@@ -39,6 +39,25 @@ object WireIngest {
   private val storeDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // The stores are session-scoped scratch under java.io.tmpdir; a
+  // long-lived service re-creating sessions would otherwise leak one
+  // directory per (session, dir) pair per JVM forever.
+  sys.addShutdownHook {
+    storeDirs.values.foreach(deleteRecursively)
+    storeDirs.clear()
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root)
+      try
+        all.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally all.close()
+    }
+  }
+
   /** The deterministic events→frames synthesis (one JSON frame per
     * event, doubled for at-least-once delivery). `to_json` drops null
     * struct fields, which is what makes `when` without `otherwise`
@@ -76,6 +95,13 @@ object WireIngest {
     val decoded = Streams.tradesFromProtoRecords(
       Streams.tradeProtoRecords(trades))
     Streams.idempotentAppend(decoded.toDF(), Seq("code", "sequentialId"), store)
+    readTradeStore(spark, store)
+  }
+
+  /** Read an idempotent trade store back in the gate projection —
+    * shared by the batch gate and the streaming replay spec (which
+    * must compare byte-identical frames). */
+  def readTradeStore(spark: SparkSession, store: String): DataFrame =
     spark.read.parquet(store).select(
       $"exchange", $"code",
       $"tradePrice".as("trade_price"),
@@ -89,7 +115,6 @@ object WireIngest {
       $"streamType".as("stream_type"),
       $"receivedTimestampMs".as("recv_ms"))
       .orderBy($"sequential_id")
-  }
 
   // ------------------------------------------------------------------
   // Orderbook face: the NESTED proto path (repeated OrderBookLevel

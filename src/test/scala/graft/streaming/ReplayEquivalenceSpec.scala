@@ -188,6 +188,43 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WireIngest: micro-batched frame delivery with cross-batch duplicates equals the batch face") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val expected = WireIngest.qWireIngest(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq.map(_.toSeq)
+    assert(expected.nonEmpty)
+
+    // The batch face delivers every frame twice inside ONE batch; here
+    // the duplicate of each boundary frame arrives in the NEXT
+    // micro-batch, so collapsing it requires the store anti-join (the
+    // cross-batch half of K3 idempotence), not just within-batch dedup.
+    val singles = WireIngest.frames(spark, graft.SparkSpec.Sf0001)
+      .as[(Long, String)].collect().toSeq.distinct.sortBy(identity)
+    val chunks = singles.grouped((singles.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val batches = (chunks.head +:
+      chunks.sliding(2).map { pair => pair.head.takeRight(7) ++ pair.last }.toSeq) :+
+      chunks.last.takeRight(7) // final pure-duplicate batch: must be a no-op
+
+    val store = java.nio.file.Files.createTempDirectory("graft_wire_replay").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("ts_ms", "frame")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val trades = graft.operators.UpbitWire.parseTrades(
+          batch, "frame", "Upbit", col("ts_ms") + 5)
+        val decoded = Streams.tradesFromProtoRecords(Streams.tradeProtoRecords(trades))
+        Streams.idempotentAppend(decoded.toDF(), Seq("code", "sequentialId"), store)
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = WireIngest.readTradeStore(spark, store).collect().toSeq.map(_.toSeq)
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
