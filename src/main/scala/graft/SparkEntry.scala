@@ -84,6 +84,7 @@ object SparkEntry {
     "q_epoch_shuffle"     -> (Sampling.qEpochShuffle(_, _)),
     "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
     "q_temperature_mix"   -> (Sampling.qTemperatureMix(_, _)),
+    "q_dsir_weights"      -> (Sampling.qDsirWeights(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
@@ -234,6 +235,7 @@ object SparkEntry {
     "q_epoch_shuffle"      -> Sampling.sqlEpochShuffle,
     "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
     "q_temperature_mix"    -> Sampling.sqlTemperatureMix,
+    "q_dsir_weights"       -> Sampling.sqlDsirWeights,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,

@@ -268,4 +268,84 @@ object Sampling {
        |FROM r JOIN q USING (lang) WHERE rk <= quota
        |ORDER BY lang, rk""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Importance-weighted data selection (DSIR-style — Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling",
+  // arXiv:2302.03169): score every raw document by how target-like its
+  // hashed n-gram profile is. Features are hashed BIGRAMS bucketed to
+  // DsirBuckets; the target sample (stand-in: doc_id ≡ DsirTargetRem
+  // mod DsirTargetMod, the same held-out-slice device as
+  // decontamination) and the raw rest each yield add-one-smoothed
+  // bucket counts, and a document's score is the sum over its bigram
+  // OCCURRENCES of the target/raw count ratio for that bucket.
+  // Deviation from the paper, by the repo's cross-engine float law:
+  // the per-bucket statistic is the RATIO (n_t+1)/(n_r+1) rounded to
+  // DECIMAL(18,6) and decimal-summed, not its libm logarithm — log's
+  // last-ulp varies by engine and a float sum is order-sensitive,
+  // while decimal addition is exact in any order; ranking stays
+  // target-monotone (a bucket's term grows with its target mass).
+  // Scale shape: the bucket table is DsirBuckets rows — broadcast —
+  // so scoring is one corpus scan + a slim (doc_id, decimal partial)
+  // map-side-combined shuffle; `is_selected` applies a fixed
+  // per-corpus-tuned threshold at no extra cost.
+  // ------------------------------------------------------------------
+  val DsirBuckets = 1024L
+  val DsirTargetMod = 20L
+  val DsirTargetRem = 7L
+  val DsirThreshold = 8.0
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val DEC18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val grams = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        explode_outer(Hashing.wordShingles(Hashing.tokens($"text"), 2)).as("g"))
+      .select($"doc_id", pmod(Hashing.h60($"g"), lit(DsirBuckets)).as("b"))
+    val isTarget = $"doc_id" % DsirTargetMod === DsirTargetRem
+    val target = grams.filter(isTarget).where($"b".isNotNull)
+      .groupBy($"b").agg(count(lit(1)).as("n_t"))
+    val raw = grams.filter(!isTarget).where($"b".isNotNull)
+      .groupBy($"b").agg(count(lit(1)).as("n_r"))
+    val ratios = raw.join(target, Seq("b"), "left")
+      .select($"b",
+        ((coalesce($"n_t", lit(0L)) + 1).cast("double") /
+          ($"n_r" + 1).cast("double")).cast(DEC18).as("ratio"))
+    val score = coalesce(sum($"ratio"), lit(0).cast(DEC18)).cast("double")
+    grams.filter(!isTarget)
+      .join(broadcast(ratios), Seq("b"), "left")
+      .groupBy($"doc_id").agg(
+        count($"b").as("n_grams"),
+        score.as("dsir_score"))
+      .select($"doc_id", $"n_grams", $"dsir_score",
+        ($"dsir_score" >= DsirThreshold).as("is_selected"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlDsirWeights: String = {
+    val g = Hashing.sqlShingles(Hashing.sqlTokens("text"), 2)
+    val b = s"${Hashing.sqlH60("u.g")} % $DsirBuckets"
+    s"""WITH grams AS (
+       |  SELECT doc_id, $b AS b
+       |  FROM (SELECT doc_id, $g AS gs FROM documents) d, unnest(d.gs) AS u(g)),
+       |t AS (SELECT b, count(*) AS n_t FROM grams
+       |      WHERE doc_id % $DsirTargetMod = $DsirTargetRem GROUP BY 1),
+       |r AS (SELECT b, count(*) AS n_r FROM grams
+       |      WHERE doc_id % $DsirTargetMod != $DsirTargetRem GROUP BY 1),
+       |ratios AS (SELECT r.b,
+       |    CAST((coalesce(t.n_t, 0) + 1)::DOUBLE / (r.n_r + 1)::DOUBLE
+       |         AS DECIMAL(18,6)) AS ratio
+       |  FROM r LEFT JOIN t USING (b)),
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id % $DsirTargetMod != $DsirTargetRem),
+       |scored AS (
+       |  SELECT g.doc_id, count(g.b) AS n_grams,
+       |    coalesce(sum(ratio), 0::DECIMAL(18,6))::DOUBLE AS dsir_score
+       |  FROM grams g LEFT JOIN ratios USING (b)
+       |  WHERE g.doc_id % $DsirTargetMod != $DsirTargetRem
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(s.dsir_score, 0.0) AS dsir_score,
+       |  coalesce(s.dsir_score, 0.0) >= $DsirThreshold AS is_selected
+       |FROM docs d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }
