@@ -308,25 +308,37 @@ object Similarity {
   // ------------------------------------------------------------------
   val SemDedupThreshold = 0.4
 
-  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The parameterized face: the gate pins frozen centroids for oracle
+    * determinism; a real index build passes [[ivfCentroids]] output
+    * with k scaled to the corpus (constant expected cell size keeps
+    * the within-cell pair check linear overall — the SemDeDup paper's
+    * own deployment stance). */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[Seq[Double]],
+                    threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
-    val cents = ivfGateCentroids.zipWithIndex
+    val base = corpus.withColumn("nv", normCol($"v"))
+    val cents = centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
       .withColumn("ncv", normCol($"cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    // materialized once: the self-join and the final keep/drop join
+    // would otherwise re-run the corpus × centroids assignment pass
+    // (broadcast cross + window) three times
     val assigned = base.join(broadcast(cents))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
       .filter($"rk" === 1)
       .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos")
+      .persist()
+    assigned.count()
     val dropped = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") &&
           (col("y.ccos") > col("x.ccos") ||
             (col("y.ccos") === col("x.ccos") && col("y.vec_id") < col("x.vec_id"))) &&
           cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv"))
-            >= SemDedupThreshold,
+            >= threshold,
         "leftsemi")
       .select($"vec_id", lit(true).as("is_dropped"))
     assigned.join(dropped, Seq("vec_id"), "left")
@@ -334,6 +346,9 @@ object Similarity {
         $"is_dropped".isNull.as("is_kept"))
       .orderBy($"vec_id")
   }
+
+  def qSemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(vecs(spark, dir), ivfGateCentroids, SemDedupThreshold)
 
   val sqlSemanticDedup: String = {
     val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>

@@ -200,6 +200,37 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"at most the 3-row signature self-join may be a BNLJ, found $bnlj")
   }
 
+  test("q_substring_dedup: anchor self-join is key-equi on the hash, never cartesian") {
+    val plan = executed(Dedup.qSubstringDedup(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // run detection aggregates with map-side combine like every slim shuffle
+    assert(plan.contains("partial"))
+  }
+
+  test("q_dsir_weights: the bucket ratio table is broadcast to the scoring scan") {
+    val plan = executed(Sampling.qDsirWeights(spark, Sf0001))
+    // 1024 ratio rows must reach each scorer as a broadcast, not a
+    // corpus-wide shuffle on bucket id
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_semantic_dedup: centroid assignment broadcasts; the pair check joins on cell") {
+    val plan = executed(Similarity.qSemanticDedup(spark, Sf0001))
+    // the corpus × 8-centroid assignment is materialized once and
+    // reused by the pair check and the keep/drop join — the executed
+    // plan must read the cache, not re-run the broadcast cross + window
+    assert(plan.contains("InMemoryTableScan"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_pack_stats: the per-bin rollup combines map-side before the single-row summary") {
+    val plan = executed(Packing.qPackStats(spark, Sf0001))
+    assert(plan.contains("partial"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_ann_lsh_banded: probes broadcast over the postings index — no corpus shuffle to find candidates") {
     val plan = executed(Similarity.qAnnLshBanded(spark, Sf0001))
     // candidate generation must be a broadcast join (probe keys are
