@@ -88,6 +88,39 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Anchor length for exact substring dedup (tokens per sliding
+    * window) — operators reference this constant so the kernel and the
+    * oracle SQL can never drift. */
+  val AnchorLen = 8
+
+  /** h60 of EVERY length-[[AnchorLen]] sliding token window, in
+    * position order with duplicates kept (the exact-substring-dedup
+    * anchors). One pass: reused digest + builder, no per-window column
+    * machinery or hex round-trip — the expression-tree formulation
+    * (explode positions → slice → array_join → sha2 → conv) paid a
+    * window-string allocation and a hex parse per token position. */
+  def anchorHashes(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    if (t.length < AnchorLen) return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = new Array[Long](t.length - AnchorLen + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < AnchorLen) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j))
+        j += 1
+      }
+      md.reset()
+      out(i) = h60(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(text: UTF8String): ArrayData = {
     val sh = shingleStrings(text)
     val mins = Array.fill(NumHashes)(-1L)
@@ -164,6 +197,18 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr = copy(child = newChild)
 }
 
+/** `graft_anchor_hashes(text)`: h60 of every sliding AnchorLen-token
+  * window, ordered, duplicates kept. */
+case class AnchorHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_anchor_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.anchorHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.anchorHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): AnchorHashesExpr = copy(child = newChild)
+}
+
 /** `graft_simhash60(text)`: 60-bit SimHash. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -179,6 +224,7 @@ object TextKernelFunctions {
 
   def shingleSet(text: Column): Column = call_function("graft_shingle_set", text)
   def shingleHashes(text: Column): Column = call_function("graft_shingle_hashes", text)
+  def anchorHashes(text: Column): Column = call_function("graft_anchor_hashes", text)
   def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
   def simhash60(text: Column): Column = call_function("graft_simhash60", text)
 
@@ -193,6 +239,7 @@ object TextKernelFunctions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     reg1("graft_shingle_set", ShingleSetExpr),
     reg1("graft_shingle_hashes", ShingleHashesExpr),
+    reg1("graft_anchor_hashes", AnchorHashesExpr),
     reg1("graft_minhash_sig", MinHashSigExpr),
     reg1("graft_simhash60", SimHash60Expr))
 }

@@ -237,17 +237,21 @@ object Dedup {
   // run detection shuffles only the sparse matched (pair, diagonal,
   // pos) rows — gaps-and-islands, as in [[Corpus.qContamSpans]].
   // ------------------------------------------------------------------
-  val SubstrLen = 8
+  /** Anchor window length, owned by the kernel so the one-pass JVM
+    * loop and this oracle SQL can never drift. */
+  val SubstrLen: Int = graft.functions.TextKernels.AnchorLen
   val SubstrMaxOcc = 20L
 
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    // one codegen'd kernel pass emits every window's h60 directly —
+    // the expression-tree form (explode positions → slice → array_join
+    // → sha2 hex) allocated a window string and parsed hex per token
+    // position; docs shorter than the anchor yield an empty array and
+    // drop out of posexplode, exactly as the oracle's range() does
     val wins = Tables.documentsSharded(spark, dir)
-      .select($"doc_id", toks.as("t"))
-      .where(size($"t") >= SubstrLen)
       .select($"doc_id",
-        explode(sequence(lit(1), size($"t") - (SubstrLen - 1))).as("pos"), $"t")
-      .select($"doc_id", $"pos",
-        Hashing.h60(array_join(slice($"t", $"pos", lit(SubstrLen)), " ")).as("h"))
+        posexplode(TextKernelFunctions.anchorHashes($"text")))
+      .toDF("doc_id", "pos", "h")
     val rare = wins
       .withColumn("occ", count(lit(1)).over(Window.partitionBy($"h")))
       .where($"occ" <= SubstrMaxOcc)

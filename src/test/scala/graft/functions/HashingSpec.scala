@@ -104,6 +104,26 @@ class HashingSpec extends SparkSpec {
     }
   }
 
+  test("anchorHashes matches the composed sliding-window formulation") {
+    import spark.implicits._
+    import graft.functions.{TextKernels, TextKernelFunctions}
+    val L = TextKernels.AnchorLen
+    val docs = graft.sources.Tables.documents(spark, graft.SparkSpec.Sf0001)
+      .select(col("text"))
+      .union(Seq("", " ", "one two", ("tok " * L).trim, ("tok " * (L + 3)).trim).toDF("text"))
+    val t = tokens(col("text"))
+    // old expression-tree form: every start position, slice, join, h60
+    val composed = when(size(t) >= L,
+      transform(sequence(lit(1), size(t) - (L - 1)),
+        p => h60(array_join(slice(t, p, lit(L)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(
+      TextKernelFunctions.anchorHashes(col("text")).as("k"),
+      composed.as("h")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("bandKey: equal band slices collide, different slices don't") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 9L))).toDF("s1", "s2")
