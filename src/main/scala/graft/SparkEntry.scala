@@ -52,6 +52,7 @@ object SparkEntry {
     "q_lang_id"           -> (TextOps.qLangId(_, _)),
     "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
     "q_tfidf"             -> (TextOps.qTfidf(_, _)),
+    "q_bm25"              -> (TextOps.qBm25(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q_chunk_docs"        -> (Corpus.qChunkDocs(_, _)),
     "q_repetition"        -> (Corpus.qRepetition(_, _)),
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
+    "q_corpus_rewrite"    -> (Corpus.qCorpusRewrite(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
@@ -220,6 +222,7 @@ object SparkEntry {
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
+    "q_corpus_rewrite"     -> Corpus.sqlCorpusRewrite,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_contam_spans"       -> Corpus.sqlContamSpans,
@@ -245,6 +248,7 @@ object SparkEntry {
     "q_sequence_pack_wide" -> Packing.sqlSequencePackWide,
     "q_pack_stats"         -> Packing.sqlPackStats,
     "q_tfidf"              -> TextOps.sqlTfidf,
+    "q_bm25"               -> TextOps.sqlBm25,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS total_value

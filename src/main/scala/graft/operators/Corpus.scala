@@ -171,6 +171,72 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // C4-style corpus rewrite (Raffel et al. 2020 line-level dedup,
+  // lee et al. keep-one-occurrence): every fixed token segment keeps
+  // exactly ONE occurrence corpus-wide — the globally first by
+  // (doc_id, position) — and each document is REBUILT from its kept
+  // segments, with retention accounting. This is the step that turns
+  // the X22 dup-report into an actual cleaned corpus.
+  //
+  // Scale shape: the winner election shuffles only slim
+  // (h, doc_id, s) triples keyed by the 60-bit segment hash (keyspace
+  // grows with the corpus); document text crosses the wire once, in
+  // the doc_id-keyed rebuild join. No all-pairs face anywhere.
+  // ------------------------------------------------------------------
+  def qCorpusRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", toks.as("t"))
+    // slim election: no segment text, just (doc_id, s, h)
+    val segs = docs
+      .select($"doc_id",
+        explode(sequence(lit(1), greatest(size($"t"), lit(1)), lit(SegLen))).as("s"),
+        $"t")
+      .select($"doc_id", $"s",
+        Hashing.h60(array_join(slice($"t", $"s", lit(SegLen)), " ")).as("h"))
+    val elected = segs.withColumn("rk",
+      row_number().over(Window.partitionBy($"h").orderBy($"doc_id", $"s")))
+    // rebuild: text rides the doc_id-keyed join exactly once;
+    // collect_list skips the NULL structs of dropped segments, and
+    // sort_array restores position order before the join to text
+    val kept = when($"rk" === 1,
+      struct($"s", array_join(slice($"t", $"s", lit(SegLen)), " ").as("seg")))
+    elected.join(docs, "doc_id")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_segments"),
+        sum(when($"rk" === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        array_join(transform(sort_array(collect_list(kept)), x => x("seg")), " ")
+          .as("cleaned_text"))
+      .withColumn("kept_frac",
+        r6($"n_kept".cast("double") / nullif($"n_segments", lit(0L))))
+      .orderBy($"doc_id")
+  }
+
+  val sqlCorpusRewrite: String = {
+    val t = Hashing.sqlTokens("text")
+    // DuckDB list_aggregate over an EMPTY list is NULL (an empty doc's
+    // one segment) while Spark's array_join yields '' — coalesce so
+    // both engines hash and emit the empty string
+    val seg =
+      s"coalesce(list_aggregate(list_slice(t, s, s + ${SegLen - 1}), 'string_agg', ' '), '')"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id, s, $seg AS seg, ${Hashing.sqlH60(seg)} AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, $SegLen)) AS s
+       |        FROM tok)),
+       |elected AS (
+       |  SELECT doc_id, s, seg,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rk
+       |  FROM segs)
+       |SELECT doc_id, count(*)::BIGINT AS n_segments,
+       |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY s), '')
+       |    AS cleaned_text,
+       |  ${rSql("sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::DOUBLE / NULLIF(count(*), 0)")}
+       |    AS kept_frac
+       |FROM elected GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // PII-style pattern redaction: scan a string column for emails,
   // IPv4 addresses, and long numeric identifiers; count matches and
   // emit the redacted string with typed placeholders. Pure per-row

@@ -239,6 +239,102 @@ object TextOps {
        |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
 
   // ------------------------------------------------------------------
+  // BM25 retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75): top-5
+  // documents per query over the corpus — the retrieval face of a
+  // training-data pipeline (eval-set mining, RAG passage ranking).
+  // Queries are derived deterministically from the corpus itself (the
+  // first QueryLen tokens of each doc_id < NumQueries document).
+  //
+  // Cross-engine float law: idf is the log-free rational
+  // (2N − 2df + 1)/(2df + 1) — same ordering intuition as the
+  // +0.5-smoothed Robertson idf, always positive, no libm. Clearing
+  // k1/b denominators by 10·T turns each per-term score into a ratio
+  // of two EXACT integer products (all < 2^53 at gate scale):
+  //   score = qtf·(2N−2df+1)·22·tf·T
+  //         / [(2df+1)·(10·tf·T + 3·T + 9·dl·N)]
+  // — one correctly-rounded IEEE division, bit-identical in both
+  // engines. The per-(query, doc) sum over matched terms is the strict
+  // term-ordered left fold mirrored by [[Similarity.sqlFsum]]. (At a
+  // real 100 TB corpus the integer products outgrow 2^53: there you
+  // freeze N, T, avgdl as published corpus constants — the idf table
+  // is a broadcast dimension either way.)
+  //
+  // Scale shape: tf is one map-side-combined aggregate over the token
+  // explode; df and dl are windows over the (doc, term) partials (term-
+  // and doc-keyed shuffles of slim rows — never raw tokens); the query
+  // table is tiny and broadcast, so scoring adds no shuffle; only
+  // matched (query, doc, term) hits reach the final aggregation.
+  // ------------------------------------------------------------------
+  val NumQueries = 8
+  val QueryLen = 6
+  val Bm25TopK = 5
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", toks.as("t"))
+    val totals = docs.agg(
+      count(lit(1)).cast("long").as("nd"),
+      sum(size($"t")).cast("long").as("tt"))
+    val tf = docs.select($"doc_id", explode($"t").as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("long").as("tf"))
+    val stats = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
+      .withColumn("dl", sum($"tf").over(Window.partitionBy($"doc_id")).cast("long"))
+    val q = docs.filter($"doc_id" < NumQueries)
+      .select($"doc_id".as("query_id"), explode(slice($"t", 1, QueryLen)).as("term"))
+      .groupBy($"query_id", $"term").agg(count(lit(1)).cast("long").as("qtf"))
+    val num = $"qtf" * (lit(2L) * $"nd" - lit(2L) * $"df" + lit(1L)) *
+      lit(22L) * $"tf" * $"tt"
+    val den = (lit(2L) * $"df" + lit(1L)) *
+      (lit(10L) * $"tf" * $"tt" + lit(3L) * $"tt" + lit(9L) * $"dl" * $"nd")
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+    stats.join(broadcast(q), "term").crossJoin(broadcast(totals))
+      .select($"query_id", $"doc_id", $"term",
+        (num.cast("double") / den.cast("double")).as("s"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        aggregate(sort_array(collect_list(struct($"term", $"s"))),
+          lit(0.0), (acc, x) => acc + x("s")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Bm25TopK)
+      .select($"query_id", $"rank", $"doc_id", $"score", $"n_terms")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlBm25: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS nd, sum(len(t))::BIGINT AS tt FROM tok),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT doc_id, term, tf,
+       |    (count(*) OVER (PARTITION BY term))::BIGINT AS df,
+       |    (sum(tf) OVER (PARTITION BY doc_id))::BIGINT AS dl
+       |  FROM tf),
+       |q AS (
+       |  SELECT query_id, term, count(*)::BIGINT AS qtf
+       |  FROM (SELECT doc_id AS query_id, unnest(list_slice(t, 1, $QueryLen)) AS term
+       |        FROM tok WHERE doc_id < $NumQueries) GROUP BY 1, 2),
+       |hit AS (
+       |  SELECT query_id, s.doc_id, s.term,
+       |    (qtf * (2 * nd - 2 * df + 1) * 22 * tf * tt)::DOUBLE
+       |      / ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd))::DOUBLE AS s
+       |  FROM stats s JOIN q USING (term) CROSS JOIN n),
+       |agg AS (
+       |  SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+       |    ${Similarity.sqlFsum(s"list(s ORDER BY term)")} AS score
+       |  FROM hit GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score, n_terms FROM (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM agg)
+       |WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Token-length histogram: fixed-width buckets over per-document
   // token counts, with doc and token mass per bucket — the
   // distribution that drives sequence-packing and batch-size planning

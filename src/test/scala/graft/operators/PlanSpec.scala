@@ -242,4 +242,26 @@ class PlanSpec extends SparkSpec {
     val genLines = plan.linesIterator.filter(_.contains("Generate posexplode")).toSeq
     assert(genLines.nonEmpty)
   }
+
+  test("q_corpus_rewrite: winner election and rebuild are keyed joins, never cartesian") {
+    val plan = executed(Corpus.qCorpusRewrite(spark, Sf0001))
+    // the election window shuffles slim (h, doc_id, s) triples; the
+    // rebuild is a doc_id-keyed equi-join carrying text exactly once
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial"))
+  }
+
+  test("q_bm25: query terms and corpus totals broadcast to the scoring scan") {
+    val plan = executed(TextOps.qBm25(spark, Sf0001))
+    // scoring must not shuffle the corpus on term to meet the tiny
+    // query table — the query side rides a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the 1-row totals frame is the only nested-loop join allowed
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row totals cross may be a BNLJ, found $bnlj")
+    // final ranking is bounded per query: window group limit, no full sort
+    assert(plan.contains("WindowGroupLimit"))
+  }
 }
