@@ -69,6 +69,8 @@ object SparkEntry {
     "q_repetition"        -> (Corpus.qRepetition(_, _)),
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
     "q_corpus_rewrite"    -> (Corpus.qCorpusRewrite(_, _)),
+    "q_boilerplate_strip" -> (Corpus.qBoilerplateStrip(_, _)),
+    "q_incremental_dedup" -> (Dedup.qIncrementalDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
@@ -223,6 +225,8 @@ object SparkEntry {
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
     "q_corpus_rewrite"     -> Corpus.sqlCorpusRewrite,
+    "q_boilerplate_strip"  -> Corpus.sqlBoilerplateStrip,
+    "q_incremental_dedup"  -> Dedup.sqlIncrementalDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_contam_spans"       -> Corpus.sqlContamSpans,

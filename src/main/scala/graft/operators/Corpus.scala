@@ -237,6 +237,60 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Boilerplate prefix strip: per SOURCE, find the modal leading
+  // token-prefix (the shared header a scraper leaves on every page of
+  // a site) and strip it from the documents that carry it — the
+  // WET/boilerplate-removal step of a crawl pipeline. A prefix only
+  // counts as boilerplate when it repeats (modal count ≥ 2): a clean
+  // source flags nothing. Election is a slim (source, prefix-hash)
+  // aggregate + per-source top-1; the tiny winner table broadcasts
+  // back onto the scan, so stripping is pure per-row codegen work.
+  // ------------------------------------------------------------------
+  val BoilerPrefixLen = 4
+
+  def qBoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", $"source", toks.as("t"))
+      .withColumn("ph",
+        Hashing.h60(array_join(slice($"t", 1, BoilerPrefixLen), " ")))
+    val mode = docs.groupBy($"source", $"ph")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"cnt".desc, $"ph")))
+      .filter($"rk" === 1 && $"cnt" >= 2)
+      .select($"source", $"ph".as("mode_ph"))
+    val isBoiler = coalesce($"ph" === $"mode_ph", lit(false))
+    docs.join(broadcast(mode), Seq("source"), "left")
+      .select($"doc_id", $"source",
+        isBoiler.cast("long").as("is_boiler"),
+        when(isBoiler,
+          array_join(slice($"t", lit(BoilerPrefixLen + 1),
+            greatest(size($"t") - BoilerPrefixLen, lit(0))), " "))
+          .otherwise(array_join($"t", " ")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlBoilerplateStrip: String = {
+    val t = Hashing.sqlTokens("text")
+    val pre =
+      s"coalesce(list_aggregate(list_slice(t, 1, $BoilerPrefixLen), 'string_agg', ' '), '')"
+    s"""WITH tok AS (SELECT doc_id, source, $t AS t FROM documents),
+       |d AS (SELECT doc_id, source, t, ${Hashing.sqlH60(pre)} AS ph FROM tok),
+       |m AS (SELECT source, ph AS mode_ph FROM (
+       |  SELECT source, ph, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, ph) AS rk
+       |  FROM d GROUP BY source, ph) WHERE rk = 1 AND cnt >= 2)
+       |SELECT doc_id, source,
+       |  (CASE WHEN coalesce(ph = mode_ph, false) THEN 1 ELSE 0 END)::BIGINT
+       |    AS is_boiler,
+       |  CASE WHEN coalesce(ph = mode_ph, false)
+       |    THEN coalesce(list_aggregate(
+       |      list_slice(t, ${BoilerPrefixLen + 1}, len(t)), 'string_agg', ' '), '')
+       |    ELSE coalesce(list_aggregate(t, 'string_agg', ' '), '') END AS clean_text
+       |FROM d LEFT JOIN m USING (source) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // PII-style pattern redaction: scan a string column for emails,
   // IPv4 addresses, and long numeric identifiers; count matches and
   // emit the redacted string with typed placeholders. Pure per-row

@@ -297,4 +297,79 @@ object Dedup {
        |  ($SubstrLen + max(run_len) - 1)::BIGINT AS lcs_tokens
        |FROM rl GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: probe an INCOMING batch against the existing
+  // corpus's LSH band index — the production ingestion path at 100 TB,
+  // where re-deduping the whole corpus per batch is off the table. The
+  // incoming split is deterministic (doc_id % 10 == 7 stands in for
+  // "today's crawl"); the corpus side is the band index a real
+  // deployment persists ahead of time (here: the same banded frame the
+  // full-corpus pair join uses). Probes shuffle only (band-key, id)
+  // rows; exact-Jaccard verification touches candidates alone; each
+  // incoming doc gets a verdict — dup of its best match (highest
+  // Jaccard, ties to the smallest corpus doc_id) or new.
+  //
+  // Recall contract: same bands/rows and the same ≥ 0.5 verify floor
+  // as [[qMinhashLshPairs]], whose exact all-pairs oracle proves the
+  // band index recalls every qualifying pair in this corpus; the
+  // incoming×corpus pairs are a subset of those.
+  // ------------------------------------------------------------------
+  val IncomingMod = 10L
+  val IncomingRem = 7L
+
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        TextKernelFunctions.shingleSet($"text").as("sh"),
+        TextKernelFunctions.minhashSig($"text").as("sig"))
+      .persist()
+    base.count() // both splits and both join branches read one store
+    val incoming = base.filter($"doc_id" % IncomingMod === IncomingRem)
+    val corpus = base.filter($"doc_id" % IncomingMod =!= IncomingRem)
+    def banded(df: DataFrame, id: String) = df.select($"doc_id".as(id),
+      explode(array((0 until NumBands).map(b =>
+        Hashing.bandKey($"sig", b, RowsPerBand)): _*)).as("bkey"))
+    val cand = banded(incoming, "i_id").join(banded(corpus, "c_id"), "bkey")
+      .select($"i_id", $"c_id").distinct()
+    val best = cand
+      .join(incoming.select($"doc_id".as("i_id"), $"sh".as("sh_i")), "i_id")
+      .join(corpus.select($"doc_id".as("c_id"), $"sh".as("sh_c")), "c_id")
+      .select($"i_id", $"c_id", Hashing.jaccard($"sh_i", $"sh_c").as("j"))
+      .filter($"j" >= 0.5)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"i_id").orderBy($"j".desc, $"c_id")))
+      .filter($"rk" === 1)
+    incoming.select($"doc_id")
+      .join(best.select($"i_id".as("doc_id"), $"c_id", $"j"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"c_id".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        coalesce($"c_id", lit(-1L)).cast("long").as("dup_of"),
+        coalesce($"j", lit(0.0)).cast("double").as("jaccard"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: exact all-pairs incoming × corpus (bounded: the incoming
+    * batch is ~10% of the gate corpus — the verify face, not the scale
+    * path, exactly as [[sqlNgramJaccard]]). */
+  val sqlIncrementalDedup: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val j = "CASE WHEN len(list_distinct(i.sh || c.sh)) = 0 THEN 0.0 " +
+      "ELSE len(list_intersect(i.sh, c.sh))::DOUBLE / len(list_distinct(i.sh || c.sh)) END"
+    s"""WITH s AS (SELECT doc_id, $sh AS sh FROM documents),
+       |i AS (SELECT * FROM s WHERE doc_id % $IncomingMod = $IncomingRem),
+       |c AS (SELECT * FROM s WHERE doc_id % $IncomingMod <> $IncomingRem),
+       |v AS (SELECT i.doc_id AS i_id, c.doc_id AS c_id, $j AS j
+       |      FROM i JOIN c ON true),
+       |best AS (SELECT i_id, c_id, j FROM (
+       |  SELECT i_id, c_id, j,
+       |    row_number() OVER (PARTITION BY i_id ORDER BY j DESC, c_id) AS rk
+       |  FROM v WHERE j >= 0.5) WHERE rk = 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN best.c_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+       |  coalesce(best.c_id, -1)::BIGINT AS dup_of,
+       |  coalesce(best.j, 0.0)::DOUBLE AS jaccard
+       |FROM i LEFT JOIN best ON i.doc_id = best.i_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
 }

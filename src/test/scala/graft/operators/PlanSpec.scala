@@ -264,4 +264,22 @@ class PlanSpec extends SparkSpec {
     // final ranking is bounded per query: window group limit, no full sort
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("q_boilerplate_strip: the modal-prefix winners broadcast back onto the scan") {
+    val plan = executed(Corpus.qBoilerplateStrip(spark, Sf0001))
+    // the per-source winner table is tiny — stripping must not shuffle
+    // the corpus on source to meet it
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial"))
+  }
+
+  test("q_incremental_dedup: probes meet the index on band keys from one shared store") {
+    val plan = executed(Dedup.qIncrementalDedup(spark, Sf0001))
+    // both splits and both verify branches must read the persisted
+    // signature store, not recompute sha-heavy signatures per branch
+    assert(plan.contains("InMemoryTableScan"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
