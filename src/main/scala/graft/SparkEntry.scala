@@ -89,6 +89,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> (Sampling.qMixtureRebalance(_, _)),
     "q_temperature_mix"   -> (Sampling.qTemperatureMix(_, _)),
     "q_dsir_weights"      -> (Sampling.qDsirWeights(_, _)),
+    "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
@@ -243,6 +244,7 @@ object SparkEntry {
     "q_mixture_rebalance"  -> Sampling.sqlMixtureRebalance,
     "q_temperature_mix"    -> Sampling.sqlTemperatureMix,
     "q_dsir_weights"       -> Sampling.sqlDsirWeights,
+    "q_budget_select"      -> Sampling.sqlBudgetSelect,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,

@@ -348,4 +348,80 @@ object Sampling {
        |FROM docs d LEFT JOIN scored s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Token-budget selection: keep the highest-quality documents whose
+  // tokens fit a global budget (total/BudgetDen) — the "we can only
+  // train on X tokens" curation step. The quality score is the exact
+  // integer type-token ratio (1000·distinct ÷ length, a lexical-
+  // diversity heuristic), so every comparison is integer-exact.
+  //
+  // NO GLOBAL SORT: a corpus-wide order-by-quality would range-
+  // partition 100 TB. Instead (the distributed-quantile pattern):
+  // (1) one scan → per-doc (q, n_tokens); (2) a ≤1001-row quality
+  // HISTOGRAM with a descending cumulative token sum — the only
+  // unpartitioned window runs over the histogram, never the corpus;
+  // (3) the boundary bucket + its remaining-token allowance broadcast
+  // back; buckets above the boundary keep everything, the boundary
+  // bucket fills its remainder in doc_id order via a per-bucket
+  // cumulative window (one shuffle on q — worst-case skew is bounded
+  // by the bucket resolution, the dial being the score granularity).
+  // ------------------------------------------------------------------
+  val BudgetDen = 5L
+
+  def qBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", Hashing.tokens($"text").as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        size(array_distinct($"t")).cast("long").as("n_uniq"))
+      .withColumn("q", expr("(1000 * n_uniq) div greatest(n_tokens, 1)"))
+    val budget = perDoc.agg(expr(s"sum(n_tokens) div $BudgetDen").as("bb"))
+    // tiny histogram: the whole-frame window is over ≤1001 rows
+    val wHist = Window.orderBy($"q".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryCond = $"cum" > $"bb" && ($"cum" - $"btok") < $"bb"
+    val marker = perDoc.groupBy($"q").agg(sum($"n_tokens").as("btok"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum", sum($"btok").over(wHist))
+      .agg(
+        max(when(boundaryCond, $"q")).as("qb"),
+        max(when(boundaryCond, $"bb" - ($"cum" - $"btok"))).as("rem"))
+    // boundary remainder fills in doc_id order; the cumulative window
+    // is per-bucket, used only for the one boundary bucket
+    val wBucket = Window.partitionBy($"q").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.crossJoin(broadcast(marker))
+      .withColumn("bcum", sum($"n_tokens").over(wBucket))
+      .select($"doc_id", $"q", $"n_tokens",
+        ($"q" > coalesce($"qb", lit(-1L)) ||
+          ($"q" === $"qb" && $"bcum" <= $"rem")).cast("long").as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlBudgetSelect: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |d AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+       |        ((1000 * len(list_distinct(t))) // greatest(len(t), 1))::BIGINT AS q
+       |      FROM tok),
+       |b AS (SELECT (sum(n_tokens) // $BudgetDen)::BIGINT AS bb FROM d),
+       |h AS (SELECT q, sum(n_tokens)::BIGINT AS btok FROM d GROUP BY q),
+       |hc AS (SELECT q, btok,
+       |         sum(btok) OVER (ORDER BY q DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |       FROM h),
+       |m AS (SELECT
+       |    max(CASE WHEN cum > bb AND cum - btok < bb THEN q END) AS qb,
+       |    max(CASE WHEN cum > bb AND cum - btok < bb THEN bb - (cum - btok) END) AS rem
+       |  FROM hc CROSS JOIN b),
+       |dc AS (SELECT doc_id, q, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY q ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS bcum
+       |       FROM d)
+       |SELECT doc_id, q, n_tokens,
+       |  (CASE WHEN q > coalesce(qb, -1) OR (q = qb AND bcum <= rem)
+       |   THEN 1 ELSE 0 END)::BIGINT AS selected
+       |FROM dc CROSS JOIN m ORDER BY doc_id""".stripMargin
+  }
 }

@@ -282,4 +282,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_budget_select: threshold comes from the histogram, never a corpus-wide sort") {
+    val plan = executed(Sampling.qBudgetSelect(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // two 1-row broadcasts are structural (budget onto the histogram,
+    // the boundary marker onto the corpus); anything more would mean a
+    // real frame went nested-loop
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the two scalar broadcasts may be BNLJ, found $bnlj")
+    // the descending cumulative window must run over the q histogram —
+    // a single-partition window whose input is an aggregate, not the
+    // corpus scan; the corpus-side windows are all partitioned by q
+    assert(plan.contains("partial"))
+  }
 }
