@@ -260,10 +260,11 @@ object TextOps {
   // is a broadcast dimension either way.)
   //
   // Scale shape: tf is one map-side-combined aggregate over the token
-  // explode; df and dl are windows over the (doc, term) partials (term-
-  // and doc-keyed shuffles of slim rows — never raw tokens); the query
-  // table is tiny and broadcast, so scoring adds no shuffle; only
-  // matched (query, doc, term) hits reach the final aggregation.
+  // explode, with dl riding the explode (constant per group, recovered
+  // by max — no doc-keyed window); df is the one term-keyed window over
+  // the slim (doc, term) partials — never raw tokens; the query table
+  // is tiny and broadcast, so scoring adds no shuffle; only matched
+  // (query, doc, term) hits reach the final aggregation.
   // ------------------------------------------------------------------
   val NumQueries = 8
   val QueryLen = 6
@@ -275,11 +276,14 @@ object TextOps {
     val totals = docs.agg(
       count(lit(1)).cast("long").as("nd"),
       sum(size($"t")).cast("long").as("tt"))
-    val tf = docs.select($"doc_id", explode($"t").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).cast("long").as("tf"))
+    // dl rides the explode so no doc_id-keyed window shuffle is needed:
+    // it's constant within the (doc_id, term) group, recovered by max
+    val tf = docs.select($"doc_id", size($"t").cast("long").as("dl"),
+        explode($"t").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
     val stats = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
-      .withColumn("dl", sum($"tf").over(Window.partitionBy($"doc_id")).cast("long"))
     val q = docs.filter($"doc_id" < NumQueries)
       .select($"doc_id".as("query_id"), explode(slice($"t", 1, QueryLen)).as("term"))
       .groupBy($"query_id", $"term").agg(count(lit(1)).cast("long").as("qtf"))
@@ -307,12 +311,12 @@ object TextOps {
     s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
        |n AS (SELECT count(*)::BIGINT AS nd, sum(len(t))::BIGINT AS tt FROM tok),
        |tf AS (
-       |  SELECT doc_id, term, count(*)::BIGINT AS tf
-       |  FROM (SELECT doc_id, unnest(t) AS term FROM tok) GROUP BY 1, 2),
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+       |  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok)
+       |  GROUP BY 1, 2),
        |stats AS (
-       |  SELECT doc_id, term, tf,
-       |    (count(*) OVER (PARTITION BY term))::BIGINT AS df,
-       |    (sum(tf) OVER (PARTITION BY doc_id))::BIGINT AS dl
+       |  SELECT doc_id, term, tf, dl,
+       |    (count(*) OVER (PARTITION BY term))::BIGINT AS df
        |  FROM tf),
        |q AS (
        |  SELECT query_id, term, count(*)::BIGINT AS qtf

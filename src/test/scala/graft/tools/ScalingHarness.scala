@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.streaming.PositionTracker
 
 /**
- * Local proxy for the 100× mandate: run the eight heaviest pipelines at
+ * Local proxy for the 100× mandate: run the heaviest pipelines at
  * sf0.1 and at a generated 10× replica of it, and report the runtime
  * ratio — anything super-linear names a plan to fix. Results land in
  * SCALING.md. Run with:
@@ -95,7 +95,13 @@ object ScalingHarness {
       (dir => Corpus.qContamSpans(spark, dir).count()),
     "substring_dedup" ->
       (dir => graft.operators.Dedup.qSubstringDedup(spark, dir).count()),
-    "semantic_dedup" -> (semanticDedup(_)))
+    "semantic_dedup" -> (semanticDedup(_)),
+    "corpus_rewrite" ->
+      (dir => Corpus.qCorpusRewrite(spark, dir).count()),
+    "incremental_dedup" ->
+      (dir => graft.operators.Dedup.qIncrementalDedup(spark, dir).count()),
+    "bm25" ->
+      (dir => graft.operators.TextOps.qBm25(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
