@@ -53,6 +53,7 @@ object SparkEntry {
     "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
     "q_tfidf"             -> (TextOps.qTfidf(_, _)),
     "q_bm25"              -> (TextOps.qBm25(_, _)),
+    "q_passage_bm25"      -> (TextOps.qPassageBm25(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
@@ -255,6 +256,7 @@ object SparkEntry {
     "q_pack_stats"         -> Packing.sqlPackStats,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_bm25"               -> TextOps.sqlBm25,
+    "q_passage_bm25"       -> TextOps.sqlPassageBm25,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          |  ${dsum("value")} AS total_value

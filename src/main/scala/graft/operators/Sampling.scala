@@ -380,7 +380,11 @@ object Sampling {
     // tiny histogram: the whole-frame window is over ≤1001 rows
     val wHist = Window.orderBy($"q".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundaryCond = $"cum" > $"bb" && ($"cum" - $"btok") < $"bb"
+    // `<=` matters: a budget landing EXACTLY on a bucket edge must
+    // yield a rem-0 boundary (drop that bucket), not no boundary at
+    // all — qb=null means "everything fits" and would select the
+    // whole corpus
+    val boundaryCond = $"cum" > $"bb" && ($"cum" - $"btok") <= $"bb"
     val marker = perDoc.groupBy($"q").agg(sum($"n_tokens").as("btok"))
       .crossJoin(broadcast(budget))
       .withColumn("cum", sum($"btok").over(wHist))
@@ -412,8 +416,8 @@ object Sampling {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
        |       FROM h),
        |m AS (SELECT
-       |    max(CASE WHEN cum > bb AND cum - btok < bb THEN q END) AS qb,
-       |    max(CASE WHEN cum > bb AND cum - btok < bb THEN bb - (cum - btok) END) AS rem
+       |    max(CASE WHEN cum > bb AND cum - btok <= bb THEN q END) AS qb,
+       |    max(CASE WHEN cum > bb AND cum - btok <= bb THEN bb - (cum - btok) END) AS rem
        |  FROM hc CROSS JOIN b),
        |dc AS (SELECT doc_id, q, n_tokens,
        |         sum(n_tokens) OVER (PARTITION BY q ORDER BY doc_id

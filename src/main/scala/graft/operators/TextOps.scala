@@ -270,40 +270,116 @@ object TextOps {
   val QueryLen = 6
   val Bm25TopK = 5
 
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 core over arbitrary retrieval units `(pid, t)` — the same
+    * ranking serves whole documents ([[qBm25]]) and chunk-grid
+    * passages ([[qPassageBm25]], the RAG retrieval unit). All float-law
+    * notes above apply; `queries` is the tiny broadcast (query_id,
+    * term, qtf) frame. */
+  def bm25TopK(units: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", toks.as("t"))
-    val totals = docs.agg(
+    val totals = units.agg(
       count(lit(1)).cast("long").as("nd"),
       sum(size($"t")).cast("long").as("tt"))
-    // dl rides the explode so no doc_id-keyed window shuffle is needed:
-    // it's constant within the (doc_id, term) group, recovered by max
-    val tf = docs.select($"doc_id", size($"t").cast("long").as("dl"),
+    // dl rides the explode so no unit-keyed window shuffle is needed:
+    // it's constant within the (pid, term) group, recovered by max
+    val tf = units.select($"pid", size($"t").cast("long").as("dl"),
         explode($"t").as("term"))
-      .groupBy($"doc_id", $"term")
+      .groupBy($"pid", $"term")
       .agg(count(lit(1)).cast("long").as("tf"), max($"dl").as("dl"))
     val stats = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")).cast("long"))
-    val q = docs.filter($"doc_id" < NumQueries)
-      .select($"doc_id".as("query_id"), explode(slice($"t", 1, QueryLen)).as("term"))
-      .groupBy($"query_id", $"term").agg(count(lit(1)).cast("long").as("qtf"))
     val num = $"qtf" * (lit(2L) * $"nd" - lit(2L) * $"df" + lit(1L)) *
       lit(22L) * $"tf" * $"tt"
     val den = (lit(2L) * $"df" + lit(1L)) *
       (lit(10L) * $"tf" * $"tt" + lit(3L) * $"tt" + lit(9L) * $"dl" * $"nd")
-    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-    stats.join(broadcast(q), "term").crossJoin(broadcast(totals))
-      .select($"query_id", $"doc_id", $"term",
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"pid")
+    stats.join(broadcast(queries), "term").crossJoin(broadcast(totals))
+      .select($"query_id", $"pid", $"term",
         (num.cast("double") / den.cast("double")).as("s"))
-      .groupBy($"query_id", $"doc_id")
+      .groupBy($"query_id", $"pid")
       .agg(
         count(lit(1)).cast("long").as("n_terms"),
         aggregate(sort_array(collect_list(struct($"term", $"s"))),
           lit(0.0), (acc, x) => acc + x("s")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= Bm25TopK)
-      .select($"query_id", $"rank", $"doc_id", $"score", $"n_terms")
+      .filter($"rank" <= k)
+  }
+
+  /** The corpus-derived query-term frame shared by both BM25 faces. */
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" < NumQueries)
+      .select($"doc_id".as("query_id"), explode(slice($"t", 1, QueryLen)).as("term"))
+      .groupBy($"query_id", $"term").agg(count(lit(1)).cast("long").as("qtf"))
+
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", toks.as("t"))
+    bm25TopK(docs.select($"doc_id".as("pid"), $"t"), bm25Queries(docs), Bm25TopK)
+      .select($"query_id", $"rank", $"pid".as("doc_id"), $"score", $"n_terms")
       .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Passage retrieval: BM25 over the X20 chunk grid (ChunkSize-token
+  // windows every ChunkStride) — the unit a RAG pipeline actually
+  // retrieves. Same core, same scale shape; passage ids pack
+  // (doc_id, start) so the ranking shuffles one long, decoded only in
+  // the presentation projection.
+  // ------------------------------------------------------------------
+  val PassageTopK = 3
+  val PassageIdBase = 1000L
+
+  def qPassageBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", toks.as("t"))
+    val passages = docs
+      .select($"doc_id",
+        explode(sequence(lit(1), greatest(size($"t"), lit(1)),
+          lit(Corpus.ChunkStride))).as("s"), $"t")
+      .select(($"doc_id" * PassageIdBase + $"s").as("pid"),
+        slice($"t", $"s", lit(Corpus.ChunkSize)).as("t"))
+    bm25TopK(passages, bm25Queries(docs), PassageTopK)
+      .select($"query_id", $"rank",
+        expr(s"pid div $PassageIdBase").as("doc_id"),
+        ($"pid" % PassageIdBase).as("start"), $"score", $"n_terms")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlPassageBm25: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |p AS (
+       |  SELECT doc_id * $PassageIdBase + s AS pid,
+       |    list_slice(t, s, s + ${Corpus.ChunkSize - 1}) AS t
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, greatest(len(t), 1) + 1, ${Corpus.ChunkStride})) AS s
+       |        FROM tok)),
+       |n AS (SELECT count(*)::BIGINT AS nd, sum(len(t))::BIGINT AS tt FROM p),
+       |tf AS (
+       |  SELECT pid, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+       |  FROM (SELECT pid, len(t)::BIGINT AS dl, unnest(t) AS term FROM p)
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT pid, term, tf, dl,
+       |    (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |  FROM tf),
+       |q AS (
+       |  SELECT query_id, term, count(*)::BIGINT AS qtf
+       |  FROM (SELECT doc_id AS query_id, unnest(list_slice(t, 1, $QueryLen)) AS term
+       |        FROM tok WHERE doc_id < $NumQueries) GROUP BY 1, 2),
+       |hit AS (
+       |  SELECT query_id, s.pid, s.term,
+       |    (qtf * (2 * nd - 2 * df + 1) * 22 * tf * tt)::DOUBLE
+       |      / ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd))::DOUBLE AS s
+       |  FROM stats s JOIN q USING (term) CROSS JOIN n),
+       |agg AS (
+       |  SELECT query_id, pid, count(*)::BIGINT AS n_terms,
+       |    ${Similarity.sqlFsum(s"list(s ORDER BY term)")} AS score
+       |  FROM hit GROUP BY 1, 2)
+       |SELECT query_id, rank, pid // $PassageIdBase AS doc_id,
+       |  pid % $PassageIdBase AS start, score, n_terms FROM (
+       |  SELECT query_id, pid, score, n_terms,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, pid) AS rank
+       |  FROM agg)
+       |WHERE rank <= $PassageTopK ORDER BY query_id, rank""".stripMargin
   }
 
   val sqlBm25: String = {

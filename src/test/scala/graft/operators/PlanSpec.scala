@@ -296,4 +296,13 @@ class PlanSpec extends SparkSpec {
     // corpus scan; the corpus-side windows are all partitioned by q
     assert(plan.contains("partial"))
   }
+
+  test("q_passage_bm25: same broadcast-scoring shape as the document face") {
+    val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row totals cross may be a BNLJ, found $bnlj")
+    assert(plan.contains("WindowGroupLimit"))
+  }
 }
