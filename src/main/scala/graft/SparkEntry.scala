@@ -53,6 +53,8 @@ object SparkEntry {
     "q_fingerprint"       -> (TextOps.qFingerprint(_, _)),
     "q_tfidf"             -> (TextOps.qTfidf(_, _)),
     "q_bm25"              -> (TextOps.qBm25(_, _)),
+    "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
+    "q_quality_logit"     -> (TextOps.qQualityLogit(_, _)),
     "q_passage_bm25"      -> (TextOps.qPassageBm25(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
@@ -77,6 +79,7 @@ object SparkEntry {
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
     "q_source_health"     -> (Corpus.qSourceHealth(_, _)),
     "q_filter_funnel"     -> (Corpus.qFilterFunnel(_, _)),
+    "q_gopher_rules"      -> (Corpus.qGopherRules(_, _)),
     "q_corpus_verdict"    -> (Corpus.qCorpusVerdict(_, _)),
     // embedding vector ops: normalize, mean-pool centroid, coherence
     "q_emb_norm"          -> (Embeddings.qEmbNorm(_, _)),
@@ -102,6 +105,7 @@ object SparkEntry {
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
+    "q_rrf_fusion"        -> (Similarity.qRrfFusion(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_semantic_dedup"    -> (Similarity.qSemanticDedup(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
@@ -234,6 +238,7 @@ object SparkEntry {
     "q_contam_spans"       -> Corpus.sqlContamSpans,
     "q_source_health"      -> Corpus.sqlSourceHealth,
     "q_filter_funnel"      -> Corpus.sqlFilterFunnel,
+    "q_gopher_rules"       -> Corpus.sqlGopherRules,
     "q_corpus_verdict"     -> Corpus.sqlCorpusVerdict,
     "q_emb_norm"           -> Embeddings.sqlEmbNorm,
     "q_emb_centroid"       -> Embeddings.sqlEmbCentroid,
@@ -256,6 +261,8 @@ object SparkEntry {
     "q_pack_stats"         -> Packing.sqlPackStats,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_bm25"               -> TextOps.sqlBm25,
+    "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
+    "q_quality_logit"      -> TextOps.sqlQualityLogit,
     "q_passage_bm25"       -> TextOps.sqlPassageBm25,
     "q_type_counts" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
@@ -281,6 +288,7 @@ object SparkEntry {
     "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_hard_negatives"     -> Similarity.sqlHardNegatives,
+    "q_rrf_fusion"         -> Similarity.sqlRrfFusion,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_semantic_dedup"     -> Similarity.sqlSemanticDedup,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,

@@ -652,6 +652,91 @@ object Corpus {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", App. A1.1):
+  // the published per-document rule set — word-count bounds,
+  // mean-word-length band, symbol-to-word ratio (# and ellipsis),
+  // alphabetic-word fraction, minimum stop-word evidence — reported
+  // per document with a fail BITMASK (bit i set = rule i failed) and
+  // the keep verdict. Complements qFilterFunnel, which does
+  // corpus-level cascade accounting over coarser rules: this is the
+  // per-document audit row a curation review publishes. One scan; all
+  // rules are expressions over the single tokenize; rule comparisons
+  // run on the 6-decimal-rounded ratios so both engines compare
+  // identical doubles. Reference analogue: the validation filter
+  // chain at flink-streaming/src/.../validation (SURVEY §2.3 P9).
+  // ------------------------------------------------------------------
+  val GopherMinTokens = 50L
+  val GopherMaxTokens = 100000L
+  val GopherMeanWordLenLo = 3.0
+  val GopherMeanWordLenHi = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopwords = 2L
+
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = $"t"
+    val nTok = nullif(size(t), lit(0))
+    val hashCnt = length($"text") - length(regexp_replace($"text", "#", ""))
+    val ellCnt = (length($"text") -
+      length(regexp_replace($"text", "\\.\\.\\.", ""))) / lit(3)
+    val stopCnt = size(t) -
+      size(TextOps.Stopwords.foldLeft(t)((c, w) => array_remove(c, w)))
+    val base = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", $"text", toks.as("t"))
+      .select($"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        r6(length(concat_ws("", t)).cast("double") / nTok).as("mean_word_len"),
+        r6((hashCnt + ellCnt).cast("double") / nTok).as("symbol_ratio"),
+        r6(size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("double") / nTok)
+          .as("alpha_frac"),
+        stopCnt.cast("long").as("stopword_cnt"))
+    // pass conditions coalesce(NULL → false) so an empty doc fails
+    // identically in both engines rather than tri-stating the mask
+    val passes = Seq(
+      $"n_tokens".between(GopherMinTokens, GopherMaxTokens),
+      $"mean_word_len".between(GopherMeanWordLenLo, GopherMeanWordLenHi),
+      $"symbol_ratio" <= GopherMaxSymbolRatio,
+      $"alpha_frac" >= GopherMinAlphaFrac,
+      $"stopword_cnt" >= GopherMinStopwords)
+    val mask = passes.zipWithIndex
+      .map { case (p, i) => when(!coalesce(p, lit(false)), lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    base.withColumn("fail_mask", mask)
+      .withColumn("keep", $"fail_mask" === 0L)
+      .orderBy($"doc_id")
+  }
+
+  val sqlGopherRules: String = {
+    val t = Hashing.sqlTokens("text")
+    val sw = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    val symNum = "(length(text) - length(replace(text, '#', ''))" +
+      " + (length(text) - length(replace(text, '...', ''))) // 3)"
+    val passes = Seq(
+      s"n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens",
+      s"mean_word_len BETWEEN $GopherMeanWordLenLo AND $GopherMeanWordLenHi",
+      s"symbol_ratio <= $GopherMaxSymbolRatio",
+      s"alpha_frac >= $GopherMinAlphaFrac",
+      s"stopword_cnt >= $GopherMinStopwords")
+    val mask = passes.zipWithIndex
+      .map { case (p, i) =>
+        s"CASE WHEN NOT coalesce($p, FALSE) THEN ${1L << i} ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len($t)::BIGINT AS n_tokens,
+       |    ${rSql(s"length(list_aggregate($t, 'string_agg', ''))::DOUBLE / NULLIF(len($t), 0)")} AS mean_word_len,
+       |    ${rSql(s"$symNum::DOUBLE / NULLIF(len($t), 0)")} AS symbol_ratio,
+       |    ${rSql(s"len(list_filter($t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / NULLIF(len($t), 0)")} AS alpha_frac,
+       |    len(list_filter($t, w -> w IN ($sw)))::BIGINT AS stopword_cnt
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_frac,
+       |  stopword_cnt, ($mask)::BIGINT AS fail_mask,
+       |  ($mask) = 0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val sqlFilterFunnel: String = {
     val t = Hashing.sqlTokens("text")
     val flagDefs = Seq(

@@ -131,6 +131,112 @@ object Similarity {
        |  FROM c)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke &
+  // Büttcher 2009): fuse the lexical BM25 ranking over document TEXT
+  // with the dense cosine ranking over document EMBEDDINGS —
+  // rrf(d) = Σ_lists 1/(k + rank_list(d)), k = 60 — the standard
+  // hybrid-search scorer (a doc missing from one list contributes
+  // nothing for it). Query ids are shared: doc_id < NumQueries on the
+  // text side, the same ids as vec_id on the vector side.
+  //
+  // Float law: each 1/(60+rank) is one correctly-rounded IEEE divide
+  // of exact small integers, and the fused score is one addition of
+  // two such doubles — bit-identical across engines; ties break on
+  // doc_id. Scale shape: both input rankings are depth-bounded per
+  // query (WindowGroupLimit), so the fusion join keys on
+  // (query_id, doc_id) over ≤ 2·depth rows per query — the fusion
+  // itself adds no corpus-sized work to either ranker.
+  // ------------------------------------------------------------------
+  val RrfK = 60L
+  val RrfDepth = 20
+  val RrfTopK = 5
+
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", graft.functions.Hashing.tokens($"text").as("t"))
+    val text = TextOps.bm25TopK(docs.select($"doc_id".as("pid"), $"t"),
+        TextOps.bm25Queries(docs), RrfDepth)
+      .select($"query_id", $"pid".as("doc_id"), $"rank".as("text_rank"))
+    val base = Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nv", normCol($"v"))
+    val queries = base.filter($"vec_id" < TextOps.NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
+    val wv = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    val vec = base.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter($"vec_rank" <= RrfDepth)
+      .select($"query_id", $"vec_id".as("doc_id"), $"vec_rank")
+    val w = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
+    text.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK) + $"text_rank").cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"vec_rank").cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= RrfTopK)
+      .select($"query_id", $"rank", $"doc_id", $"rrf_score",
+        $"text_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlRrfFusion: String = {
+    val t = graft.functions.Hashing.sqlTokens("text")
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |n AS (SELECT count(*)::BIGINT AS nd, sum(len(t))::BIGINT AS tt FROM tok),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+       |  FROM (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS term FROM tok)
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT doc_id, term, tf, dl,
+       |    (count(*) OVER (PARTITION BY term))::BIGINT AS df
+       |  FROM tf),
+       |q AS (
+       |  SELECT query_id, term, count(*)::BIGINT AS qtf
+       |  FROM (SELECT doc_id AS query_id,
+       |          unnest(list_slice(t, 1, ${TextOps.QueryLen})) AS term
+       |        FROM tok WHERE doc_id < ${TextOps.NumQueries}) GROUP BY 1, 2),
+       |hit AS (
+       |  SELECT query_id, s.doc_id, s.term,
+       |    (qtf * (2 * nd - 2 * df + 1) * 22 * tf * tt)::DOUBLE
+       |      / ((2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd))::DOUBLE AS s
+       |  FROM stats s JOIN q USING (term) CROSS JOIN n),
+       |agg AS (
+       |  SELECT query_id, doc_id,
+       |    ${sqlFsum(s"list(s ORDER BY term)")} AS score
+       |  FROM hit GROUP BY 1, 2),
+       |txt AS (
+       |  SELECT query_id, doc_id, rank AS text_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |    FROM agg)
+       |  WHERE rank <= $RrfDepth),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+       |        ${sqlCosine("q.v", "v.v")} AS cosine
+       |      FROM v q JOIN v ON q.vec_id < ${TextOps.NumQueries} AND v.vec_id <> q.vec_id),
+       |vec AS (
+       |  SELECT query_id, doc_id, rank AS vec_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+       |    FROM c)
+       |  WHERE rank <= $RrfDepth),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(1.0::DOUBLE / ($RrfK + text_rank)::DOUBLE, 0.0::DOUBLE)
+       |      + coalesce(1.0::DOUBLE / ($RrfK + vec_rank)::DOUBLE, 0.0::DOUBLE) AS rrf_score,
+       |    text_rank, vec_rank
+       |  FROM txt FULL JOIN vec USING (query_id, doc_id))
+       |SELECT query_id, rank, doc_id, rrf_score, text_rank, vec_rank FROM (
+       |  SELECT query_id, doc_id, rrf_score, text_rank, vec_rank,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $RrfTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   // -- DuckDB mirrors ------------------------------------------------
 
   /** DuckDB: strict left-fold sum over a DOUBLE list expression. */

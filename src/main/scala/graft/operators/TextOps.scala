@@ -305,8 +305,9 @@ object TextOps {
       .filter($"rank" <= k)
   }
 
-  /** The corpus-derived query-term frame shared by both BM25 faces. */
-  private def bm25Queries(docs: DataFrame): DataFrame =
+  /** The corpus-derived query-term frame shared by both BM25 faces
+    * (and the RRF fusion in [[Similarity]]). */
+  private[operators] def bm25Queries(docs: DataFrame): DataFrame =
     docs.filter($"doc_id" < NumQueries)
       .select($"doc_id".as("query_id"), explode(slice($"t", 1, QueryLen)).as("term"))
       .groupBy($"query_id", $"term").agg(count(lit(1)).cast("long").as("qtf"))
@@ -412,6 +413,122 @@ object TextOps {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
        |  FROM agg)
        |WHERE rank <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Quality-classifier scoring: a FROZEN linear model over the per-doc
+  // text-stat features, ranking documents by logit — the
+  // classifier-based filtering step of GPT-3-style data prep (Brown et
+  // al. 2020 §A: a trained quality classifier scores every crawl
+  // document; docs are kept by score). The weights here are fixed
+  // constants standing in for a trained model's — the ENGINE face
+  // (one scan, per-row fused multiply-adds, no shuffle) is what's
+  // under test, exactly as Multimodal stubs its decoder. Float law:
+  // features are 6-decimal-rounded doubles, weights are literals both
+  // engines parse to the same binary64, and the logit is the same
+  // left-associated chain of IEEE mults/adds in both engines — no
+  // sigmoid (exp is monotone, so thresholding the logit IS
+  // thresholding the probability, and no libm enters the gate).
+  // ------------------------------------------------------------------
+  val QwBias = -3.5
+  val QwMeanWordLen = 0.45
+  val QwStopwordRatio = -3.25
+  val QwTypeTokenRatio = 2.5
+  val QwLen = 0.5 // applied to n_tokens/256 (power-of-two scale: exact)
+
+  def qQualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val t = $"t"
+    val nTok = nullif(size(t), lit(0))
+    val base = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        r6(length(concat_ws("", t)).cast("double") / nTok).as("mean_word_len"),
+        r6(stopwordCount(t).cast("double") / nTok).as("stopword_ratio"),
+        r6(size(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"))
+    val logit =
+      lit(QwBias) +
+        lit(QwMeanWordLen) * $"mean_word_len" +
+        lit(QwStopwordRatio) * $"stopword_ratio" +
+        lit(QwTypeTokenRatio) * $"type_token_ratio" +
+        lit(QwLen) * ($"n_tokens".cast("double") / 256.0)
+    base.withColumn("logit", logit)
+      .withColumn("keep", coalesce($"logit" >= 0.0, lit(false)))
+      .orderBy($"doc_id")
+  }
+
+  val sqlQualityLogit: String = {
+    val t = Hashing.sqlTokens("text")
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    val r = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len($t)::BIGINT AS n_tokens,
+       |    ${r(s"length(list_aggregate($t, 'string_agg', ''))::DOUBLE / NULLIF(len($t), 0)")} AS mean_word_len,
+       |    ${r(s"len(list_filter($t, w -> w IN ($sw)))::DOUBLE / NULLIF(len($t), 0)")} AS stopword_ratio,
+       |    ${r(s"len(list_distinct($t))::DOUBLE / NULLIF(len($t), 0)")} AS type_token_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, type_token_ratio,
+       |  $QwBias + $QwMeanWordLen * mean_word_len
+       |    + $QwStopwordRatio * stopword_ratio
+       |    + $QwTypeTokenRatio * type_token_ratio
+       |    + $QwLen * (n_tokens::DOUBLE / 256.0) AS logit,
+       |  coalesce(($QwBias + $QwMeanWordLen * mean_word_len
+       |    + $QwStopwordRatio * stopword_ratio
+       |    + $QwTypeTokenRatio * type_token_ratio
+       |    + $QwLen * (n_tokens::DOUBLE / 256.0)) >= 0.0, FALSE) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Vocabulary coverage (Zipf audit): the top-K corpus terms by
+  // frequency with their cumulative token-mass coverage — the curve
+  // that sizes a tokenizer vocabulary (what fraction of all tokens the
+  // first k types explain) and flags a degenerate corpus (coverage
+  // too concentrated = boilerplate; too flat = noise). Scale shape:
+  // term counts aggregate with map-side combine (shuffle carries
+  // |vocab| partials, not tokens), the corpus total is a broadcast
+  // scalar, the top-K cut is TakeOrderedAndProject (never a full
+  // vocab sort materialized), and the running sum is a window over
+  // exactly K rows — driver-bounded by construction.
+  // ------------------------------------------------------------------
+  val VocabTopK = 50
+
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documentsSharded(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy($"term").agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum($"cnt").cast("long").as("total_tokens"))
+    val top = counts.orderBy($"cnt".desc, $"term").limit(VocabTopK)
+    // K rows only: the unpartitioned window is bounded, not a smell
+    val w = Window.orderBy($"cnt".desc, $"term")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum($"cnt").over(w).cast("long"))
+      .withColumn("coverage",
+        $"cum_cnt".cast("double") / $"total_tokens".cast("double"))
+      .select($"rank", $"term", $"cnt", $"cum_cnt", $"total_tokens", $"coverage")
+      .orderBy($"rank")
+  }
+
+  val sqlVocabCoverage: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH counts AS (
+       |  SELECT term, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest($t) AS term FROM documents) GROUP BY 1),
+       |n AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM counts),
+       |top AS (SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT $VocabTopK),
+       |r AS (
+       |  SELECT term, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+       |    sum(cnt) OVER (ORDER BY cnt DESC, term
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cnt
+       |  FROM top)
+       |SELECT rank, term, cnt, cum_cnt, total_tokens,
+       |  cum_cnt::DOUBLE / total_tokens::DOUBLE AS coverage
+       |FROM r CROSS JOIN n ORDER BY rank""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -297,6 +297,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
   }
 
+  test("q_gopher_rules: one scan, rules fused into the projection, only the presentation sort shuffles") {
+    val plan = executed(Corpus.qGopherRules(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    // per-doc rule math must not shuffle: the only exchange is the
+    // rangepartitioning for ORDER BY doc_id
+    assert(!plan.contains("Exchange hashpartitioning"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"))
+  }
+
+  test("q_quality_logit: one scan, logit fused per-row, no shuffle but the presentation sort") {
+    val plan = executed(TextOps.qQualityLogit(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("q_vocab_coverage: top-K cut is TakeOrdered, cumulative window is bounded to K rows") {
+    val plan = executed(TextOps.qVocabCoverage(spark, Sf0001))
+    // the vocab never sorts fully: the K-cut must be TakeOrderedAndProject
+    assert(plan.contains("TakeOrderedAndProject"))
+    // term counts combine map-side before the one vocab shuffle
+    assert(plan.contains("partial"))
+    // totals ride in as a 1-row broadcast, not a shuffled join
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row totals cross may be a BNLJ, found $bnlj")
+  }
+
+  test("q_rrf_fusion: both rankers stay depth-bounded, fusion join is equi on (query, doc)") {
+    val plan = executed(Similarity.qRrfFusion(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // BM25 scoring joins broadcast; the corpus-vs-queries cosine join is
+    // a broadcast too (inequality condition ⇒ BNLJ, queries tiny); the
+    // BM25 totals cross is the other allowed BNLJ
+    assert(plan.contains("BroadcastHashJoin"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the totals cross + query-broadcast cosine may be BNLJ, found $bnlj")
+    // rank windows are per-query with group limits — never full lists
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
