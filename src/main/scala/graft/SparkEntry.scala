@@ -94,6 +94,7 @@ object SparkEntry {
     "q_temperature_mix"   -> (Sampling.qTemperatureMix(_, _)),
     "q_dsir_weights"      -> (Sampling.qDsirWeights(_, _)),
     "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
+    "q_wfq_interleave"    -> (Sampling.qWfqInterleave(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
@@ -126,6 +127,8 @@ object SparkEntry {
     "q_kpi_slippage"      -> (Kpi.qKpiSlippage(_, _)),
     "q_quantiles"         -> (Analytics.qQuantiles(_, _)),
     "q_sketch_stats"      -> (Sketches.qSketchStats(_, _)),
+    "q_bloom_filter"      -> (Sketches.qBloomFilter(_, _)),
+    "q_countmin"          -> (Sketches.qCountMin(_, _)),
     "q_corpus_overlap"    -> (Sketches.qCorpusOverlap(_, _)),
     "q_kpi_rollup"        -> (Analytics.qKpiRollup(_, _)),
     "q_incremental_rollup" -> (IncrementalAgg.qIncrementalRollup(_, _)),
@@ -251,6 +254,7 @@ object SparkEntry {
     "q_temperature_mix"    -> Sampling.sqlTemperatureMix,
     "q_dsir_weights"       -> Sampling.sqlDsirWeights,
     "q_budget_select"      -> Sampling.sqlBudgetSelect,
+    "q_wfq_interleave"     -> Sampling.sqlWfqInterleave,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
@@ -308,6 +312,8 @@ object SparkEntry {
     "q_kpi_slippage"       -> Kpi.sqlKpiSlippage,
     "q_quantiles"          -> Analytics.sqlQuantiles,
     "q_sketch_stats"       -> Sketches.sqlSketchStats,
+    "q_bloom_filter"       -> Sketches.sqlBloomFilter,
+    "q_countmin"           -> Sketches.sqlCountMin,
     "q_corpus_overlap"     -> Sketches.sqlCorpusOverlap,
     "q_kpi_rollup"         -> Analytics.sqlKpiRollup,
     "q_status_pivot"       -> Analytics.sqlStatusPivot,

@@ -111,6 +111,72 @@ object Sampling {
   }
 
   // ------------------------------------------------------------------
+  // Weighted fair-queueing interleave (Demers, Keshav & Shenker 1989,
+  // applied to dataloading): the deterministic GLOBAL feed order that
+  // serves source s proportionally to its weight — doc i of source s
+  // is scheduled at virtual time vt = pos_s(i) · (L / w_s), L the
+  // weight LCM, so a weight-4 source appears 4× as often as a
+  // weight-1 source in any window of the schedule. This is the order
+  // a multi-source training run streams batches in (the "mixture
+  // without replacement" dataloader), and unlike a sampled mixture it
+  // is exactly reproducible. Weights derive from the source index
+  // (w = idx % 4 + 1) standing in for a tuned mixture table.
+  //
+  // Scale shape: per-source positions do NOT come from one window per
+  // source (that serializes a corpus/|sources| partition through one
+  // task — the exact ceiling the sequence-packing review flagged):
+  // rank within (source, shard) + broadcast per-shard prefix offsets
+  // — |sources|·NumShards parallel walkers, the X32/X38 two-phase
+  // pattern. vt is exact integer arithmetic; the presentation sort is
+  // a range exchange (parallel), not a single-partition window.
+  // ------------------------------------------------------------------
+  val WfqSeed = "wfq1"
+  val WfqLcm = 12L // LCM of weights {1,2,3,4}
+
+  def qWfqInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", sampleKey(WfqSeed, $"doc_id").as("k"))
+      .withColumn("shard", ($"k" % NumShards).cast("long"))
+      .withColumn("weight",
+        (substring($"source", 4, 10).cast("long") % 4L + 1L).as("weight"))
+    val wRn = Window.partitionBy($"source", $"shard").orderBy($"k", $"doc_id")
+    val withRn = keyed.withColumn("rn", row_number().over(wRn).cast("long"))
+    val offsets = keyed.groupBy($"source", $"shard")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(
+        Window.partitionBy($"source").orderBy($"shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"shard", $"off")
+    withRn.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("pos", $"off" + $"rn")
+      .withColumn("vt", $"pos" * (lit(WfqLcm) / $"weight").cast("long"))
+      .select($"doc_id", $"source", $"weight", $"pos", $"vt")
+      .orderBy($"vt", $"source", $"pos")
+  }
+
+  val sqlWfqInterleave: String = {
+    val k = sqlSampleKey(WfqSeed, "doc_id")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, $k AS k, $k % $NumShards AS shard,
+       |    (CAST(substr(source, 4) AS BIGINT) % 4 + 1) AS weight
+       |  FROM documents),
+       |rn AS (
+       |  SELECT doc_id, source, shard, weight,
+       |    row_number() OVER (PARTITION BY source, shard ORDER BY k, doc_id)::BIGINT AS rn
+       |  FROM keyed),
+       |off AS (
+       |  SELECT source, shard,
+       |    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+       |  FROM (SELECT source, shard, count(*)::BIGINT AS cnt
+       |        FROM keyed GROUP BY 1, 2))
+       |SELECT doc_id, source, weight, off + rn AS pos,
+       |  (off + rn) * ($WfqLcm // weight) AS vt
+       |FROM rn JOIN off USING (source, shard)
+       |ORDER BY vt, source, pos""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Leakage-safe train/valid/test split: the assignment unit is the
   // near-dup CLUSTER, not the document. Hashing doc_id alone would
   // scatter near-duplicate families across splits — the eval set then

@@ -137,6 +137,152 @@ object Sketches {
       .orderBy($"corpus_a", $"corpus_b")
   }
 
+  // ------------------------------------------------------------------
+  // Bloom seen-filter (Bloom 1970; the crawler/ingest "have I seen
+  // this content before?" membership test): build an m-bit filter
+  // over the seen corpus's content hashes (k seeded bit positions per
+  // key, words OR-combined), then probe an incoming batch — the
+  // probabilistic twin of X56's exact incremental dedup: O(m) bits of
+  // state instead of a persisted LSH index, at the price of false
+  // positives. The gate computes maybe_seen (filter verdict),
+  // exact_seen (ground truth via hash anti-join), and the
+  // false_positive flag — at 100 TB you keep the filter column and
+  // size m to the FP budget.
+  //
+  // Engine-exactness: unlike HLL (engine-specific internals), every
+  // Bloom bit here is deterministic integer arithmetic — seeded
+  // sha-derived positions, 32-bit words held in BIGINT so no shift
+  // ever touches the sign bit — so the DuckDB oracle rebuilds the
+  // SAME filter bit-for-bit. Scale shape: the build is one
+  // map-side-combined bit_or over k·|corpus| slim (word, mask) rows
+  // into ≤ m/32 words; the filter broadcasts; the probe is one scan
+  // of the batch + a broadcast join — no corpus-sized shuffle
+  // anywhere. Split convention matches X56 (doc_id % 10 = 7 is the
+  // incoming batch).
+  // ------------------------------------------------------------------
+  val BloomBits = 65536L // m = 2^16
+  val BloomWordBits = 32L // 32-bit words in BIGINT: shifts never overflow
+  val BloomHashes = 3
+
+  def qBloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val keyed = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        sha2(concat_ws(" ", Hashing.tokens($"text")), 256).as("k"))
+    val bits = keyed.select($"doc_id", $"k",
+      explode(array((0 until BloomHashes).map(j =>
+        Hashing.h60Seeded(j, $"k") % BloomBits): _*)).as("bit"))
+      .select($"doc_id", $"k",
+        expr(s"bit div $BloomWordBits").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $BloomWordBits AS INT))")
+          .as("mask"))
+    val isIncoming = $"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem
+    val filterWords = bits.filter(!isIncoming)
+      .groupBy($"word").agg(expr("bit_or(mask)").as("w_val"))
+    val hits = bits.filter(isIncoming)
+      .join(broadcast(filterWords), Seq("word"), "left")
+      .groupBy($"doc_id", $"k")
+      .agg(sum(when($"w_val".bitwiseAND($"mask") === $"mask", 1L).otherwise(0L))
+        .as("nh"))
+    val seen = keyed.filter(!isIncoming).select($"k").distinct()
+      .withColumn("present", lit(true))
+    hits.join(broadcast(seen), Seq("k"), "left")
+      .select($"doc_id",
+        ($"nh" === BloomHashes).as("maybe_seen"),
+        coalesce($"present", lit(false)).as("exact_seen"))
+      .withColumn("false_positive", $"maybe_seen" && !$"exact_seen")
+      .orderBy($"doc_id")
+  }
+
+  val sqlBloomFilter: String = {
+    import graft.functions.Hashing
+    val t = Hashing.sqlTokens("text")
+    val bitList = (0 until BloomHashes)
+      .map(j => s"${Hashing.sqlH60(s"'$j' || '|' || k")} % $BloomBits")
+      .mkString("[", ", ", "]")
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    sha256(coalesce(list_aggregate($t, 'string_agg', ' '), '')) AS k
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id, k, bit // $BloomWordBits AS word,
+       |    1::BIGINT << (bit % $BloomWordBits)::INTEGER AS mask
+       |  FROM (SELECT doc_id, k, unnest($bitList) AS bit FROM keyed)),
+       |fw AS (
+       |  SELECT word, bit_or(mask) AS w_val FROM bits
+       |  WHERE doc_id % ${Dedup.IncomingMod} <> ${Dedup.IncomingRem} GROUP BY 1),
+       |hits AS (
+       |  SELECT doc_id, k,
+       |    sum(CASE WHEN (w_val & mask) = mask THEN 1 ELSE 0 END)::BIGINT AS nh
+       |  FROM bits LEFT JOIN fw USING (word)
+       |  WHERE doc_id % ${Dedup.IncomingMod} = ${Dedup.IncomingRem} GROUP BY 1, 2),
+       |seen AS (
+       |  SELECT DISTINCT k FROM keyed
+       |  WHERE doc_id % ${Dedup.IncomingMod} <> ${Dedup.IncomingRem})
+       |SELECT doc_id, nh = $BloomHashes AS maybe_seen,
+       |  s.k IS NOT NULL AS exact_seen,
+       |  (nh = $BloomHashes AND s.k IS NULL) AS false_positive
+       |FROM hits h LEFT JOIN seen s ON h.k = s.k
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005): depth×width
+  // counter grid, est(term) = min over rows of counter[d][h_d(term)] —
+  // the fixed-memory frequency estimator that replaces an exact
+  // per-term count when the vocabulary itself no longer fits (heavy
+  // hitters under memory bounds, approximate tf for filtering). Like
+  // the Bloom gate (and unlike HLL), every counter is deterministic
+  // integer arithmetic, so the oracle rebuilds the identical sketch
+  // and the gate hash-compares estimates EXACTLY — including the
+  // one-sided overcount (est ≥ exact always; the overcount column
+  // shows collision mass). Scale shape: term counts aggregate
+  // map-side first (the sketch is built from |vocab| partials, never
+  // raw tokens), the counter grid is ≤ depth·width rows and
+  // broadcasts back for the min-readout, and the top-K cut is
+  // TakeOrdered.
+  // ------------------------------------------------------------------
+  val CmsDepth = 4
+  val CmsWidth = 256L
+  val CmsTopK = 20
+
+  def qCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hashing
+    val tf = Tables.documentsSharded(spark, dir)
+      .select(explode(Hashing.tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).cast("long").as("exact_cnt"))
+    val rows = tf.select($"term", $"exact_cnt",
+        explode(array((0 until CmsDepth).map(d => lit(d.toLong)): _*)).as("d"))
+      .withColumn("idx", Hashing.h60(concat_ws("|", $"d", $"term")) % CmsWidth)
+    val counters = rows.groupBy($"d", $"idx")
+      .agg(sum($"exact_cnt").as("c"))
+    rows.join(broadcast(counters), Seq("d", "idx"))
+      .groupBy($"term", $"exact_cnt")
+      .agg(min($"c").as("cms_est"))
+      .withColumn("overcount", $"cms_est" - $"exact_cnt")
+      .orderBy($"exact_cnt".desc, $"term")
+      .limit(CmsTopK)
+  }
+
+  val sqlCountMin: String = {
+    import graft.functions.Hashing
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tf AS (
+       |  SELECT term, count(*)::BIGINT AS exact_cnt
+       |  FROM (SELECT unnest($t) AS term FROM documents) GROUP BY 1),
+       |rows_ AS (
+       |  SELECT term, exact_cnt, d,
+       |    ${Hashing.sqlH60("d::VARCHAR || '|' || term")} % $CmsWidth AS idx
+       |  FROM tf, (SELECT unnest(range(0, $CmsDepth)) AS d)),
+       |counters AS (
+       |  SELECT d, idx, sum(exact_cnt)::BIGINT AS c FROM rows_ GROUP BY 1, 2)
+       |SELECT term, exact_cnt, min(c)::BIGINT AS cms_est,
+       |  (min(c) - exact_cnt)::BIGINT AS overcount
+       |FROM rows_ JOIN counters USING (d, idx)
+       |GROUP BY term, exact_cnt
+       |ORDER BY exact_cnt DESC, term LIMIT $CmsTopK""".stripMargin
+  }
+
   val sqlCorpusOverlap: String = {
     import graft.functions.Hashing
     val K = Dedup.NumHashes

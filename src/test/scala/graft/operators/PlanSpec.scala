@@ -337,6 +337,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("q_bloom_filter: filter words build map-side and broadcast to the probe") {
+    val plan = executed(Sketches.qBloomFilter(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the probe must stream past broadcast filter words / seen hashes,
+    // never shuffle the corpus against the batch
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("partial"))
+  }
+
+  test("q_countmin: sketch built from vocab partials, counters broadcast, top-K TakeOrdered") {
+    val plan = executed(Sketches.qCountMin(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("partial"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_wfq_interleave: positions rank per (source, shard), offsets broadcast back") {
+    val plan = executed(Sampling.qWfqInterleave(spark, Sf0001))
+    // the rank window must be sharded WITHIN source — a bare
+    // per-source window serializes corpus/|sources| rows per task
+    assert(plan.matches("(?s).*windowspecdefinition\\(source#\\d+, shard#.*"),
+      "rank window must partition by (source, shard)")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
