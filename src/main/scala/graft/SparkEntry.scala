@@ -119,6 +119,8 @@ object SparkEntry {
     "q_scalar_funcs"      -> (Ingestion.qScalarFuncs(_, _)),
     "q_date_funcs"        -> (Ingestion.qDateFuncs(_, _)),
     "q_url_funcs"         -> (Ingestion.qUrlFuncs(_, _)),
+    "q_url_dedup"         -> (Ingestion.qUrlDedup(_, _)),
+    "q_blocklist_filter"  -> (Corpus.qBlocklistFilter(_, _)),
     // orderbook array analytics + KPI rollup
     "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
     "q_kpi_segment"       -> (Kpi.qKpiSegment(_, _)),
@@ -305,6 +307,8 @@ object SparkEntry {
     "q_scalar_funcs"       -> Ingestion.sqlScalarFuncs,
     "q_date_funcs"         -> Ingestion.sqlDateFuncs,
     "q_url_funcs"          -> Ingestion.sqlUrlFuncs,
+    "q_url_dedup"          -> Ingestion.sqlUrlDedup,
+    "q_blocklist_filter"   -> Corpus.sqlBlocklistFilter,
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,
     "q_kpi_sharpe"         -> Kpi.sqlKpiSharpe,

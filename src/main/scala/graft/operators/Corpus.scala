@@ -737,6 +737,53 @@ object Corpus {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Blocklist filter (C4, Raffel et al. 2020 §2.2: documents
+  // containing any phrase from a bad-words list are dropped): per-doc
+  // hit counts against a bundled term blocklist plus a phrase
+  // blocklist matched on the 2-gram shingle grid, and the keep
+  // verdict. The lists here are tiny stand-ins drawn from the
+  // synthetic vocabulary; the mechanism is the real one — at 100 TB
+  // the blocklist is a broadcast set probed per token (array
+  // membership below; a broadcast join when the list outgrows a
+  // literal), never a regex alternation over the raw text, which
+  // degrades quadratically with list size. One scan, no shuffle
+  // beyond the presentation sort.
+  // ------------------------------------------------------------------
+  val BlockTerms: Seq[String] = Seq("slow", "big")
+  val BlockPhrases: Seq[String] = Seq("slow scan", "big query")
+
+  def qBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = $"t"
+    // occurrences of blocklisted TOKENS: size delta under removal —
+    // same lambda-free pattern as TextOps.stopwordCount
+    val termHits = size(t) -
+      size(BlockTerms.foldLeft(t)((c, w) => array_remove(c, w)))
+    val sh = Hashing.wordShingles(t, 2)
+    val phraseHits = size(sh) -
+      size(BlockPhrases.foldLeft(sh)((c, p) => array_remove(c, p)))
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        termHits.cast("long").as("term_hits"),
+        phraseHits.cast("long").as("phrase_hits"))
+      .withColumn("keep", $"term_hits" === 0L && $"phrase_hits" === 0L)
+      .orderBy($"doc_id")
+  }
+
+  val sqlBlocklistFilter: String = {
+    val t = Hashing.sqlTokens("text")
+    val sh = Hashing.sqlShingles(t, 2)
+    val terms = BlockTerms.map(s => s"'$s'").mkString(", ")
+    val phrases = BlockPhrases.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(list_filter($t, w -> w IN ($terms)))::BIGINT AS term_hits,
+       |  len(list_filter($sh, p -> p IN ($phrases)))::BIGINT AS phrase_hits,
+       |  (len(list_filter($t, w -> w IN ($terms))) = 0
+       |   AND len(list_filter($sh, p -> p IN ($phrases))) = 0) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val sqlFilterFunnel: String = {
     val t = Hashing.sqlTokens("text")
     val flagDefs = Seq(

@@ -318,15 +318,12 @@ object Dedup {
   val IncomingMod = 10L
   val IncomingRem = 7L
 
-  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documentsSharded(spark, dir)
-      .select($"doc_id",
-        TextKernelFunctions.shingleSet($"text").as("sh"),
-        TextKernelFunctions.minhashSig($"text").as("sig"))
-      .persist()
-    base.count() // both splits and both join branches read one store
-    val incoming = base.filter($"doc_id" % IncomingMod === IncomingRem)
-    val corpus = base.filter($"doc_id" % IncomingMod =!= IncomingRem)
+  /** Probe one incoming batch (doc_id, sh, sig) against the corpus
+    * band index (doc_id, sh, sig): per-doc dup-of/new verdict. The
+    * core both the gate and the streaming face (ReplayEquivalenceSpec)
+    * drive — per-doc verdicts depend only on (doc, corpus), so
+    * micro-batching the incoming side commutes with this probe. */
+  def incrementalProbe(incoming: DataFrame, corpus: DataFrame): DataFrame = {
     def banded(df: DataFrame, id: String) = df.select($"doc_id".as(id),
       explode(array((0 until NumBands).map(b =>
         Hashing.bandKey($"sig", b, RowsPerBand)): _*)).as("bkey"))
@@ -346,7 +343,22 @@ object Dedup {
         when($"c_id".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
         coalesce($"c_id", lit(-1L)).cast("long").as("dup_of"),
         coalesce($"j", lit(0.0)).cast("double").as("jaccard"))
-      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, sh, sig) signature frame of a (doc_id, text) frame. */
+  def signatureFrame(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+      TextKernelFunctions.shingleSet($"text").as("sh"),
+      TextKernelFunctions.minhashSig($"text").as("sig"))
+
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = signatureFrame(Tables.documentsSharded(spark, dir)
+        .select($"doc_id", $"text"))
+      .persist()
+    base.count() // both splits and both join branches read one store
+    val incoming = base.filter($"doc_id" % IncomingMod === IncomingRem)
+    val corpus = base.filter($"doc_id" % IncomingMod =!= IncomingRem)
+    incrementalProbe(incoming, corpus).orderBy($"doc_id")
   }
 
   /** Oracle: exact all-pairs incoming × corpus (bounded: the incoming

@@ -166,6 +166,76 @@ object Ingestion {
       |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // URL canonicalize + dedup — the crawl-frontier step (RFC 3986
+  // normalization + tracking-param stripping): lowercase scheme and
+  // host, keep only allowlisted query params sorted by name, then
+  // keep-first per canonical form. Raw URLs are synthesized from
+  // customer rows in deliberately messy shapes (mixed-case scheme and
+  // host, shuffled param order, utm/ref/cust noise params) and the
+  // canonicalizer is GENERIC — parse_url decomposition + param
+  // allowlist — not a reverse of the construction. Scale shape: one
+  // scan, per-row canonicalization in codegen, one slim shuffle on
+  // the canonical hash for the keep-first group.
+  // ------------------------------------------------------------------
+  val UrlKeepParams: Seq[String] = Seq("page")
+
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.customer(spark, dir)
+      .select($"c_custkey", lower($"c_mktsegment").as("seg"))
+      .withColumn("url", concat(
+        lit("HTTPS://Market.Example.com/"), $"seg",
+        lit("/list?page="), $"c_custkey" % 10,
+        when($"c_custkey" % 2 === 0,
+          concat(lit("&utm_source=feed&cust="), $"c_custkey"))
+          .otherwise(concat(lit("&cust="), $"c_custkey", lit("&ref=abc")))))
+    val params = split(parse_url($"url", lit("QUERY")), "&")
+    val kept = filter(params, p =>
+      UrlKeepParams.map(k => p.startsWith(k + "=")).reduce(_ || _))
+    val canon = concat(
+      lower(parse_url($"url", lit("PROTOCOL"))), lit("://"),
+      lower(parse_url($"url", lit("HOST"))),
+      parse_url($"url", lit("PATH")),
+      when(size(kept) > 0,
+        concat(lit("?"), array_join(sort_array(kept), "&"))).otherwise(lit("")))
+    raw.select($"c_custkey", $"url", canon.as("canon_url"))
+      .groupBy($"canon_url")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"url").as("n_raw_forms"),
+        min($"c_custkey").as("keeper"))
+      .orderBy($"canon_url")
+  }
+
+  val sqlUrlDedup: String = {
+    val keepPred = UrlKeepParams.map(k => s"p LIKE '$k=%'").mkString(" OR ")
+    s"""WITH raw AS (
+       |  SELECT c_custkey,
+       |    'HTTPS://Market.Example.com/' || lower(c_mktsegment) ||
+       |    '/list?page=' || (c_custkey % 10) ||
+       |    CASE WHEN c_custkey % 2 = 0
+       |      THEN '&utm_source=feed&cust=' || c_custkey
+       |      ELSE '&cust=' || c_custkey || '&ref=abc' END AS url
+       |  FROM customer),
+       |parsed AS (
+       |  SELECT c_custkey, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       |    list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> $keepPred) AS kept
+       |  FROM raw),
+       |canon AS (
+       |  SELECT c_custkey, url,
+       |    scheme || '://' || host || path ||
+       |    CASE WHEN len(kept) > 0
+       |      THEN '?' || list_aggregate(list_sort(kept), 'string_agg', '&')
+       |      ELSE '' END AS canon_url
+       |  FROM parsed)
+       |SELECT canon_url, count(*) AS n_urls,
+       |  count(DISTINCT url) AS n_raw_forms, min(c_custkey) AS keeper
+       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Date/time catalog (F7–F10) over orders: component extraction,
   // truncation, interval arithmetic, epoch conversion.
   // ------------------------------------------------------------------

@@ -364,6 +364,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_blocklist_filter: one scan, membership checks fused per-row, no hash shuffle") {
+    val plan = executed(Corpus.qBlocklistFilter(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("q_url_dedup: canonicalization per-row, keep-first groups on the canon key only") {
+    val plan = executed(Ingestion.qUrlDedup(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(plan.contains("partial"))
+    // count(DISTINCT url) rides the two-phase aggregate — at most the
+    // (canon, url) + (canon) exchanges, never a join back
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))

@@ -225,6 +225,49 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IncrementalDedup: micro-batched incoming docs probed per-batch equal the one-shot probe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+
+    val docs = Tables.documentsSharded(spark, graft.SparkSpec.Sf0001)
+      .select($"doc_id", $"text")
+    val expected = Dedup.qIncrementalDedup(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(expected.nonEmpty)
+
+    // Frozen corpus index, built once — exactly what a production
+    // incremental dedup holds between batches. The incoming side
+    // arrives in 3 micro-batches; per-doc verdicts depend only on
+    // (doc, corpus), so the union over batches must equal the
+    // one-shot probe regardless of how the batch boundary falls.
+    val corpusSig = Dedup.signatureFrame(
+      docs.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)).persist()
+    corpusSig.count()
+    val incoming = docs.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        verdicts.synchronized {
+          verdicts ++= Dedup.incrementalProbe(Dedup.signatureFrame(batch), corpusSig)
+            .collect().toSeq.map(_.toSeq)
+        }
+        ()
+      }.start()
+    try {
+      incoming.grouped((incoming.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = verdicts.toSeq.sortBy(_.head.asInstanceOf[Long])
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally { q.stop(); corpusSig.unpersist() }
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
