@@ -54,6 +54,8 @@ object SparkEntry {
     "q_tfidf"             -> (TextOps.qTfidf(_, _)),
     "q_bm25"              -> (TextOps.qBm25(_, _)),
     "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
+    "q_inverted_index"    -> (TextOps.qInvertedIndex(_, _)),
+    "q_bpe_pairs"         -> (TextOps.qBpePairs(_, _)),
     "q_quality_logit"     -> (TextOps.qQualityLogit(_, _)),
     "q_passage_bm25"      -> (TextOps.qPassageBm25(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
@@ -96,6 +98,7 @@ object SparkEntry {
     "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
     "q_wfq_interleave"    -> (Sampling.qWfqInterleave(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
+    "q_split_audit"       -> (Sampling.qSplitAudit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
     "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
@@ -103,6 +106,7 @@ object SparkEntry {
     "q_sequence_pack"     -> (Packing.qSequencePack(_, _)),
     "q_sequence_pack_wide" -> (Packing.qSequencePackWide(_, _)),
     "q_pack_stats"        -> (Packing.qPackStats(_, _)),
+    "q_length_buckets"    -> (Packing.qLengthBuckets(_, _)),
     // similarity search over embeddings (brute-force + LSH ANN)
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
@@ -258,6 +262,7 @@ object SparkEntry {
     "q_budget_select"      -> Sampling.sqlBudgetSelect,
     "q_wfq_interleave"     -> Sampling.sqlWfqInterleave,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
+    "q_split_audit"        -> Sampling.sqlSplitAudit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
     "q_winsorize"          -> Analytics.sqlWinsorize,
@@ -265,9 +270,12 @@ object SparkEntry {
     "q_sequence_pack"      -> Packing.sqlSequencePack,
     "q_sequence_pack_wide" -> Packing.sqlSequencePackWide,
     "q_pack_stats"         -> Packing.sqlPackStats,
+    "q_length_buckets"     -> Packing.sqlLengthBuckets,
     "q_tfidf"              -> TextOps.sqlTfidf,
     "q_bm25"               -> TextOps.sqlBm25,
     "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
+    "q_inverted_index"     -> TextOps.sqlInvertedIndex,
+    "q_bpe_pairs"          -> TextOps.sqlBpePairs,
     "q_quality_logit"      -> TextOps.sqlQualityLogit,
     "q_passage_bm25"       -> TextOps.sqlPassageBm25,
     "q_type_counts" ->

@@ -191,4 +191,5 @@ object Clustering {
        |  USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
   }
+
 }

@@ -147,4 +147,63 @@ object Packing {
        |  CAST(round(CAST(sum(bin_tokens)::DOUBLE /
        |    (count(*) * $TokenBudget)::DOUBLE AS DECIMAL(28,12)), 6) AS DOUBLE) AS fill_rate
        |FROM bins""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Length-bucketed batch assembly: the OTHER standard dataloader
+  // layout (packing concatenates; bucketing pads) — every document is
+  // assigned the smallest power-of-two bucket that holds its BPE-ish
+  // token count, documents over the context cap are truncated into the
+  // top bucket, and each bucket reports the planning numbers: doc
+  // count, token mass, padding waste (bucket slots minus tokens), and
+  // the exact waste fraction. This is what sizes dynamic-batching
+  // buckets (fewer pad tokens = more real tokens per step). Scale
+  // shape: one scan, the bucket CASE is per-row codegen, the per-
+  // bucket aggregate map-side combines into ≤ |buckets| rows. Waste
+  // fraction is one IEEE divide of exact integers (< 2^53), so it is
+  // bit-identical cross-engine without a decimal round.
+  // ------------------------------------------------------------------
+  val BucketEdges: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L)
+
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(regexp_extract_all($"text", lit(TextOps.BpeIshPattern), lit(0)))
+      .cast("long")
+    val cap = BucketEdges.last
+    val bucket = BucketEdges.init.reverse
+      .foldLeft(lit(cap)) { (acc, edge) => when(n <= edge, edge).otherwise(acc) }
+    Tables.documentsSharded(spark, dir)
+      .select(n.as("n_tokens"), bucket.as("bucket_len"))
+      .select($"bucket_len",
+        least($"n_tokens", lit(cap)).as("kept_tokens"),
+        greatest($"n_tokens" - cap, lit(0L)).as("trunc_tokens"))
+      .groupBy($"bucket_len")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"kept_tokens").cast("long").as("token_mass"),
+        sum($"trunc_tokens").cast("long").as("truncated_tokens"))
+      .withColumn("pad_waste",
+        $"n_docs" * $"bucket_len" - $"token_mass")
+      .withColumn("waste_frac",
+        $"pad_waste".cast("double") / ($"n_docs" * $"bucket_len").cast("double"))
+      .orderBy($"bucket_len")
+  }
+
+  val sqlLengthBuckets: String = {
+    val n = s"len(regexp_extract_all(text, '${TextOps.BpeIshPattern}'))::BIGINT"
+    val cap = BucketEdges.last
+    val cases = BucketEdges.init.map(e => s"WHEN n <= $e THEN $e").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT n, CASE $cases ELSE $cap END AS bucket_len,
+       |    least(n, $cap) AS kept, greatest(n - $cap, 0) AS trunc
+       |  FROM (SELECT $n AS n FROM documents)),
+       |b AS (
+       |  SELECT bucket_len, count(*)::BIGINT AS n_docs,
+       |    sum(kept)::BIGINT AS token_mass,
+       |    sum(trunc)::BIGINT AS truncated_tokens
+       |  FROM d GROUP BY 1)
+       |SELECT bucket_len, n_docs, token_mass, truncated_tokens,
+       |  n_docs * bucket_len - token_mass AS pad_waste,
+       |  (n_docs * bucket_len - token_mass)::DOUBLE /
+       |    (n_docs * bucket_len)::DOUBLE AS waste_frac
+       |FROM b ORDER BY bucket_len""".stripMargin
+  }
 }

@@ -231,6 +231,42 @@ object Sampling {
   }
 
   // ------------------------------------------------------------------
+  // Split audit: the release gate a dataset card quotes — per split
+  // its doc count and assignment-unit (near-dup cluster) count, plus
+  // the number of units that STRADDLE a split boundary. Straddle is
+  // computed generically from the assignment (units observed with >1
+  // distinct splits), NOT assumed zero, so the gate proves the
+  // leakage-safety guarantee of [[qLeakageSplit]] in both engines
+  // rather than restating its construction. Scale shape: both audits
+  // are map-side-combined aggregates over the slim (doc, unit, split)
+  // frame; the straddle scalar broadcasts back onto 3 rows.
+  // ------------------------------------------------------------------
+  def qSplitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val s = qLeakageSplit(spark, dir)
+    val straddle = s
+      .groupBy($"split_unit")
+      .agg(countDistinct($"split").as("ns"))
+      .agg(coalesce(sum(when($"ns" > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("straddle_units"))
+    s.groupBy($"split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct($"split_unit").cast("long").as("n_units"))
+      .crossJoin(broadcast(straddle))
+      .orderBy($"split")
+  }
+
+  val sqlSplitAudit: String =
+    s"""WITH s AS ($sqlLeakageSplit),
+       |st AS (
+       |  SELECT coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+       |    AS straddle_units
+       |  FROM (SELECT split_unit, count(DISTINCT split) AS ns FROM s GROUP BY 1))
+       |SELECT split, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT split_unit)::BIGINT AS n_units, straddle_units
+       |FROM s CROSS JOIN st
+       |GROUP BY split, straddle_units ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
   // Corpus mixture rebalancing ("data mixing"): draw the LARGEST
   // corpus that matches a target language mixture exactly, selecting
   // members deterministically by hash order. All quota math is integer

@@ -564,4 +564,106 @@ object TextOps {
        |      FROM documents)
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Inverted-index build: the retrieval artifact itself — per term its
+  // document frequency, collection frequency, and the head of its
+  // postings list ((doc:tf) pairs, tf-descending) — what an IR system
+  // materializes once and serves forever (BM25 here derives the same
+  // (term, doc, tf) grid on the fly; a production index writes it
+  // out). Scale shape: tf aggregates on (term, doc) with map-side
+  // combine; the per-term window and the final per-term aggregate
+  // share one hash partitioning on term (a single exchange feeds
+  // both); the postings head is rank-bounded BEFORE the list is
+  // assembled, so no full postings array is ever built just to be
+  // truncated. At 100 TB the full postings would stream to a sorted
+  // writer instead of a head string — the grid and its partitioning
+  // are the same.
+  // ------------------------------------------------------------------
+  val PostingsHead = 5
+
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", explode(toks).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val w = Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy($"term")
+      .agg(
+        count(lit(1)).cast("long").as("df"),
+        sum($"tf").cast("long").as("cf"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when($"rk" <= PostingsHead, struct($"rk", $"doc_id", $"tf")))),
+            e => concat_ws(":", e.getField("doc_id"), e.getField("tf"))),
+          ",").as("postings_head"))
+      .orderBy($"term")
+  }
+
+  val sqlInvertedIndex: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tf AS (
+       |  SELECT term, doc_id, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest($t) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT term, doc_id, tf,
+       |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+       |  FROM tf)
+       |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+       |  string_agg(CASE WHEN rk <= $PostingsHead
+       |    THEN doc_id || ':' || tf END, ',' ORDER BY rk) AS postings_head
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // BPE merge-pair counting (Sennrich et al. 2016 §3.2, the inner loop
+  // of byte-pair-encoding tokenizer training): word types with corpus
+  // frequencies, each word spelled as characters plus an end-of-word
+  // marker '_', and every adjacent symbol pair counted weighted by the
+  // word's frequency — the top pair is the next BPE merge. One
+  // iteration only (the full trainer re-runs this grid after each
+  // merge; every iteration has this exact shape). Scale shape: the
+  // corpus scan reduces to the word-type frequency table first
+  // (map-side combine — pairs are then generated from |vocab| rows,
+  // not from every token occurrence), pair explosion is per-row
+  // codegen, and the pair aggregate is map-side combined; the top-K
+  // cut is TakeOrderedAndProject. All counts exact integers.
+  // ------------------------------------------------------------------
+  val BpeTopPairs = 20
+
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.documentsSharded(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy($"word").agg(count(lit(1)).cast("long").as("freq"))
+    val marked = concat($"word", lit("_"))
+    wordFreq
+      .select($"word", $"freq",
+        explode(transform(sequence(lit(1), length($"word")),
+          i => marked.substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair")
+      .agg(sum($"freq").cast("long").as("pair_count"),
+        countDistinct($"word").cast("long").as("n_word_types"))
+      .orderBy($"pair_count".desc, $"pair")
+      .limit(BpeTopPairs)
+  }
+
+  val sqlBpePairs: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH wf AS (
+       |  SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($t) AS word FROM documents) GROUP BY 1),
+       |p AS (
+       |  SELECT word, freq,
+       |    unnest(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word || '_', i::INTEGER, 2))) AS pair
+       |  FROM wf)
+       |SELECT pair, sum(freq)::BIGINT AS pair_count,
+       |  count(DISTINCT word)::BIGINT AS n_word_types
+       |FROM p GROUP BY 1
+       |ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin
+  }
 }

@@ -380,6 +380,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
   }
 
+  test("q_inverted_index: tf grid, per-term window and final agg share one term partitioning") {
+    val plan = executed(TextOps.qInvertedIndex(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    // (term, doc) tf exchange + term exchange for the window; the
+    // final per-term aggregate must reuse the window's partitioning
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_bpe_pairs: pairs explode from the vocab table, top-K is TakeOrdered") {
+    val plan = executed(TextOps.qBpePairs(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("partial"), "word-freq and pair aggregates must map-side combine")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_split_audit: slim label join, broadcast straddle scalar, no cartesian blowup") {
+    val plan = executed(Sampling.qSplitAudit(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the 1-row straddle broadcast
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+  }
+
+  test("q_length_buckets: one scan, bucket CASE per-row, one bounded aggregate") {
+    val plan = executed(Packing.qLengthBuckets(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(plan.contains("partial"))
+    assert(!plan.contains("Join"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
