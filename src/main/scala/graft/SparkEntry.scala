@@ -56,6 +56,7 @@ object SparkEntry {
     "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
     "q_inverted_index"    -> (TextOps.qInvertedIndex(_, _)),
     "q_bpe_pairs"         -> (TextOps.qBpePairs(_, _)),
+    "q_bpe_encode"        -> (TextOps.qBpeEncode(_, _)),
     "q_quality_logit"     -> (TextOps.qQualityLogit(_, _)),
     "q_passage_bm25"      -> (TextOps.qPassageBm25(_, _)),
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
@@ -63,6 +64,7 @@ object SparkEntry {
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
+    "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
     "q_simhash"           -> (Dedup.qSimhash(_, _)),
     "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
@@ -74,6 +76,7 @@ object SparkEntry {
     "q_repetition"        -> (Corpus.qRepetition(_, _)),
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
     "q_corpus_rewrite"    -> (Corpus.qCorpusRewrite(_, _)),
+    "q_intra_doc_dedup"   -> (Corpus.qIntraDocDedup(_, _)),
     "q_boilerplate_strip" -> (Corpus.qBoilerplateStrip(_, _)),
     "q_incremental_dedup" -> (Dedup.qIncrementalDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
@@ -240,6 +243,7 @@ object SparkEntry {
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
     "q_corpus_rewrite"     -> Corpus.sqlCorpusRewrite,
+    "q_intra_doc_dedup"    -> Corpus.sqlIntraDocDedup,
     "q_boilerplate_strip"  -> Corpus.sqlBoilerplateStrip,
     "q_incremental_dedup"  -> Dedup.sqlIncrementalDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
@@ -276,6 +280,7 @@ object SparkEntry {
     "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
     "q_inverted_index"     -> TextOps.sqlInvertedIndex,
     "q_bpe_pairs"          -> TextOps.sqlBpePairs,
+    "q_bpe_encode"         -> TextOps.sqlBpeEncode,
     "q_quality_logit"      -> TextOps.sqlQualityLogit,
     "q_passage_bm25"       -> TextOps.sqlPassageBm25,
     "q_type_counts" ->
@@ -297,6 +302,7 @@ object SparkEntry {
     "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
+    "q_lsh_audit"          -> Dedup.sqlLshAudit,
     "q_simhash"            -> Dedup.sqlSimhash,
     "q_simhash_pairs"      -> Dedup.sqlSimhashPairs,
     "q_ngram_jaccard"      -> Dedup.sqlNgramJaccard,

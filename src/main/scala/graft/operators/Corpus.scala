@@ -237,6 +237,52 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Intra-document segment dedup: remove repeated token segments
+  // WITHIN each document, keeping the first occurrence in document
+  // order — the cleanup for pages that repeat their own content
+  // (scraper loops, pagination echoes, chorus/refrain text). Distinct
+  // from [[qSegmentDedup]] (cross-doc report) and [[qCorpusRewrite]]
+  // (corpus-wide keep-first): this guard never looks outside the row.
+  // Scale shape: the ideal one — pure per-row expression work
+  // (array_distinct preserves first-occurrence order), no shuffle at
+  // all beyond the presentation sort; at 100 TB this fuses into
+  // whatever scan already reads the text.
+  // ------------------------------------------------------------------
+  def qIntraDocDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = transform(
+      sequence(lit(1), greatest(size($"t"), lit(1)), lit(SegLen)),
+      s => array_join(slice($"t", s, lit(SegLen)), " "))
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", segs.as("segs"))
+      .select($"doc_id", size($"segs").cast("long").as("n_segments"),
+        array_distinct($"segs").as("kept"))
+      .select($"doc_id", $"n_segments",
+        size($"kept").cast("long").as("n_kept"),
+        array_join($"kept", " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlIntraDocDedup: String = {
+    val t = Hashing.sqlTokens("text")
+    val seg = s"list_aggregate(list_slice(t, s, s + ${SegLen - 1}), 'string_agg', ' ')"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |segd AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(t), 1) + 1, $SegLen),
+       |      s -> $seg) AS segs
+       |  FROM tok),
+       |k AS (
+       |  SELECT doc_id, segs,
+       |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+       |  FROM segd)
+       |SELECT doc_id, len(segs)::BIGINT AS n_segments,
+       |  len(kept)::BIGINT AS n_kept,
+       |  list_aggregate(kept, 'string_agg', ' ') AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Boilerplate prefix strip: per SOURCE, find the modal leading
   // token-prefix (the shared header a scraper leaves on every page of
   // a site) and strip it from the documents that carry it — the

@@ -86,7 +86,13 @@ object Dedup {
     * [[Clustering.qDupClusters]]) compose over; the gate face above
     * adds the presentation sort, which would otherwise cost a global
     * range exchange in the middle of a composed plan. */
-  def minhashLshPairsCore(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairsCore(spark: SparkSession, dir: String): DataFrame =
+    candidateJaccardCore(spark, dir).filter($"jaccard" >= 0.5)
+
+  /** Band-collision candidates WITH their exact Jaccard, pre-threshold
+    * — the frame [[minhashLshPairsCore]] filters and [[qLshAudit]]
+    * grades (false candidates are exactly the rows the filter drops). */
+  def candidateJaccardCore(spark: SparkSession, dir: String): DataFrame = {
     // Persisted signature store: the sha-heavy per-doc work runs ONCE
     // and feeds both the band join and the verify join (at cluster
     // scale this is the signatures-to-storage materialization step).
@@ -111,7 +117,6 @@ object Dedup {
       .join(sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .select($"doc_a", $"doc_b", Hashing.jaccard($"sh_a", $"sh_b").as("jaccard"))
-      .filter($"jaccard" >= 0.5)
   }
 
   /** Oracle: exact all-pairs Jaccard ≥ 0.5 — at sf0.01 every planted
@@ -127,6 +132,76 @@ object Dedup {
        |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
        |       ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // LSH quality audit: grade the band-collision candidate generator
+  // against exact ground truth — TP / FP (candidates failing the
+  // Jaccard threshold = wasted verify work) / FN (true pairs the bands
+  // missed = silent leakage), with precision and recall. This is the
+  // number that justifies the banding parameters before a 100 TB run:
+  // the candidate side is the production path, the exact side is the
+  // BOUNDED audit contract (all-pairs over the verify sample, the same
+  // stance as [[qNgramJaccard]]) — run it on a sample, never the
+  // corpus. Both engines recompute both sides independently (the
+  // oracle detects band collisions by signature-slice equality, which
+  // is exactly what the band hash encodes), so the confusion counts
+  // are cross-checked, not self-graded.
+  // ------------------------------------------------------------------
+  def qLshAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidateJaccardCore(spark, dir)
+      .select($"doc_a", $"doc_b", ($"jaccard" >= 0.5).as("pass"))
+    // same canonicalized plan as the persisted signature store inside
+    // candidateJaccardCore — this read hits that cache, not the scan
+    val sigs = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        TextKernelFunctions.shingleSet($"text").as("sh"),
+        TextKernelFunctions.minhashSig($"text").as("sig"))
+    val truth = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Hashing.jaccard(col("a.sh"), col("b.sh")).as("tj"))
+      .filter($"tj" >= 0.5)
+      .select($"doc_a", $"doc_b", lit(true).as("is_true"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when($"is_true", lit(1))).cast("long").as("n_true"),
+        count($"pass").cast("long").as("n_candidates"),
+        count(when($"pass" === true, lit(1))).cast("long").as("tp"),
+        count(when($"pass" === false, lit(1))).cast("long").as("fp"),
+        count(when($"is_true" && ($"pass".isNull || !$"pass"), lit(1)))
+          .cast("long").as("fn"))
+      .select($"n_true", $"n_candidates", $"tp", $"fp", $"fn",
+        ($"tp".cast("double") / nullif($"n_candidates", lit(0L)).cast("double"))
+          .as("precision"),
+        ($"tp".cast("double") / nullif($"n_true", lit(0L)).cast("double"))
+          .as("recall"))
+  }
+
+  val sqlLshAudit: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val sig = Hashing.sqlMinhash("sh", NumHashes)
+    val j = "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
+      "ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END"
+    val bandEq = (0 until NumBands).map { b =>
+      val lo = b * RowsPerBand + 1
+      val hi = (b + 1) * RowsPerBand
+      s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+    }.mkString(" OR ")
+    s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+       |s AS (SELECT doc_id, sh, $sig AS sig FROM sh0),
+       |p AS (
+       |  SELECT $j AS j, ($bandEq) AS cand
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT
+       |  sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       |  sum(CASE WHEN cand THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+       |  sum(CASE WHEN cand AND j >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |  sum(CASE WHEN cand AND j < 0.5 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |  sum(CASE WHEN j >= 0.5 AND NOT cand THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |  tp::DOUBLE / nullif(n_candidates, 0)::DOUBLE AS precision,
+       |  tp::DOUBLE / nullif(n_true, 0)::DOUBLE AS recall
+       |FROM p""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -666,4 +666,60 @@ object TextOps {
        |FROM p GROUP BY 1
        |ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // BPE encoding with a frozen merge table: apply the learned merges
+  // in rank order to every word (symbols start as characters plus the
+  // end-of-word marker) and report per-document symbol counts before/
+  // after — the tokenizer-application step, and the fertility number
+  // (symbols per word) that prices a tokenizer against a corpus. The
+  // merge table is FROZEN (the [[IvfGateCentroids]] stance: a real
+  // trainer re-derives it via [[qBpePairs]] iterations; the gate pins
+  // an artifact) — entries are (left, right) symbol pairs in rank
+  // order, later merges consuming earlier outputs ("e r"→"er", then
+  // "er _"→"er_"). Replace-all on the space-separated symbol string
+  // is left-to-right non-overlapping in both engines, so the encoding
+  // is deterministic and identical. Scale shape: pure per-row
+  // expression work inside one scan — the merge chain is a fixed
+  // composition of string replaces, no shuffle, no state.
+  // ------------------------------------------------------------------
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("er", "_"), ("i", "n"), ("o", "w"), ("s", "t"))
+
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    def encodedLen(w: Column): Column = {
+      val spaced = trim(regexp_replace(concat(w, lit("_")), "(.)", "$1 "))
+      val merged = BpeMerges.foldLeft(spaced) { case (r, (a, b)) =>
+        replace(r, lit(s"$a $b"), lit(s"$a$b"))
+      }
+      size(split(merged, " ")).cast("long")
+    }
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_words"),
+        aggregate($"t", lit(0L), (acc, w) => acc + (length(w) + 1).cast("long"))
+          .as("syms_before"),
+        aggregate($"t", lit(0L), (acc, w) => acc + encodedLen(w))
+          .as("syms_after"))
+      .withColumn("fertility",
+        $"syms_after".cast("double") / $"n_words".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlBpeEncode: String = {
+    val t = Hashing.sqlTokens("text")
+    val spaced = "trim(regexp_replace(w || '_', '(.)', '\\1 ', 'g'))"
+    val merged = BpeMerges.foldLeft(spaced) { case (r, (a, b)) =>
+      s"replace($r, '$a $b', '$a$b')"
+    }
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents)
+       |SELECT doc_id, len(t)::BIGINT AS n_words,
+       |  list_sum(list_transform(t, w -> len(w) + 1))::BIGINT AS syms_before,
+       |  list_sum(list_transform(t, w ->
+       |    len(string_split($merged, ' '))))::BIGINT AS syms_after,
+       |  list_sum(list_transform(t, w -> len(string_split($merged, ' '))))::DOUBLE /
+       |    len(t)::DOUBLE AS fertility
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
 }

@@ -411,6 +411,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q_intra_doc_dedup: pure per-row dedup, no hash shuffle at all") {
+    val plan = executed(Corpus.qIntraDocDedup(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("q_bpe_encode: frozen merge chain fused per-row, one scan, no shuffle") {
+    val plan = executed(TextOps.qBpeEncode(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("q_lsh_audit: banded candidate join stays hashed; only the bounded truth side may nest") {
+    val plan = executed(Dedup.qLshAudit(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the all-pairs audit contract is the ONLY nested-loop join
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
