@@ -73,10 +73,12 @@ object SparkEntry {
     // corpus preparation: chunking, repetition filters, segment dedup,
     // PII-pattern redaction
     "q_chunk_docs"        -> (Corpus.qChunkDocs(_, _)),
+    "q_chunk_quality"     -> (Corpus.qChunkQuality(_, _)),
     "q_repetition"        -> (Corpus.qRepetition(_, _)),
     "q_segment_dedup"     -> (Corpus.qSegmentDedup(_, _)),
     "q_corpus_rewrite"    -> (Corpus.qCorpusRewrite(_, _)),
     "q_intra_doc_dedup"   -> (Corpus.qIntraDocDedup(_, _)),
+    "q_shingle_novelty"   -> (Corpus.qShingleNovelty(_, _)),
     "q_boilerplate_strip" -> (Corpus.qBoilerplateStrip(_, _)),
     "q_incremental_dedup" -> (Dedup.qIncrementalDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
@@ -99,6 +101,7 @@ object SparkEntry {
     "q_temperature_mix"   -> (Sampling.qTemperatureMix(_, _)),
     "q_dsir_weights"      -> (Sampling.qDsirWeights(_, _)),
     "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
+    "q_quality_tiers"     -> (Sampling.qQualityTiers(_, _)),
     "q_wfq_interleave"    -> (Sampling.qWfqInterleave(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_split_audit"       -> (Sampling.qSplitAudit(_, _)),
@@ -240,10 +243,12 @@ object SparkEntry {
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
     "q_dedup_decision"     -> Clustering.sqlDedupDecision,
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,
+    "q_chunk_quality"      -> Corpus.sqlChunkQuality,
     "q_repetition"         -> Corpus.sqlRepetition,
     "q_segment_dedup"      -> Corpus.sqlSegmentDedup,
     "q_corpus_rewrite"     -> Corpus.sqlCorpusRewrite,
     "q_intra_doc_dedup"    -> Corpus.sqlIntraDocDedup,
+    "q_shingle_novelty"    -> Corpus.sqlShingleNovelty,
     "q_boilerplate_strip"  -> Corpus.sqlBoilerplateStrip,
     "q_incremental_dedup"  -> Dedup.sqlIncrementalDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
@@ -264,6 +269,7 @@ object SparkEntry {
     "q_temperature_mix"    -> Sampling.sqlTemperatureMix,
     "q_dsir_weights"       -> Sampling.sqlDsirWeights,
     "q_budget_select"      -> Sampling.sqlBudgetSelect,
+    "q_quality_tiers"      -> Sampling.sqlQualityTiers,
     "q_wfq_interleave"     -> Sampling.sqlWfqInterleave,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_split_audit"        -> Sampling.sqlSplitAudit,

@@ -73,6 +73,60 @@ object Corpus {
   }
 
   // ------------------------------------------------------------------
+  // Chunk-level quality localization: score every X20 context window
+  // with the integer TTR quality (1000·distinct ÷ length, the
+  // [[Sampling.qBudgetSelect]] score) and roll up per document — where
+  // doc-level scores average the junk away, the min-chunk score and
+  // the bad-chunk fraction localize it (the line/passage-level filter
+  // stance of RefinedWeb/CCNet). Scale shape: the ideal one — chunk
+  // scores are computed INSIDE the row (transform over the starts
+  // array; no explode, no shuffle), so the whole operator is one scan
+  // of per-row expression work. The per-chunk integer division uses
+  // the pmod identity (a − a mod n is an exact multiple, its double
+  // quotient exact), mirrored by DuckDB's integer `//`.
+  // ------------------------------------------------------------------
+  val ChunkQualityThreshold = 700L
+
+  def qChunkQuality(spark: SparkSession, dir: String): DataFrame = {
+    val qs = transform(
+      sequence(lit(1), greatest(size($"t"), lit(1)), lit(ChunkStride)),
+      s => {
+        val c = slice($"t", s, lit(ChunkSize))
+        val num = lit(1000L) * size(array_distinct(c)).cast("long")
+        ((num - pmod(num, size(c))) / size(c)).cast("long")
+      })
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", qs.as("qs"))
+      .select($"doc_id",
+        size($"qs").cast("long").as("n_chunks"),
+        array_min($"qs").cast("long").as("min_chunk_q"),
+        size(filter($"qs", q => q < ChunkQualityThreshold)).cast("long")
+          .as("n_bad_chunks"))
+      .withColumn("bad_chunk_frac",
+        $"n_bad_chunks".cast("double") / $"n_chunks".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlChunkQuality: String = {
+    val t = Hashing.sqlTokens("text")
+    val c = s"list_slice(t, s, s + ${ChunkSize - 1})"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(t), 1) + 1, $ChunkStride),
+       |      s -> (1000 * len(list_distinct($c))) // len($c)) AS qs
+       |  FROM tok)
+       |SELECT doc_id, len(qs)::BIGINT AS n_chunks,
+       |  list_min(qs)::BIGINT AS min_chunk_q,
+       |  len(list_filter(qs, x -> x < $ChunkQualityThreshold))::BIGINT
+       |    AS n_bad_chunks,
+       |  len(list_filter(qs, x -> x < $ChunkQualityThreshold))::DOUBLE /
+       |    len(qs)::DOUBLE AS bad_chunk_frac
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Repetition quality metrics (Gopher-style corpus filters): fraction
   // of tokens that are repeats of an earlier token, and the share of
   // all 2-grams taken by the single most frequent 2-gram. Both
@@ -853,5 +907,42 @@ object Corpus {
        |agg AS (SELECT count(*) AS n_input, $aggCols FROM f)
        |$rows
        |ORDER BY stage""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Shingle novelty: per document, the fraction of its distinct
+  // shingles that occur in NO other document — the inverse of the
+  // contamination/overlap family: high novelty marks genuinely fresh
+  // text worth keeping, near-zero novelty marks template/boilerplate
+  // mass even when no single pair crosses a dedup threshold. Reads
+  // the shared ordered-shingle store ([[shingleStore]] — no new
+  // corpus scan); the per-doc distinct projection explodes to slim
+  // (doc_id, shingle) rows, document frequency is a count over the
+  // shingle key (keyspace grows with the corpus), and the verdict
+  // re-aggregates per doc. Two shuffles, both on keys, text never on
+  // the wire after the store read.
+  // ------------------------------------------------------------------
+  def qShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleStore(spark, dir)
+      .select($"doc_id", explode(array_distinct($"sh")).as("s"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).cast("long").as("n_novel"))
+      .withColumn("novelty",
+        $"n_novel".cast("double") / $"n_shingles".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlShingleNovelty: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest($sh) AS s FROM documents),
+       |d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM e)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
+       |    AS novelty
+       |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

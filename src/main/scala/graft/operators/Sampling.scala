@@ -530,4 +530,73 @@ object Sampling {
        |   THEN 1 ELSE 0 END)::BIGINT AS selected
        |FROM dc CROSS JOIN m ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Per-source quality tiers (head / middle / tail): every source's
+  // documents split into thirds by the same integer type-token-ratio
+  // score as [[qBudgetSelect]] — the RedPajama/CCNet-style bucketing
+  // that routes head-tier text to more epochs and tail-tier to
+  // filtering. NO per-source sort of the corpus: tier boundaries come
+  // from the per-source quality HISTOGRAM (≤1001 q values), exactly
+  // the budget-select pattern — cumulative doc counts over the tiny
+  // histogram pick bucket-granular boundaries (ties share a bucket,
+  // so the cut is at bucket resolution, deterministically), and the
+  // boundary frame broadcasts back onto the corpus for a per-row tier
+  // verdict. Scale shape: one scan, one map-side-combined histogram,
+  // windows only over histogram rows, one broadcast join.
+  // ------------------------------------------------------------------
+  def qQualityTiers(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documentsSharded(spark, dir)
+      .select($"source", $"doc_id", Hashing.tokens($"text").as("t"))
+      .select($"source", $"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        expr("(1000 * size(array_distinct(t))) div greatest(size(t), 1)")
+          .cast("long").as("q"))
+    // ≤1001 rows per source: cum counts over the histogram, never docs
+    val wHist = Window.partitionBy($"source").orderBy($"q".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"source")
+    val tiers = perDoc.groupBy($"source", $"q")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum($"n").over(wHist))
+      .withColumn("tot", sum($"n").over(wTot))
+      .withColumn("tier",
+        when($"cum" <= expr("(tot + 2) div 3"), 1L)
+          .when($"cum" <= expr("(2 * tot + 2) div 3"), 2L)
+          .otherwise(3L))
+      .select($"source", $"q", $"tier")
+    perDoc.join(broadcast(tiers), Seq("source", "q"))
+      .groupBy($"source", $"tier")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_tokens").cast("long").as("token_mass"),
+        min($"q").cast("long").as("min_q"),
+        max($"q").cast("long").as("max_q"))
+      .orderBy($"source", $"tier")
+  }
+
+  val sqlQualityTiers: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH d AS (
+       |  SELECT source, doc_id, len(t)::BIGINT AS n_tokens,
+       |    ((1000 * len(list_distinct(t))) // greatest(len(t), 1))::BIGINT AS q
+       |  FROM (SELECT source, doc_id, $t AS t FROM documents)),
+       |h AS (SELECT source, q, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+       |hc AS (
+       |  SELECT source, q,
+       |    sum(n) OVER (PARTITION BY source ORDER BY q DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+       |    sum(n) OVER (PARTITION BY source)::BIGINT AS tot
+       |  FROM h),
+       |tiers AS (
+       |  SELECT source, q,
+       |    CASE WHEN cum <= (tot + 2) // 3 THEN 1
+       |         WHEN cum <= (2 * tot + 2) // 3 THEN 2
+       |         ELSE 3 END::BIGINT AS tier
+       |  FROM hc)
+       |SELECT source, tier, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS token_mass,
+       |  min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q
+       |FROM d JOIN tiers USING (source, q)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -432,6 +432,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
   }
 
+  test("q_quality_tiers: boundaries from the histogram, broadcast back — no per-source doc sort") {
+    val plan = executed(Sampling.qQualityTiers(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    // the only Window ops run over the (source, q) histogram frame
+    assert(plan.contains("partial"))
+  }
+
+  test("q_shingle_novelty: reads the shared shingle store, shuffles keys only") {
+    Corpus.shingleStore(spark, Sf0001) // warm, as Bench does
+    val plan = executed(Corpus.qShingleNovelty(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted shingle store")
+    assert(!plan.contains("Join"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_chunk_quality: chunk scores inside the row — one scan, zero shuffle") {
+    val plan = executed(Corpus.qChunkQuality(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Generate"), "no explode: the transform stays in the row")
+    assert(!plan.contains("Join"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
