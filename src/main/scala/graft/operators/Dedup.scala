@@ -148,15 +148,21 @@ object Dedup {
   // is exactly what the band hash encodes), so the confusion counts
   // are cross-checked, not self-graded.
   // ------------------------------------------------------------------
+  val AuditSample = 500L
+
   def qLshAudit(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidateJaccardCore(spark, dir)
+      .filter($"doc_a" < AuditSample && $"doc_b" < AuditSample)
       .select($"doc_a", $"doc_b", ($"jaccard" >= 0.5).as("pass"))
     // same canonicalized plan as the persisted signature store inside
-    // candidateJaccardCore — this read hits that cache, not the scan
+    // candidateJaccardCore — this read hits that cache, not the scan;
+    // the sample bound keeps the all-pairs side quadratic in the
+    // SAMPLE (the qNgramJaccard contract), never the corpus
     val sigs = Tables.documentsSharded(spark, dir)
       .select($"doc_id",
         TextKernelFunctions.shingleSet($"text").as("sh"),
         TextKernelFunctions.minhashSig($"text").as("sig"))
+      .filter($"doc_id" < AuditSample)
     val truth = sigs.as("a")
       .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -188,7 +194,8 @@ object Dedup {
       val hi = (b + 1) * RowsPerBand
       s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
     }.mkString(" OR ")
-    s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents),
+    s"""WITH sh0 AS (SELECT doc_id, $sh AS sh FROM documents
+       |  WHERE doc_id < $AuditSample),
        |s AS (SELECT doc_id, sh, $sig AS sig FROM sh0),
        |p AS (
        |  SELECT $j AS j, ($bandEq) AS cand
