@@ -923,12 +923,24 @@ object Corpus {
   // the wire after the store read.
   // ------------------------------------------------------------------
   def qShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleStore(spark, dir)
+    val e = shingleStore(spark, dir)
       .select($"doc_id", explode(array_distinct($"sh")).as("s"))
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).cast("long").as("n_shingles"),
-        sum(when($"df" === 1, 1L).otherwise(0L)).cast("long").as("n_novel"))
+    // No window over the shingle key: a df=1 shingle has exactly one
+    // owner, so min(doc_id) IS that owner — novelty counts come from
+    // a second map-side-combined aggregate over the (s, df, owner)
+    // frame, never a per-shingle sort (a window partitioned by a
+    // high-cardinality string key degenerates into one giant sorted
+    // partition whenever the runtime coalesces small inputs).
+    val perDoc = e.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"))
+    val novel = e.groupBy($"s")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("owner"))
+      .filter($"df" === 1)
+      .groupBy($"owner".as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_novel", lit(0L)).cast("long").as("n_novel"))
       .withColumn("novelty",
         $"n_novel".cast("double") / $"n_shingles".cast("double"))
       .orderBy($"doc_id")

@@ -440,12 +440,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
   }
 
-  test("q_shingle_novelty: reads the shared shingle store, shuffles keys only") {
+  test("q_shingle_novelty: reads the shared shingle store, aggregates only — no window sort") {
     Corpus.shingleStore(spark, Sf0001) // warm, as Bench does
     val plan = executed(Corpus.qShingleNovelty(spark, Sf0001))
     assert(plan.contains("InMemoryTableScan"), "must read the persisted shingle store")
-    assert(!plan.contains("Join"))
-    assert(!plan.contains("CartesianProduct"))
+    // df and ownership come from hash aggregates, never a window
+    // partitioned by the high-cardinality shingle key
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial"))
+    // the only join is the slim per-doc merge of the two count frames
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q_chunk_quality: chunk scores inside the row — one scan, zero shuffle") {

@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.streaming.PositionTracker
 
 /**
- * Local proxy for the 100× mandate: run the heaviest pipelines at
+ * Local proxy for the 100× mandate: run the fourteen heaviest pipelines at
  * sf0.1 and at a generated 10× replica of it, and report the runtime
  * ratio — anything super-linear names a plan to fix. Results land in
  * SCALING.md. Run with:
@@ -101,7 +101,13 @@ object ScalingHarness {
     "incremental_dedup" ->
       (dir => graft.operators.Dedup.qIncrementalDedup(spark, dir).count()),
     "bm25" ->
-      (dir => graft.operators.TextOps.qBm25(spark, dir).count()))
+      (dir => graft.operators.TextOps.qBm25(spark, dir).count()),
+    "shingle_novelty" ->
+      (dir => Corpus.qShingleNovelty(spark, dir).count()),
+    "quality_tiers" ->
+      (dir => graft.operators.Sampling.qQualityTiers(spark, dir).count()),
+    "inverted_index" ->
+      (dir => graft.operators.TextOps.qInvertedIndex(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
