@@ -130,6 +130,7 @@ object SparkEntry {
     "q_date_funcs"        -> (Ingestion.qDateFuncs(_, _)),
     "q_url_funcs"         -> (Ingestion.qUrlFuncs(_, _)),
     "q_url_dedup"         -> (Ingestion.qUrlDedup(_, _)),
+    "q_snapshot_diff"     -> (Ingestion.qSnapshotDiff(_, _)),
     "q_blocklist_filter"  -> (Corpus.qBlocklistFilter(_, _)),
     // orderbook array analytics + KPI rollup
     "q_book_depth"        -> (OrderBookOps.qBookDepth(_, _)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "q_date_funcs"         -> Ingestion.sqlDateFuncs,
     "q_url_funcs"          -> Ingestion.sqlUrlFuncs,
     "q_url_dedup"          -> Ingestion.sqlUrlDedup,
+    "q_snapshot_diff"      -> Ingestion.sqlSnapshotDiff,
     "q_blocklist_filter"   -> Corpus.sqlBlocklistFilter,
     "q_book_depth"         -> OrderBookOps.sqlBookDepth,
     "q_kpi_segment"        -> Kpi.sqlKpiSegment,

@@ -236,6 +236,81 @@ object Ingestion {
   }
 
   // ------------------------------------------------------------------
+  // Corpus snapshot diff — the crawl-to-crawl delta report: given two
+  // snapshots of the same id space, classify every id as added /
+  // removed / changed / unchanged by CONTENT HASH and report counts
+  // plus token-mass movement. The second snapshot is synthesized from
+  // the first with deterministic perturbations (ids ≡ RemovedRem mod
+  // RemovedMod dropped; ids ≡ ChangedRem mod ChangedMod re-crawled
+  // with a revision marker prepended; a shifted-id block added), and
+  // the differ is GENERIC — full outer join on doc_id comparing
+  // digests — not a reverse of the construction. Scale shape: each
+  // side reduces to (doc_id, digest, n_tokens) before the join, so
+  // only slim triples shuffle; text never crosses the wire. The
+  // output is the ≤4-row report a crawl pipeline alerts on.
+  // ------------------------------------------------------------------
+  val RemovedMod = 11L; val RemovedRem = 5L
+  val ChangedMod = 7L; val ChangedRem = 3L
+  val AddedMod = 13L; val AddedRem = 1L
+  val AddedIdShift = 1000000L
+
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", $"text")
+    val next = docs
+      .filter($"doc_id" % RemovedMod =!= RemovedRem)
+      .withColumn("text",
+        when($"doc_id" % ChangedMod === ChangedRem,
+          concat(lit("rev2 "), $"text")).otherwise($"text"))
+      .unionByName(docs.filter($"doc_id" % AddedMod === AddedRem)
+        .select(($"doc_id" + AddedIdShift).as("doc_id"), $"text"))
+    def slim(df: DataFrame, tag: String) = df.select(
+      $"doc_id",
+      sha2($"text", 256).as(s"h_$tag"),
+      size(split(trim(lower($"text")), "\\s+")).cast("long")
+        .as(s"n_$tag"))
+    slim(docs, "a").join(slim(next, "b"), Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h_a".isNull, "added")
+          .when($"h_b".isNull, "removed")
+          .when($"h_a" =!= $"h_b", "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"))
+      .groupBy($"status")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_b" - $"n_a").cast("long").as("token_delta"))
+      .orderBy($"status")
+  }
+
+  val sqlSnapshotDiff: String =
+    s"""WITH a AS (SELECT doc_id, text FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $ChangedMod = $ChangedRem
+       |      THEN 'rev2 ' || text ELSE text END AS text
+       |  FROM a WHERE doc_id % $RemovedMod != $RemovedRem
+       |  UNION ALL
+       |  SELECT doc_id + $AddedIdShift, text FROM a
+       |  WHERE doc_id % $AddedMod = $AddedRem),
+       |sa AS (SELECT doc_id, sha256(text) AS h_a,
+       |         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_a
+       |       FROM a),
+       |sb AS (SELECT doc_id, sha256(text) AS h_b,
+       |         len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_b
+       |       FROM b),
+       |d AS (
+       |  SELECT
+       |    CASE WHEN h_a IS NULL THEN 'added'
+       |         WHEN h_b IS NULL THEN 'removed'
+       |         WHEN h_a != h_b THEN 'changed'
+       |         ELSE 'unchanged' END AS status,
+       |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+       |  FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id)
+       |SELECT status, count(*)::BIGINT AS n_docs,
+       |  sum(n_b - n_a)::BIGINT AS token_delta
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // Date/time catalog (F7–F10) over orders: component extraction,
   // truncation, interval arithmetic, epoch conversion.
   // ------------------------------------------------------------------

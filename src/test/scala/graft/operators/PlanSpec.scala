@@ -460,6 +460,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q_snapshot_diff: digest-keyed full outer join, removal filter pushed to the scan") {
+    val plan = executed(Ingestion.qSnapshotDiff(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("FullOuter"), "diff must be a full outer join on doc_id")
+    assert(plan.contains("sha2"), "sides must reduce to digests before the join")
+    // the synthesized snapshot's removal/addition predicates reach the scans
+    assert(plan.contains("DataFilters: [isnotnull(doc_id"))
+  }
+
   test("q_passage_bm25: same broadcast-scoring shape as the document face") {
     val plan = executed(TextOps.qPassageBm25(spark, Sf0001))
     assert(plan.contains("BroadcastHashJoin"))
