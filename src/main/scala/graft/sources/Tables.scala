@@ -25,15 +25,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by GraftSession)
-    * it surfaces as long nanos. Integer `div 1000` → micros is exact
-    * (never float: ns epochs exceed 2^53) and matches DuckDB's
-    * CAST(ts AS TIMESTAMP) truncation. */
+  /** `events.ts` normalization — schema-adaptive because the driver
+    * has shipped this column two ways across rounds:
+    *  - parquet TIMESTAMP(NANOS): with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    GraftSession) it surfaces as long nanos; integer `div 1000` →
+    *    micros is exact (never float: ns epochs exceed 2^53) and
+    *    matches DuckDB's cast truncation.
+    *  - parquet TIMESTAMP(MICROS) without timezone: surfaces as
+    *    TIMESTAMP_NTZ; the cast to TIMESTAMP is an exact relabel under
+    *    the session's UTC zone and matches DuckDB's `epoch_ms(ts)`
+    *    reading of the same naive value. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
