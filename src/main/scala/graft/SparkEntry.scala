@@ -62,6 +62,7 @@ object SparkEntry {
     // deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
+    "q_containment_pairs" -> (Dedup.qContainmentPairs(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_fingerprint"        -> TextOps.sqlFingerprint,
     "q_exact_dedup"        -> Dedup.sqlExactDedup,
     "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
+    "q_containment_pairs"  -> Dedup.sqlContainmentPairs,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -381,6 +381,80 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Containment near-dup pairs (Broder 1997, "On the resemblance and
+  // containment of documents"): C = |A∩B| / min(|A|, |B|) over shingle
+  // sets — the ASYMMETRIC dup mode Jaccard misses. A short document
+  // quoted wholesale inside a long one has C ≈ 1 but Jaccard ≈
+  // |A|/|B| ≈ 0, so it sails under every resemblance threshold
+  // ([[qMinhashLshPairs]] included) while still leaking verbatim text
+  // into training data.
+  //
+  // Candidate generation is an inverted shingle index, not MinHash:
+  // minhash approximates resemblance, not containment, so banding
+  // would inherit exactly the blind spot this operator exists to
+  // close. Each doc explodes to its distinct shingle h60s; shingles
+  // occurring in more than ContainMaxDf docs are dropped BEFORE the
+  // pair join (the [[SubstrMaxOcc]] boilerplate guard — high-df
+  // shingles carry no dup signal and would blow the join up
+  // quadratically; the cap is applied to sizes AND intersections
+  // identically in both engines, so the ratio stays self-consistent).
+  // Shuffle carries only (h60, doc_id) — keyspace grows with the
+  // corpus, text never moves; the pair aggregate touches only pairs
+  // that actually share a rare shingle. MinShared floors the evidence
+  // so two 1-shingle snippets can't score C = 1 off one collision.
+  // ------------------------------------------------------------------
+  val ContainMaxDf = 20L
+  val ContainThreshold = 0.8
+  val MinShared = 5L
+
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", explode(TextKernelFunctions.shingleHashes($"text")).as("h"))
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
+      .where($"df" <= ContainMaxDf)
+      .select($"doc_id", $"h")
+      .persist() // sizes + both join sides read one materialization
+    rare.count()
+    val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = rare.as("a")
+      .join(rare.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+    shared
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared".cast("long").as("n_shared"),
+        $"n_a".cast("long").as("n_a"), $"n_b".cast("long").as("n_b"),
+        ($"n_shared".cast("double") / least($"n_a", $"n_b").cast("double"))
+          .as("containment"))
+      .filter($"containment" >= ContainThreshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val sqlContainmentPairs: String = {
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val sh = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
+    s"""WITH w AS (SELECT doc_id, unnest(sh) AS h
+       |           FROM (SELECT doc_id, $sh AS sh FROM documents)),
+       |rare AS (SELECT doc_id, h FROM (
+       |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM w)
+       |  WHERE df <= $ContainMaxDf),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2 HAVING count(*) >= $MinShared)
+       |SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared,
+       |  sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+       |  n_shared::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS containment
+       |FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+       |       JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE n_shared::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE >= $ContainThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Incremental dedup: probe an INCOMING batch against the existing
   // corpus's LSH band index — the production ingestion path at 100 TB,
   // where re-deduping the whole corpus per batch is off the table. The

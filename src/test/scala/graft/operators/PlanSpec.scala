@@ -200,6 +200,14 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"at most the 3-row signature self-join may be a BNLJ, found $bnlj")
   }
 
+  test("q_containment_pairs: inverted-index self-join is key-equi on the shingle hash, never cartesian") {
+    val plan = executed(Dedup.qContainmentPairs(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // pair counts and set sizes aggregate with map-side combine
+    assert(plan.contains("partial"))
+  }
+
   test("q_substring_dedup: anchor self-join is key-equi on the hash, never cartesian") {
     val plan = executed(Dedup.qSubstringDedup(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))

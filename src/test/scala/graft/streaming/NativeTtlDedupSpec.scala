@@ -9,7 +9,8 @@ import graft.streaming.IdempotentDedup.SignalRow
   * environment note in [[NativeTtlDedup]]): export `GRAFT_NATIVE_TTL=1`
   * to run. In this sandbox the RocksDB provider stalls the first
   * micro-batch, so the default run cancels rather than hangs; re-try
-  * each round — a green run is the signal to migrate T5. */
+  * each round — a green run is the signal to migrate T5. Retried
+  * rounds 4, 5, 6: still stalls (round 6: 280 s timeout, flag on). */
 class NativeTtlDedupSpec extends SparkSpec {
 
   test("native transformWithState TTL dedup: first-seen wins within the TTL") {
