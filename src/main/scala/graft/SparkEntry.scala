@@ -63,6 +63,7 @@ object SparkEntry {
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
     "q_containment_pairs" -> (Dedup.qContainmentPairs(_, _)),
+    "q_lm_score"          -> (TextOps.qLmScore(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -309,6 +310,7 @@ object SparkEntry {
     "q_exact_dedup"        -> Dedup.sqlExactDedup,
     "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
     "q_containment_pairs"  -> Dedup.sqlContainmentPairs,
+    "q_lm_score"           -> TextOps.sqlLmScore,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -722,4 +722,95 @@ object TextOps {
        |    len(t)::DOUBLE AS fertility
        |FROM tok ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Frozen n-gram LM quality score — the CCNet stance (Wenzek et al.
+  // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+  // Web Crawl Data": score every raw document under a language model
+  // trained on a trusted reference corpus; keep the head). The model
+  // here is a HASHED bigram LM (Talbot & Osborne 2007's randomized
+  // n-gram LM stance, and the same hashed-feature device as
+  // [[Sampling.qDsirWeights]]): reference slice = doc_id ≡ LmRefRem
+  // (mod LmRefMod) — the held-out-slice device decontamination uses —
+  // bigram occurrences bucketed to LmBigramBuckets and their contexts
+  // (first token) to LmCtxBuckets, add-one smoothing over the bigram
+  // bucket space. Per-occurrence probability
+  //   p = (n2[bb] + 1) / (n1[cb] + LmBigramBuckets)
+  // and the doc score is mean p. Deviation from CCNet, by the repo's
+  // cross-engine float law: no perplexity exponent and no libm log —
+  // each p is one IEEE divide of exact integers, rounded to
+  // DECIMAL(28,12) and decimal-summed (order-free), and the mean is a
+  // single further divide; ranking is the same monotone order a
+  // log-mean would give on per-doc geometric vs arithmetic tails close
+  // enough for a keep/drop filter, and it is reproducible bit-for-bit.
+  // Scale shape: both count tables are bounded by their bucket space
+  // (≤ 65 536 rows — broadcast), so scoring is one corpus scan + a
+  // slim (doc_id, decimal partial) map-side-combined shuffle; the
+  // reference aggregation is itself one bounded-key shuffle.
+  // ------------------------------------------------------------------
+  val LmRefMod = 20L
+  val LmRefRem = 3L
+  val LmCtxBuckets = 8192L
+  val LmBigramBuckets = 65536L
+  val LmKeepThreshold = 4.0e-5
+
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val DEC28 = DecimalType(28, 12)
+    val grams = Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        explode_outer(Hashing.wordShingles(Hashing.tokens($"text"), 2)).as("g"))
+      .select($"doc_id",
+        pmod(Hashing.h60(substring_index($"g", " ", 1)), lit(LmCtxBuckets)).as("cb"),
+        pmod(Hashing.h60($"g"), lit(LmBigramBuckets)).as("bb"))
+    val isRef = $"doc_id" % LmRefMod === LmRefRem
+    val big = grams.filter(isRef).where($"bb".isNotNull)
+      .groupBy($"bb").agg(count(lit(1)).as("n2"))
+    val ctx = grams.filter(isRef).where($"cb".isNotNull)
+      .groupBy($"cb").agg(count(lit(1)).as("n1"))
+    val p = when($"bb".isNotNull,
+      ((coalesce($"n2", lit(0L)) + 1).cast("double") /
+        (coalesce($"n1", lit(0L)) + LmBigramBuckets).cast("double")).cast(DEC28))
+    val mean = coalesce(sum(p), lit(0).cast(DEC28)).cast("double") /
+      greatest(count($"bb"), lit(1L)).cast("double")
+    grams.filter(!isRef)
+      .join(broadcast(big), Seq("bb"), "left")
+      .join(broadcast(ctx), Seq("cb"), "left")
+      .groupBy($"doc_id").agg(
+        count($"bb").as("n_bigrams"),
+        count(when($"n2".isNotNull, lit(1))).cast("long").as("n_seen"),
+        mean.as("lm_score"))
+      .select($"doc_id", $"n_bigrams", $"n_seen", $"lm_score",
+        ($"lm_score" >= LmKeepThreshold).as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlLmScore: String = {
+    val g = Hashing.sqlShingles(Hashing.sqlTokens("text"), 2)
+    val cb = s"${Hashing.sqlH60("split_part(u.g, ' ', 1)")} % $LmCtxBuckets"
+    val bb = s"${Hashing.sqlH60("u.g")} % $LmBigramBuckets"
+    s"""WITH grams AS (
+       |  SELECT doc_id, $cb AS cb, $bb AS bb
+       |  FROM (SELECT doc_id, $g AS gs FROM documents) d, unnest(d.gs) AS u(g)),
+       |big AS (SELECT bb, count(*) AS n2 FROM grams
+       |        WHERE doc_id % $LmRefMod = $LmRefRem GROUP BY 1),
+       |ctx AS (SELECT cb, count(*) AS n1 FROM grams
+       |        WHERE doc_id % $LmRefMod = $LmRefRem GROUP BY 1),
+       |scored AS (
+       |  SELECT g.doc_id, count(*) AS n_bigrams,
+       |    sum(CASE WHEN big.n2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_seen,
+       |    coalesce(sum(CAST((coalesce(big.n2, 0) + 1)::DOUBLE /
+       |        (coalesce(ctx.n1, 0) + $LmBigramBuckets)::DOUBLE AS DECIMAL(28,12))),
+       |      0::DECIMAL(28,12)) AS psum
+       |  FROM grams g LEFT JOIN big USING (bb) LEFT JOIN ctx USING (cb)
+       |  WHERE g.doc_id % $LmRefMod != $LmRefRem
+       |  GROUP BY 1),
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id % $LmRefMod != $LmRefRem)
+       |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(s.n_seen, 0)::BIGINT AS n_seen,
+       |  coalesce(s.psum::DOUBLE / greatest(s.n_bigrams, 1)::DOUBLE, 0.0) AS lm_score,
+       |  coalesce(s.psum::DOUBLE / greatest(s.n_bigrams, 1)::DOUBLE, 0.0)
+       |    >= $LmKeepThreshold AS is_kept
+       |FROM docs d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -224,6 +224,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_lm_score: both bounded count tables broadcast to the scoring scan") {
+    val plan = executed(TextOps.qLmScore(spark, Sf0001))
+    // ≤65 536 bigram rows and ≤8 192 context rows must reach the
+    // scorer as broadcasts — never a corpus-wide shuffle on bucket id
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q_semantic_dedup: centroid assignment broadcasts; the pair check joins on cell") {
     val plan = executed(Similarity.qSemanticDedup(spark, Sf0001))
     // the corpus × 8-centroid assignment is materialized once and
