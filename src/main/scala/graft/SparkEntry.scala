@@ -64,6 +64,8 @@ object SparkEntry {
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
     "q_containment_pairs" -> (Dedup.qContainmentPairs(_, _)),
     "q_lm_score"          -> (TextOps.qLmScore(_, _)),
+    "q_dedup_masks"       -> (Dedup.qDedupMasks(_, _)),
+    "q_naive_split_leak"  -> (Sampling.qNaiveSplitLeakage(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -311,6 +313,8 @@ object SparkEntry {
     "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
     "q_containment_pairs"  -> Dedup.sqlContainmentPairs,
     "q_lm_score"           -> TextOps.sqlLmScore,
+    "q_dedup_masks"        -> Dedup.sqlDedupMasks,
+    "q_naive_split_leak"   -> Sampling.sqlNaiveSplitLeakage,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -324,12 +324,15 @@ object Dedup {
   val SubstrLen: Int = graft.functions.TextKernels.AnchorLen
   val SubstrMaxOcc = 20L
 
-  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    // one codegen'd kernel pass emits every window's h60 directly —
-    // the expression-tree form (explode positions → slice → array_join
-    // → sha2 hex) allocated a window string and parsed hex per token
-    // position; docs shorter than the anchor yield an empty array and
-    // drop out of posexplode, exactly as the oracle's range() does
+  /** Shared-anchor matches (doc_a < doc_b, pos_a, pos_b) under the
+    * frequency cap — the frame both [[qSubstringDedup]] (pair report)
+    * and [[qDedupMasks]] (per-doc mask spans) reduce. One codegen'd
+    * kernel pass emits every window's h60 directly — the
+    * expression-tree form (explode positions → slice → array_join →
+    * sha2 hex) allocated a window string and parsed hex per token
+    * position; docs shorter than the anchor yield an empty array and
+    * drop out of posexplode, exactly as the oracle's range() does. */
+  private def anchorMatches(spark: SparkSession, dir: String): DataFrame = {
     val wins = Tables.documentsSharded(spark, dir)
       .select($"doc_id",
         posexplode(TextKernelFunctions.anchorHashes($"text")))
@@ -338,23 +341,32 @@ object Dedup {
       .withColumn("occ", count(lit(1)).over(Window.partitionBy($"h")))
       .where($"occ" <= SubstrMaxOcc)
       .select($"doc_id", $"pos", $"h")
-    val matches = rare.as("a").join(rare.as("b"),
+    rare.as("a").join(rare.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
       .distinct()
+  }
+
+  /** Anchor runs per alignment diagonal: one row per maximal run of
+    * consecutive shared anchors — run_len plus the run's start on the
+    * doc_b side (min pos_b = the masked span's origin). */
+  private def anchorRuns(spark: SparkSession, dir: String): DataFrame = {
     val wRun = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pos_a")
-    matches
+    anchorMatches(spark, dir)
       .withColumn("diag", $"pos_a" - $"pos_b")
       .withColumn("run_id", $"pos_a" - row_number().over(wRun))
       .groupBy($"doc_a", $"doc_b", $"diag", $"run_id")
-      .agg(count(lit(1)).as("run_len"))
+      .agg(count(lit(1)).as("run_len"), min($"pos_b").as("start_b"))
+  }
+
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    anchorRuns(spark, dir)
       .groupBy($"doc_a", $"doc_b")
       .agg(
         sum($"run_len").cast("long").as("n_shared_windows"),
         (lit(SubstrLen) + max($"run_len") - 1).cast("long").as("lcs_tokens"))
       .orderBy($"doc_a", $"doc_b")
-  }
 
   val sqlSubstringDedup: String = {
     val t = Hashing.sqlTokens("text")
@@ -378,6 +390,88 @@ object Dedup {
        |SELECT doc_a, doc_b, sum(run_len)::BIGINT AS n_shared_windows,
        |  ($SubstrLen + max(run_len) - 1)::BIGINT AS lcs_tokens
        |FROM rl GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Dedup loss masks: the ACTIONABLE output of exact substring dedup.
+  // [[qSubstringDedup]] reports pairs; training needs per-document
+  // token RANGES whose loss to zero out (mask the duplicated span in
+  // every doc except its globally-first carrier — the Lee et al. 2022
+  // "train on deduplicated text" step applied surgically instead of
+  // dropping whole documents). Each anchor run on a (doc_a < doc_b)
+  // diagonal marks doc_b's tokens [start_b, start_b + run_len +
+  // SubstrLen − 2] as a copy of text that already occurs in the
+  // earlier doc_a, so doc_b masks it; overlapping/adjacent spans from
+  // different partners merge gaps-and-islands (running-max of span
+  // end per doc). Scale shape: everything after the shared
+  // [[anchorRuns]] frame is keyed by doc_id — one slim shuffle, then
+  // windows over each doc's handful of spans, then the n_tokens join
+  // rides the same key.
+  // ------------------------------------------------------------------
+  def qDedupMasks(spark: SparkSession, dir: String): DataFrame = {
+    val spans = anchorRuns(spark, dir)
+      .select($"doc_b".as("doc_id"), $"start_b".as("s"),
+        ($"start_b" + $"run_len" + SubstrLen - 2).as("e"))
+    val w = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+    val prevMax = max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val masked = spans
+      .withColumn("ni", when(prevMax.isNull || $"s" > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("island", sum($"ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"s").as("ms"), max($"e").as("me"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum($"me" - $"ms" + 1).cast("long").as("n_masked_tokens"))
+    val toks = Tables.documentsSharded(spark, dir)
+      .select($"doc_id", size(Hashing.tokens($"text")).cast("long").as("n_tokens"))
+    masked.join(toks, "doc_id")
+      .select($"doc_id", $"n_spans", $"n_masked_tokens", $"n_tokens",
+        ($"n_masked_tokens".cast("double") / $"n_tokens".cast("double"))
+          .as("mask_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlDedupMasks: String = {
+    val t = Hashing.sqlTokens("text")
+    val win = s"list_aggregate(list_slice(t, i, i + ${SubstrLen - 1}), 'string_agg', ' ')"
+    s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+       |w AS (SELECT doc_id, i AS pos, ${Hashing.sqlH60(win)} AS h
+       |      FROM tok, unnest(range(1, len(t) - ${SubstrLen - 1} + 1)) AS u(i)
+       |      WHERE len(t) >= $SubstrLen),
+       |rare AS (SELECT doc_id, pos, h FROM (
+       |  SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS occ FROM w)
+       |  WHERE occ <= $SubstrMaxOcc),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        a.pos AS pos_a, b.pos AS pos_b
+       |      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |runs AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_b,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS run_id
+       |  FROM p),
+       |rl AS (SELECT doc_b AS doc_id, min(pos_b) AS s,
+       |         min(pos_b) + count(*) + ${SubstrLen - 2} AS e
+       |       FROM runs GROUP BY doc_a, doc_b, diag, run_id),
+       |mk AS (SELECT doc_id, s, e,
+       |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM rl),
+       |isl AS (SELECT doc_id, s, e,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM mk),
+       |merged AS (SELECT doc_id, island, min(s) AS ms, max(e) AS me
+       |           FROM isl GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |          sum(me - ms + 1)::BIGINT AS n_masked_tokens
+       |        FROM merged GROUP BY 1)
+       |SELECT a.doc_id, a.n_spans, a.n_masked_tokens,
+       |  len(tok.t)::BIGINT AS n_tokens,
+       |  a.n_masked_tokens::DOUBLE / len(tok.t)::DOUBLE AS mask_frac
+       |FROM agg a JOIN tok ON a.doc_id = tok.doc_id
+       |ORDER BY a.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------------

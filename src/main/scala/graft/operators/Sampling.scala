@@ -267,6 +267,55 @@ object Sampling {
        |GROUP BY split, straddle_units ORDER BY split""".stripMargin
 
   // ------------------------------------------------------------------
+  // Naive-split leakage audit: the counterfactual [[qSplitAudit]]
+  // cannot see. Split the corpus per-DOCUMENT (the naive hash split
+  // everyone writes first), then count the near-dup pairs
+  // ([[Dedup.minhashLshPairsCore]], the same ≥ 0.5 Jaccard contract)
+  // whose endpoints land in DIFFERENT splits — each is a test/valid
+  // example whose near-copy sits in train, i.e. silent eval inflation
+  // (the failure Lee et al. 2022 measure). The leakage-safe split
+  // (cluster-unit assignment, [[qLeakageSplit]]) exists precisely to
+  // zero this table's off-diagonal; this gate quantifies what it
+  // prevents. Scale shape: the pair frame is the already-bounded LSH
+  // candidate output; the split label is a per-row hash — two slim
+  // id-keyed joins, one tiny (≤ 6 class) aggregate.
+  // ------------------------------------------------------------------
+  def qNaiveSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val naive = Tables.documents(spark, dir)
+      .select($"doc_id", sampleKey(SplitSeed, $"doc_id").as("k"))
+      .select($"doc_id",
+        when($"k" % 10 === 8, "valid")
+          .when($"k" % 10 === 9, "test")
+          .otherwise("train").as("split"))
+    Dedup.minhashLshPairsCore(spark, dir)
+      .join(naive.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(naive.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("split_a"), greatest($"sa", $"sb").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .withColumn("is_leak", $"split_a" =!= $"split_b")
+      .orderBy($"split_a", $"split_b")
+  }
+
+  val sqlNaiveSplitLeakage: String = {
+    val k = sqlSampleKey(SplitSeed, "doc_id")
+    s"""WITH pairs AS (${Dedup.sqlMinhashLshPairs}),
+       |naive AS (
+       |  SELECT doc_id,
+       |    CASE $k % 10 WHEN 8 THEN 'valid' WHEN 9 THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM documents)
+       |SELECT least(a.split, b.split) AS split_a,
+       |  greatest(a.split, b.split) AS split_b,
+       |  count(*)::BIGINT AS n_pairs,
+       |  least(a.split, b.split) <> greatest(a.split, b.split) AS is_leak
+       |FROM pairs p
+       |  JOIN naive a ON p.doc_a = a.doc_id
+       |  JOIN naive b ON p.doc_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Corpus mixture rebalancing ("data mixing"): draw the LARGEST
   // corpus that matches a target language mixture exactly, selecting
   // members deterministically by hash order. All quota math is integer

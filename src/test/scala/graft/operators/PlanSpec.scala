@@ -216,6 +216,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
   }
 
+  test("q_dedup_masks: span merge stays doc_id-keyed after the anchor join") {
+    val plan = executed(Dedup.qDedupMasks(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_dsir_weights: the bucket ratio table is broadcast to the scoring scan") {
     val plan = executed(Sampling.qDsirWeights(spark, Sf0001))
     // 1024 ratio rows must reach each scorer as a broadcast, not a
