@@ -66,6 +66,9 @@ object SparkEntry {
     "q_lm_score"          -> (TextOps.qLmScore(_, _)),
     "q_dedup_masks"       -> (Dedup.qDedupMasks(_, _)),
     "q_naive_split_leak"  -> (Sampling.qNaiveSplitLeakage(_, _)),
+    "q_novelty_curve"     -> (Corpus.qNoveltyCurve(_, _)),
+    "q_dedup_savings"     -> (Clustering.qDedupSavings(_, _)),
+    "q_pq_encode"         -> (Embeddings.qPqEncode(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -315,6 +318,9 @@ object SparkEntry {
     "q_lm_score"           -> TextOps.sqlLmScore,
     "q_dedup_masks"        -> Dedup.sqlDedupMasks,
     "q_naive_split_leak"   -> Sampling.sqlNaiveSplitLeakage,
+    "q_novelty_curve"      -> Corpus.sqlNoveltyCurve,
+    "q_dedup_savings"      -> Clustering.sqlDedupSavings,
+    "q_pq_encode"          -> Embeddings.sqlPqEncode,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.Hashing
+import graft.sources.Tables
+
 /**
  * Near-duplicate cluster assembly: connected components over the
  * MinHash+LSH near-dup pair graph ([[Dedup.qMinhashLshPairs]]), so each
@@ -192,4 +195,62 @@ object Clustering {
        |ORDER BY l.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Dedup savings report — the dataset-card numbers: per source, how
+  // many documents and tokens survive near-dup deduplication when
+  // each cluster keeps only its representative (min doc_id, the
+  // [[dupLabels]] label), and what fraction of the token mass was
+  // duplicate bloat. "This crawl is 18% near-dup by tokens" is the
+  // line every corpus datasheet carries (and the headline result of
+  // Lee et al. 2022). Scale shape: the label frame is the memoized
+  // store (slim ids), the token count rides the corpus scan, and the
+  // report is a per-source aggregate — one id-keyed join, one tiny
+  // shuffle.
+  // ------------------------------------------------------------------
+  def qDedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(spark, dir).select($"id".as("doc_id"), $"label")
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", $"source",
+        size(Hashing.tokens($"text")).cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("keep", $"label".isNull || $"label" === $"doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"),
+        sum(when($"keep", 1L).otherwise(0L)).cast("long").as("n_kept_docs"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).cast("long").as("n_kept_tokens"))
+      .withColumn("tokens_dropped", ($"n_tokens" - $"n_kept_tokens").cast("long"))
+      .withColumn("dup_token_frac",
+        $"tokens_dropped".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"source")
+  }
+
+  val sqlDedupSavings: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    val t = graft.functions.Hashing.sqlTokens("text")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+       |d AS (
+       |  SELECT doc_id, source, len($t)::BIGINT AS n_tokens,
+       |    coalesce(l.label IS NULL OR l.label = doc_id, true) AS keep
+       |  FROM documents LEFT JOIN labels l USING (doc_id))
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept_docs,
+       |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT AS n_kept_tokens,
+       |  (sum(n_tokens) - sum(CASE WHEN keep THEN n_tokens ELSE 0 END))::BIGINT
+       |    AS tokens_dropped,
+       |  (sum(n_tokens) - sum(CASE WHEN keep THEN n_tokens ELSE 0 END))::DOUBLE /
+       |    sum(n_tokens)::DOUBLE AS dup_token_frac
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -957,4 +957,58 @@ object Corpus {
        |    AS novelty
        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Corpus novelty growth curve (the Heaps-law audit): bucket the
+  // corpus by ingest order (doc_id div NoveltyBucketDocs — the crawl
+  // slice), and per bucket count how many of its distinct shingles
+  // appear for the FIRST time anywhere in the corpus, plus the running
+  // distinct total. The curve a data team reads before buying another
+  // crawl: if n_new flattens, new data is re-crawling old content.
+  // Scale shape: first-occurrence ownership is one min-aggregate over
+  // (shingle → bucket) — keyspace grows with the corpus, map-side
+  // combined, no per-shingle window; the cumulative sum runs over the
+  // ≤ |corpus|/bucket-size bucket table, never the corpus (the
+  // qBudgetSelect histogram stance).
+  // ------------------------------------------------------------------
+  val NoveltyBucketDocs = 50L
+
+  def qNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingleStore(spark, dir)
+      .select($"doc_id", explode(array_distinct($"sh")).as("s"))
+      .withColumn("bucket", expr(s"doc_id div $NoveltyBucketDocs"))
+    val perBucket = e.groupBy($"bucket").agg(
+      countDistinct($"doc_id").cast("long").as("n_docs"),
+      count(lit(1)).cast("long").as("n_rows"))
+    val firsts = e.groupBy($"s").agg(min($"bucket").as("fb"))
+      .groupBy($"fb").agg(count(lit(1)).as("n_new"))
+      .select($"fb".as("bucket"), $"n_new")
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firsts, Seq("bucket"), "left")
+      .select($"bucket", $"n_docs", $"n_rows",
+        coalesce($"n_new", lit(0L)).cast("long").as("n_new"))
+      .withColumn("cum_distinct", sum($"n_new").over(wCum).cast("long"))
+      .withColumn("novelty_rate",
+        $"n_new".cast("double") / $"n_rows".cast("double"))
+      .orderBy($"bucket")
+  }
+
+  val sqlNoveltyCurve: String = {
+    val sh = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)})"
+    s"""WITH e AS (
+       |  SELECT doc_id, doc_id // $NoveltyBucketDocs AS bucket, unnest($sh) AS s
+       |  FROM documents),
+       |pb AS (SELECT bucket, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |         count(*)::BIGINT AS n_rows
+       |       FROM e GROUP BY 1),
+       |f AS (SELECT s, min(bucket) AS fb FROM e GROUP BY 1),
+       |nn AS (SELECT fb AS bucket, count(*) AS n_new FROM f GROUP BY 1)
+       |SELECT bucket, n_docs, n_rows,
+       |  coalesce(n_new, 0)::BIGINT AS n_new,
+       |  sum(coalesce(n_new, 0)) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_distinct,
+       |  coalesce(n_new, 0)::DOUBLE / n_rows::DOUBLE AS novelty_rate
+       |FROM pb LEFT JOIN nn USING (bucket) ORDER BY bucket""".stripMargin
+  }
 }

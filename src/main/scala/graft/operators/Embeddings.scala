@@ -184,4 +184,86 @@ object Embeddings {
        |FROM s WHERE scale > 0.0
        |ORDER BY vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Product-quantization encode (Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search"): split each vector into
+  // PqSubspaces contiguous subvectors and assign each to its nearest
+  // sub-codebook centroid by squared L2 (ties to the smallest code) —
+  // the 64-dim float vector compresses to PqSubspaces small codes,
+  // the storage format of an IVF-PQ index. Sub-codebooks are the
+  // FROZEN gate centroids ([[IvfGateCentroids.Nums]], exact
+  // 2^-20-grid constants) sliced per subspace — the same
+  // slice-of-global-codebook initialization OPQ-style trainers start
+  // from, and it keeps the gate free of any engine-trained artifact.
+  // Per-vector squared quantization error (sum of the four sub-space
+  // minima) is the recall-budget number that decides whether PQ8 is
+  // survivable. Scale shape: pure per-row fold math against literal
+  // codebooks inside one scan — no join, no shuffle beyond the
+  // presentation sort; at 100 TB the codebooks ride the closure
+  // exactly like a broadcast.
+  // Cross-engine determinism: each sub-distance is the strict left
+  // fold of (x−c)² terms; argmin via first-position-of-min over the
+  // 8-entry distance array is tie-stable in both engines.
+  // ------------------------------------------------------------------
+  val PqSubspaces = 4
+  val PqSubDims: Int = Dims / PqSubspaces
+  val PqCells: Int = Similarity.NumCells
+
+  /** Sub-codebook m: every gate centroid restricted to dims
+    * [m·PqSubDims, (m+1)·PqSubDims). */
+  private def pqSubCents(m: Int): Seq[Seq[Double]] =
+    Similarity.ivfGateCentroids.map(_.slice(m * PqSubDims, (m + 1) * PqSubDims))
+
+  def qPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    def subDist(m: Int, cent: Seq[Double]): Column =
+      aggregate(
+        zip_with(slice($"v", m * PqSubDims + 1, PqSubDims), typedLit(cent),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val dists = (0 until PqSubspaces).map(m =>
+      array(pqSubCents(m).map(c => subDist(m, c)): _*).as(s"d$m"))
+    val codes = (0 until PqSubspaces).map(m =>
+      (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+        .cast("long").as(s"pq$m"))
+    val sqErr = (0 until PqSubspaces).map(m => array_min(col(s"d$m")))
+      .reduce(_ + _)
+    vecs(spark, dir)
+      .select($"vec_id" +: dists: _*)
+      .select($"vec_id" +: (codes :+ r6(sqErr).as("sq_err")): _*)
+      .withColumn("pq_code",
+        (0 until PqSubspaces).map(m => col(s"pq$m"))
+          .reduce((a, b) => a * PqCells + b).cast("long"))
+      .orderBy($"vec_id")
+  }
+
+  val sqlPqEncode: String = {
+    def centSql(cent: Seq[Long]): String =
+      s"list_transform(${cent.mkString("[", ", ", "]")}, x -> x / 1048576.0)"
+    def subDistSql(m: Int, cent: Seq[Long]): String = {
+      val cv = centSql(cent)
+      Similarity.sqlFsum(
+        s"list_transform(range(1, ${PqSubDims + 1}), " +
+          s"i -> (v[${m * PqSubDims} + i] - ($cv)[i]) * (v[${m * PqSubDims} + i] - ($cv)[i]))")
+    }
+    val dCols = (0 until PqSubspaces).map { m =>
+      val cells = IvfGateCentroids.Nums
+        .map(nums => subDistSql(m, nums.slice(m * PqSubDims, (m + 1) * PqSubDims)))
+      s"[${cells.mkString(", ")}] AS d$m"
+    }
+    val codeCols = (0 until PqSubspaces).map(m =>
+      s"(list_position(d$m, list_min(d$m)) - 1)::BIGINT AS pq$m")
+    val err = (0 until PqSubspaces).map(m => s"list_min(d$m)")
+      .reduce((a, b) => s"($a + $b)")
+    val packed = (0 until PqSubspaces).map(m => s"pq$m")
+      .reduce((a, b) => s"($a * $PqCells + $b)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, ${dCols.mkString(",\n       |  ")} FROM e),
+       |c AS (SELECT vec_id, ${codeCols.mkString(", ")},
+       |        ${rSql(err)} AS sq_err
+       |      FROM d)
+       |SELECT vec_id, pq0, pq1, pq2, pq3,
+       |  $packed::BIGINT AS pq_code, sq_err
+       |FROM c ORDER BY vec_id""".stripMargin
+  }
 }

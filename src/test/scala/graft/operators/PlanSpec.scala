@@ -222,6 +222,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_pq_encode: codebooks are literals — no join, no shuffle before the presentation sort") {
+    val plan = executed(Embeddings.qPqEncode(spark, Sf0001))
+    assert(!plan.contains("Join"), "PQ assignment must be per-row expression work")
+    // the only exchanges allowed are the input re-shard and the output sort
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
+  }
+
+  test("q_novelty_curve: ownership is a min-aggregate; the cumulative window never sees the corpus") {
+    val plan = executed(Corpus.qNoveltyCurve(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial"))
+  }
+
   test("q_dsir_weights: the bucket ratio table is broadcast to the scoring scan") {
     val plan = executed(Sampling.qDsirWeights(spark, Sf0001))
     // 1024 ratio rows must reach each scorer as a broadcast, not a
