@@ -69,6 +69,7 @@ object SparkEntry {
     "q_novelty_curve"     -> (Corpus.qNoveltyCurve(_, _)),
     "q_dedup_savings"     -> (Clustering.qDedupSavings(_, _)),
     "q_pq_encode"         -> (Embeddings.qPqEncode(_, _)),
+    "q_pq_adc"            -> (Embeddings.qPqAdc(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_novelty_curve"      -> Corpus.sqlNoveltyCurve,
     "q_dedup_savings"      -> Clustering.sqlDedupSavings,
     "q_pq_encode"          -> Embeddings.sqlPqEncode,
+    "q_pq_adc"             -> Embeddings.sqlPqAdc,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -215,21 +216,29 @@ object Embeddings {
   private def pqSubCents(m: Int): Seq[Seq[Double]] =
     Similarity.ivfGateCentroids.map(_.slice(m * PqSubDims, (m + 1) * PqSubDims))
 
+  /** Squared L2 between subvector m of `v` and a literal sub-centroid
+    * — the strict left fold of (x−c)² terms. */
+  private def subDist(m: Int, cent: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice($"v", m * PqSubDims + 1, PqSubDims), typedLit(cent),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace distance arrays d0..d3 (one entry per codebook cell)
+    * for every vector — the shared core of the encoder (argmin per
+    * array) and the ADC query tables (the array IS the lookup table). */
+  private def pqDistFrame(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir).select(
+      $"vec_id" +: (0 until PqSubspaces).map(m =>
+        array(pqSubCents(m).map(c => subDist(m, c)): _*).as(s"d$m")): _*)
+
   def qPqEncode(spark: SparkSession, dir: String): DataFrame = {
-    def subDist(m: Int, cent: Seq[Double]): Column =
-      aggregate(
-        zip_with(slice($"v", m * PqSubDims + 1, PqSubDims), typedLit(cent),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val dists = (0 until PqSubspaces).map(m =>
-      array(pqSubCents(m).map(c => subDist(m, c)): _*).as(s"d$m"))
     val codes = (0 until PqSubspaces).map(m =>
       (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
         .cast("long").as(s"pq$m"))
     val sqErr = (0 until PqSubspaces).map(m => array_min(col(s"d$m")))
       .reduce(_ + _)
-    vecs(spark, dir)
-      .select($"vec_id" +: dists: _*)
+    pqDistFrame(spark, dir)
       .select($"vec_id" +: (codes :+ r6(sqErr).as("sq_err")): _*)
       .withColumn("pq_code",
         (0 until PqSubspaces).map(m => col(s"pq$m"))
@@ -237,7 +246,9 @@ object Embeddings {
       .orderBy($"vec_id")
   }
 
-  val sqlPqEncode: String = {
+  /** DuckDB twin of [[pqDistFrame]]: `d AS (SELECT vec_id, d0..d3 …)`
+    * CTE body shared by the encode and ADC oracles. */
+  private val sqlPqDistCte: String = {
     def centSql(cent: Seq[Long]): String =
       s"list_transform(${cent.mkString("[", ", ", "]")}, x -> x / 1048576.0)"
     def subDistSql(m: Int, cent: Seq[Long]): String = {
@@ -251,19 +262,81 @@ object Embeddings {
         .map(nums => subDistSql(m, nums.slice(m * PqSubDims, (m + 1) * PqSubDims)))
       s"[${cells.mkString(", ")}] AS d$m"
     }
-    val codeCols = (0 until PqSubspaces).map(m =>
-      s"(list_position(d$m, list_min(d$m)) - 1)::BIGINT AS pq$m")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, ${dCols.mkString(",\n       |  ")} FROM e)""".stripMargin
+  }
+
+  private val sqlPqCodeCols: Seq[String] = (0 until PqSubspaces).map(m =>
+    s"(list_position(d$m, list_min(d$m)) - 1)::BIGINT AS pq$m")
+
+  val sqlPqEncode: String = {
     val err = (0 until PqSubspaces).map(m => s"list_min(d$m)")
       .reduce((a, b) => s"($a + $b)")
     val packed = (0 until PqSubspaces).map(m => s"pq$m")
       .reduce((a, b) => s"($a * $PqCells + $b)")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |d AS (SELECT vec_id, ${dCols.mkString(",\n       |  ")} FROM e),
-       |c AS (SELECT vec_id, ${codeCols.mkString(", ")},
+    s"""WITH $sqlPqDistCte,
+       |c AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")},
        |        ${rSql(err)} AS sq_err
        |      FROM d)
        |SELECT vec_id, pq0, pq1, pq2, pq3,
        |  $packed::BIGINT AS pq_code, sq_err
        |FROM c ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // PQ asymmetric-distance top-k (the ADC search of Jégou et al. 2011
+  // §IV): queries stay full-precision, the corpus exists ONLY as PQ
+  // codes, and each pair's approximate distance is four table lookups
+  // — d(q, x) ≈ Σ_m lut_m[code_m(x)], where lut_m is the query's
+  // distance array to subspace m's codebook. The d0..d3 arrays
+  // [[pqDistFrame]] computes ARE those lookup tables, so encoder and
+  // searcher provably share one core. This is what makes PQ an index
+  // rather than a compressor: the corpus side of the search never
+  // touches a float vector. Scale shape: the code frame is 4 small
+  // ints per vector (the 100 TB point of PQ); queries + their 4×8
+  // luts broadcast; ranking is the same per-query window as every
+  // top-k here. Tie-stability: equal ADC distances rank by vec_id.
+  // ------------------------------------------------------------------
+  val PqTopK = 3
+
+  def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val dists = pqDistFrame(spark, dir).persist()
+    dists.count() // codes and query luts both read one materialization
+    val codes = dists.select(
+      $"vec_id" +: (0 until PqSubspaces).map(m =>
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+          .cast("int").as(s"pq$m")): _*)
+    val queries = dists.filter($"vec_id" < 10).select(
+      $"vec_id".as("query_id") +:
+        (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
+    val adc = (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    codes.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= PqTopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        r6($"adc").as("adc_dist"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlPqAdc: String = {
+    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
+      .reduce((a, b) => s"$a + $b")
+    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
+    s"""WITH $sqlPqDistCte,
+       |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
+       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT query_id, c.vec_id, $adc AS adc
+       |  FROM codes c JOIN q ON c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, adc,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+       |      FROM pairs)
+       |SELECT query_id, rk::BIGINT AS rank, vec_id AS neighbor_id,
+       |  ${rSql("adc")} AS adc_dist
+       |FROM r WHERE rk <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
 }

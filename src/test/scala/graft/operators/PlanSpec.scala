@@ -229,6 +229,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
   }
 
+  test("q_pq_adc: query luts broadcast; the corpus side joins as codes only") {
+    val plan = executed(Embeddings.qPqAdc(spark, Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the ≤10-query lut table must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q_novelty_curve: ownership is a min-aggregate; the cumulative window never sees the corpus") {
     val plan = executed(Corpus.qNoveltyCurve(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))

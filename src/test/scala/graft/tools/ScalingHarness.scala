@@ -9,7 +9,7 @@ import graft.sources.Tables
 import graft.streaming.PositionTracker
 
 /**
- * Local proxy for the 100× mandate: run the fourteen heaviest pipelines at
+ * Local proxy for the 100× mandate: run the eighteen heaviest pipelines at
  * sf0.1 and at a generated 10× replica of it, and report the runtime
  * ratio — anything super-linear names a plan to fix. Results land in
  * SCALING.md. Run with:
@@ -107,7 +107,15 @@ object ScalingHarness {
     "quality_tiers" ->
       (dir => graft.operators.Sampling.qQualityTiers(spark, dir).count()),
     "inverted_index" ->
-      (dir => graft.operators.TextOps.qInvertedIndex(spark, dir).count()))
+      (dir => graft.operators.TextOps.qInvertedIndex(spark, dir).count()),
+    "containment_pairs" ->
+      (dir => graft.operators.Dedup.qContainmentPairs(spark, dir).count()),
+    "dedup_masks" ->
+      (dir => graft.operators.Dedup.qDedupMasks(spark, dir).count()),
+    "lm_score" ->
+      (dir => graft.operators.TextOps.qLmScore(spark, dir).count()),
+    "pq_encode" ->
+      (dir => graft.operators.Embeddings.qPqEncode(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
