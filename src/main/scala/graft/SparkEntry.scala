@@ -63,6 +63,7 @@ object SparkEntry {
     "q_exact_dedup"       -> (Dedup.qExactDedup(_, _)),
     "q_substring_dedup"   -> (Dedup.qSubstringDedup(_, _)),
     "q_containment_pairs" -> (Dedup.qContainmentPairs(_, _)),
+    "q_bbit_minhash"      -> (Dedup.qBbitMinhash(_, _)),
     "q_lm_score"          -> (TextOps.qLmScore(_, _)),
     "q_dedup_masks"       -> (Dedup.qDedupMasks(_, _)),
     "q_naive_split_leak"  -> (Sampling.qNaiveSplitLeakage(_, _)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "q_exact_dedup"        -> Dedup.sqlExactDedup,
     "q_substring_dedup"    -> Dedup.sqlSubstringDedup,
     "q_containment_pairs"  -> Dedup.sqlContainmentPairs,
+    "q_bbit_minhash"       -> Dedup.sqlBbitMinhash,
     "q_lm_score"           -> TextOps.sqlLmScore,
     "q_dedup_masks"        -> Dedup.sqlDedupMasks,
     "q_naive_split_leak"   -> Sampling.sqlNaiveSplitLeakage,

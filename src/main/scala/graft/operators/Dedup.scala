@@ -475,6 +475,70 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // b-bit MinHash estimation audit (Li & König 2010, "b-Bit Minwise
+  // Hashing"): store only the lowest BbitBits bits of each of the
+  // NumHashes minhash values — signature storage shrinks 16× (here
+  // 8×60 → 8×4 bits) — and estimate Jaccard from the b-bit collision
+  // fraction with the collision-floor correction
+  //   Ĵ = (p − 2^-b) / (1 − 2^-b),   p = collisions / k,
+  // which for k = 8, b = 4 reduces to the exact rational (2c − 1)/15
+  // (one IEEE divide of exact integers — cross-engine float law).
+  // At 100 TB this is the signature-STORAGE lever: the band index and
+  // dup verify can run against 32-bit signatures instead of 480-bit
+  // ones once this audit shows the estimator's error is inside the
+  // dedup threshold's margin. The gate is the audit: bounded to the
+  // 500-id verify sample (the qNgramJaccard all-pairs contract),
+  // emitting exact Jaccard, b-bit collision count, the estimate, and
+  // its signed error, both engines computing every column
+  // independently.
+  // ------------------------------------------------------------------
+  val BbitBits = 4
+  val BbitMask = (1L << BbitBits) - 1 // 15
+
+  def qBbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documentsSharded(spark, dir)
+      .filter($"doc_id" < 500)
+      .select($"doc_id",
+        TextKernelFunctions.shingleHashes($"text").as("sh"),
+        TextKernelFunctions.minhashSig($"text").as("sig"))
+    val nColl = (1 to NumHashes).map(i =>
+      when(element_at(col("a.sig"), i).bitwiseAND(lit(BbitMask)) ===
+        element_at(col("b.sig"), i).bitwiseAND(lit(BbitMask)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Hashing.jaccard(col("a.sh"), col("b.sh")).as("jaccard"),
+        nColl.cast("long").as("n_coll"))
+      .filter($"jaccard" >= 0.2)
+      // (2c − 1)/15 is (c/k − 2^-b)/(1 − 2^-b) reduced at k = 8, b = 4
+      .withColumn("est_jaccard",
+        (lit(2.0) * $"n_coll" - 1.0) / lit(BbitMask.toDouble))
+      .withColumn("est_err", $"est_jaccard" - $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val sqlBbitMinhash: String = {
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    val shH = s"list_transform($strs, sv -> ${Hashing.sqlH60("sv")})"
+    val sig = Hashing.sqlMinhash(strs, NumHashes)
+    val j = "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
+      "ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END"
+    val coll = (1 to NumHashes).map(i =>
+      s"(CASE WHEN (a.sig[$i] & $BbitMask) = (b.sig[$i] & $BbitMask) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, $shH AS sh, $sig AS sig
+       |           FROM documents WHERE doc_id < 500),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $j AS jaccard,
+       |    ($coll)::BIGINT AS n_coll
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard, n_coll,
+       |  (2.0 * n_coll - 1.0) / 15.0 AS est_jaccard,
+       |  (2.0 * n_coll - 1.0) / 15.0 - jaccard AS est_err
+       |FROM p WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Containment near-dup pairs (Broder 1997, "On the resemblance and
   // containment of documents"): C = |A∩B| / min(|A|, |B|) over shingle
   // sets — the ASYMMETRIC dup mode Jaccard misses. A short document
