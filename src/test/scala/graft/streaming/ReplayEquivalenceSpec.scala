@@ -268,6 +268,65 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally { q.stop(); corpusSig.unpersist() }
   }
 
+  test("NoveltyCurve: bucket-ordered ingest batches against a growing seen-shingle store equal the batch curve") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Corpus
+
+    // sf0.01: 10 ingest buckets — sf0.001 has one bucket and proves
+    // nothing about incremental maintenance
+    val dir = graft.SparkSpec.Sf001
+    val expected = Corpus.qNoveltyCurve(spark, dir)
+      .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(expected.length > 3)
+
+    // Production analog: a persisted distinct-shingle store the ingest
+    // job unions per crawl slice. One bucket per micro-batch keeps the
+    // first-occurrence-owner semantics identical to the batch curve's
+    // min(bucket) ownership.
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var seen = spark.emptyDataset[String].toDF("s").persist()
+    var cum = 0L
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          val e = batch.select($"doc_id",
+              explode(array_distinct(graft.functions.Hashing.wordShingles(
+                graft.functions.Hashing.tokens($"text"), graft.operators.Dedup.ShingleN))).as("s"))
+            .withColumn("bucket", expr(s"doc_id div ${Corpus.NoveltyBucketDocs}"))
+            .persist()
+          val bucket = e.select(min($"bucket")).as[Long].head()
+          val Seq(nDocs, nRows) = e.agg(
+            countDistinct($"doc_id"), count(lit(1))).head().toSeq.map(_.asInstanceOf[Long])
+          val nNew = e.select($"s").distinct()
+            .join(seen, Seq("s"), "left_anti").count()
+          cum += nNew
+          rows += Seq(bucket, nDocs, nRows, nNew, cum)
+          val grown = seen.union(e.select($"s")).distinct().persist()
+          grown.count()
+          seen.unpersist()
+          seen = grown
+          e.unpersist()
+        }
+        ()
+      }.start()
+    try {
+      docs.groupBy(_._1 / Corpus.NoveltyBucketDocs).toSeq.sortBy(_._1)
+        .foreach { case (_, chunk) =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+      val streamed = rows.toSeq.sortBy(_.head.asInstanceOf[Long])
+      // batch curve columns: bucket, n_docs, n_rows, n_new, cum_distinct(, rate)
+      assert(streamed.size == expected.size)
+      assert(streamed == expected.map(_.take(5)))
+    } finally { q.stop(); seen.unpersist() }
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
