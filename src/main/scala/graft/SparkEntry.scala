@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_savings"     -> (Clustering.qDedupSavings(_, _)),
     "q_pq_encode"         -> (Embeddings.qPqEncode(_, _)),
     "q_pq_adc"            -> (Embeddings.qPqAdc(_, _)),
+    "q_ann_ivfpq"         -> (Embeddings.qAnnIvfPq(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -325,6 +326,7 @@ object SparkEntry {
     "q_dedup_savings"      -> Clustering.sqlDedupSavings,
     "q_pq_encode"          -> Embeddings.sqlPqEncode,
     "q_pq_adc"             -> Embeddings.sqlPqAdc,
+    "q_ann_ivfpq"          -> Embeddings.sqlAnnIvfPq,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

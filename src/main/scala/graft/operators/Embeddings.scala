@@ -339,4 +339,94 @@ object Embeddings {
        |  ${rSql("adc")} AS adc_dist
        |FROM r WHERE rk <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ ANN (the composition FAISS deploys as `IVFx,PQy` — Jégou
+  // et al. 2011 §V): coarse quantizer prunes the corpus to the
+  // query's probed cells (X9's frozen-centroid inverted file,
+  // nprobe = 2), then ADC ranks ONLY those candidates by lookup-table
+  // distance (X86) — the corpus side of the search touches no float
+  // vector and no unprobed cell. This is the production shape at
+  // 100 TB: cell assignment and PQ codes are index-build artifacts
+  // (both gated on their own), the per-query cost is nprobe·|cell|
+  // table lookups, and the only corpus-sized shuffle is the cell-id
+  // candidate join. Recall dials: nprobe (cells scanned) and the
+  // codebook resolution, each audited by its own gate (q_ann_ivf,
+  // q_pq_encode's sq_err).
+  // ------------------------------------------------------------------
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v"))
+    val cents = Similarity.ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", Similarity.normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val ranked = base.join(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= Similarity.IvfNprobe)
+      .persist()
+    ranked.count() // inverted file + probe lists, built once
+    val dists = pqDistFrame(spark, dir).persist()
+    dists.count() // codes and query luts read one materialization
+    val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
+    val queryCells = ranked.filter($"vec_id" < 10 && $"rk" <= Similarity.IvfNprobe)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    val codes = dists.select(
+      $"vec_id" +: (0 until PqSubspaces).map(m =>
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+          .cast("int").as(s"pq$m")): _*)
+    val queries = dists.filter($"vec_id" < 10).select(
+      $"vec_id".as("query_id") +:
+        (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
+    val adc = (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    assigned.join(broadcast(queryCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"vec_id", adc.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= PqTopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        r6($"adc").as("adc_dist"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlAnnIvfPq: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / 1048576.0))"
+    }.mkString(",\n  ")
+    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
+      .reduce((a, b) => s"$a + $b")
+    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
+    s"""WITH $sqlPqDistCte,
+       |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
+       |cc(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT e.vec_id, cc.cent_id,
+       |        ${Similarity.sqlCosine("e.v", "cc.cv")} AS ccos
+       |      FROM e CROSS JOIN cc),
+       |r AS (SELECT vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, cent_id AS cell FROM r WHERE rk = 1),
+       |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
+       |       WHERE vec_id < 10 AND rk <= ${Similarity.IvfNprobe}),
+       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT qc.query_id, a.vec_id, $adc AS adc
+       |  FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |  JOIN codes ON codes.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = qc.query_id),
+       |rr AS (SELECT query_id, vec_id, adc,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+       |      FROM pairs)
+       |SELECT query_id, rk::BIGINT AS rank, vec_id AS neighbor_id,
+       |  ${rSql("adc")} AS adc_dist
+       |FROM rr WHERE rk <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
 }

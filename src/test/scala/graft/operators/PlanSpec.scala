@@ -229,6 +229,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
   }
 
+  test("q_ann_ivfpq: probe lists and luts broadcast; candidates join on cell id") {
+    val plan = executed(Embeddings.qAnnIvfPq(spark, Sf0001))
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_pq_adc: query luts broadcast; the corpus side joins as codes only") {
     val plan = executed(Embeddings.qPqAdc(spark, Sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
