@@ -192,29 +192,33 @@ object Embeddings {
   // PqSubspaces contiguous subvectors and assign each to its nearest
   // sub-codebook centroid by squared L2 (ties to the smallest code) —
   // the 64-dim float vector compresses to PqSubspaces small codes,
-  // the storage format of an IVF-PQ index. Sub-codebooks are the
-  // FROZEN gate centroids ([[IvfGateCentroids.Nums]], exact
-  // 2^-20-grid constants) sliced per subspace — the same
-  // slice-of-global-codebook initialization OPQ-style trainers start
-  // from, and it keeps the gate free of any engine-trained artifact.
-  // Per-vector squared quantization error (sum of the four sub-space
-  // minima) is the recall-budget number that decides whether PQ8 is
-  // survivable. Scale shape: pure per-row fold math against literal
-  // codebooks inside one scan — no join, no shuffle beyond the
-  // presentation sort; at 100 TB the codebooks ride the closure
-  // exactly like a broadcast.
+  // the storage format of an IVF-PQ index. Sub-codebooks are REAL
+  // per-subspace trained k-means codebooks (PqCells = 64 cells each),
+  // frozen as exact 2^-20-grid constants ([[PqCodebooks.Nums]], the
+  // [[IvfGateCentroids]] device) so the gate stays deterministic in
+  // both engines while the quantizer is a genuine product quantizer —
+  // the trained books capture ~half the vector energy where sliced
+  // coarse centroids captured almost none (AnnRecallSpec pins the
+  // energy-capture contract). Per-vector squared quantization error
+  // (sum of the four sub-space minima) is the recall-budget number
+  // that decides whether this PQ survives a deployment. Scale shape:
+  // pure per-row fold math against literal codebooks inside one scan
+  // — no join, no shuffle beyond the presentation sort; at 100 TB the
+  // codebooks ride the closure exactly like a broadcast.
   // Cross-engine determinism: each sub-distance is the strict left
   // fold of (x−c)² terms; argmin via first-position-of-min over the
-  // 8-entry distance array is tie-stable in both engines.
+  // 64-entry distance array is tie-stable in both engines.
   // ------------------------------------------------------------------
   val PqSubspaces = 4
   val PqSubDims: Int = Dims / PqSubspaces
-  val PqCells: Int = Similarity.NumCells
+  val PqCells: Int = 64
 
-  /** Sub-codebook m: every gate centroid restricted to dims
-    * [m·PqSubDims, (m+1)·PqSubDims). */
+  /** Sub-codebook m: PqCells trained sub-centroids over dims
+    * [m·PqSubDims, (m+1)·PqSubDims) — frozen 2^-20-grid constants
+    * from [[PqCodebooks.Nums]] (per-subspace seeded k-means, see
+    * [[graft.tools.GenPqCodebooks]]). */
   private def pqSubCents(m: Int): Seq[Seq[Double]] =
-    Similarity.ivfGateCentroids.map(_.slice(m * PqSubDims, (m + 1) * PqSubDims))
+    PqCodebooks.Nums(m).map(_.map(_ / (1L << 20).toDouble))
 
   /** Squared L2 between subvector m of `v` and a literal sub-centroid
     * — the strict left fold of (x−c)² terms. */
@@ -258,8 +262,7 @@ object Embeddings {
           s"i -> (v[${m * PqSubDims} + i] - ($cv)[i]) * (v[${m * PqSubDims} + i] - ($cv)[i]))")
     }
     val dCols = (0 until PqSubspaces).map { m =>
-      val cells = IvfGateCentroids.Nums
-        .map(nums => subDistSql(m, nums.slice(m * PqSubDims, (m + 1) * PqSubDims)))
+      val cells = PqCodebooks.Nums(m).map(nums => subDistSql(m, nums))
       s"[${cells.mkString(", ")}] AS d$m"
     }
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -346,7 +349,12 @@ object Embeddings {
   // query's probed cells (X9's frozen-centroid inverted file,
   // nprobe = 2), then ADC ranks ONLY those candidates by lookup-table
   // distance (X86) — the corpus side of the search touches no float
-  // vector and no unprobed cell. This is the production shape at
+  // vector and no unprobed cell. Ranking fidelity on the SYNTHETIC
+  // gate corpus is limited by the data, not the plan: isotropic unit
+  // vectors concentrate pairwise distances, so ADC ordering there is
+  // noise-dominated for any codebook (see the energy-capture contract
+  // in AnnRecallSpec); on real manifold embeddings the same plan is
+  // the standard recall/compression trade. This is the production shape at
   // 100 TB: cell assignment and PQ codes are index-build artifacts
   // (both gated on their own), the per-query cost is nprobe·|cell|
   // table lookups, and the only corpus-sized shuffle is the cell-id

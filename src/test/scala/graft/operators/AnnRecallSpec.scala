@@ -53,6 +53,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.9, s"IVF recall $r < 0.9")
   }
 
+  test("PQ codebooks capture variance: quantization error well under the zero-quantizer bound") {
+    // On ISOTROPIC unit vectors pairwise L2 distances concentrate so
+    // tightly that ANY product quantizer's noise swamps top-k ordering
+    // (measured: ADC recall@3 ≈ 0 here for both sliced-centroid and
+    // trained codebooks — the property PQ papers exploit is real
+    // embeddings living on low-dimensional manifolds, which this
+    // synthetic corpus deliberately lacks). The meaningful, stable
+    // fidelity contract on this data is energy capture: the trained
+    // sub-codebooks must explain a large share of vector energy
+    // (mean sq_err ≪ mean ‖v‖² = 1, the zero-quantizer bound).
+    // Measured 0.51 at sf0.01 (training SF), 0.73 transferred to
+    // sf0.1 (held-out vectors); a sliced-coarse-centroid codebook
+    // sits near 0.9 and the zero quantizer at 1.0.
+    val meanErr = Embeddings.qPqEncode(spark, Sf01)
+      .agg(avg(col("sq_err"))).head().getDouble(0)
+    val meanEnergy = corpus
+      .agg(avg(graft.functions.VectorExpressions.dotProduct(col("v"), col("v"))))
+      .head().getDouble(0)
+    val ratio = meanErr / meanEnergy
+    info(f"PQ quantization error / vector energy = $ratio%.3f (4×16d, ${Embeddings.PqCells} cells)")
+    assert(ratio < 0.85, s"trained codebooks must clearly beat the zero-quantizer bound, got ratio $ratio")
+  }
+
   test("parameterized near-dup pairs: only >= threshold, canonical a<b ordering") {
     val p = Similarity.LshParams(bands = 8, bitsPerBand = 6, probeRadius = 0)
     val pairs = Similarity.nearDupPairs(corpus, 0.4, p)
