@@ -437,4 +437,114 @@ object Embeddings {
        |  ${rSql("adc")} AS adc_dist
        |FROM rr WHERE rk <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Two-stage search: IVF-PQ shortlist + exact re-rank — FAISS's
+  // deployed answer to quantization noise (and the fix for the ADC
+  // ordering limit the isotropic gate data exposes): ADC cheaply
+  // ranks the probed cells' candidates, the top PqRerankDepth
+  // survive, and ONLY those fetch their full-precision vectors for an
+  // exact cosine re-rank. The fat-vector read is R·|queries| rows —
+  // independent of corpus size — which is the entire economics of
+  // PQ at 100 TB: codes prune, floats decide. Scale shape: everything
+  // up to the shortlist is [[qAnnIvfPq]]'s plan; the re-rank join is
+  // id-keyed and shortlist-sized.
+  // ------------------------------------------------------------------
+  val PqRerankDepth = 64
+
+  def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v")).persist()
+    base.count() // assignment, shortlist, and re-rank read one store
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val cents = Similarity.ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", Similarity.normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val ranked = base.join(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= Similarity.IvfNprobe)
+      .persist()
+    ranked.count()
+    val dists = pqDistFrame(spark, dir).persist()
+    dists.count()
+    val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
+    val queryCells = ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+    val codes = dists.select(
+      $"vec_id" +: (0 until PqSubspaces).map(m =>
+        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
+          .cast("int").as(s"pq$m")): _*)
+    val luts = dists.filter($"vec_id" < 10).select(
+      $"vec_id".as("query_id") +:
+        (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
+    val adc = (0 until PqSubspaces)
+      .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    val shortlist = assigned.join(broadcast(queryCells), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .select($"query_id", $"vec_id", adc.as("adc"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter($"ark" <= PqRerankDepth)
+      .select($"query_id", $"vec_id")
+    val queries = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
+    val wFinal = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    shortlist
+      .join(base.select($"vec_id", $"v", $"nv"), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        Similarity.cosineWithNorms($"qv", $"v", $"nq", $"nv").as("cosine"))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter($"rank" <= PqTopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        r6($"cosine").as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val sqlPqRerank: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / 1048576.0))"
+    }.mkString(",\n  ")
+    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
+      .reduce((a, b) => s"$a + $b")
+    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
+    s"""WITH $sqlPqDistCte,
+       |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
+       |cc(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT e.vec_id, cc.cent_id,
+       |        ${Similarity.sqlCosine("e.v", "cc.cv")} AS ccos
+       |      FROM e CROSS JOIN cc),
+       |r AS (SELECT vec_id, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, cent_id AS cell FROM r WHERE rk = 1),
+       |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
+       |       WHERE vec_id < 10 AND rk <= ${Similarity.IvfNprobe}),
+       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT qc.query_id, a.vec_id, $adc AS adc
+       |  FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |  JOIN codes ON codes.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = qc.query_id),
+       |sl AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS ark
+       |  FROM pairs) WHERE ark <= $PqRerankDepth),
+       |rr AS (
+       |  SELECT sl.query_id, sl.vec_id,
+       |    ${Similarity.sqlCosine("eq.v", "en.v")} AS cosine
+       |  FROM sl JOIN e eq ON eq.vec_id = sl.query_id
+       |          JOIN e en ON en.vec_id = sl.vec_id)
+       |SELECT query_id, rank, neighbor_id, ${rSql("cosine")} AS cosine FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)::BIGINT AS rank
+       |  FROM rr)
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -648,4 +648,38 @@ object Sampling {
        |FROM d JOIN tiers USING (source, q)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Per-source document cap ("domain capping", RefinedWeb / Common
+  // Crawl curation: no single domain may contribute more than N
+  // documents, so one mega-site cannot dominate the mixture). Within
+  // each source, documents are ranked by the seeded hash of their id
+  // (deterministic, selection-bias-free — NOT by doc_id, which would
+  // favor old crawls) and the first CapPerSource survive. Scale
+  // shape: one shuffle on source for the rank window; per-source
+  // partitions are as big as the biggest domain — exactly the skew
+  // AQE's split handles — and only (doc_id, source, hash) rows move,
+  // never text.
+  // ------------------------------------------------------------------
+  val CapSeed = "cap1"
+  val CapPerSource = 80L
+
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"source").orderBy($"k", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", sampleKey(CapSeed, $"doc_id").as("k"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"doc_id", $"source", $"rk",
+        ($"rk" <= CapPerSource).as("is_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlDomainCap: String = {
+    val k = sqlSampleKey(CapSeed, "doc_id")
+    s"""SELECT doc_id, source, rk, rk <= $CapPerSource AS is_kept FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY $k, doc_id)::BIGINT AS rk
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 }
