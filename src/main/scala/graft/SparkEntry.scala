@@ -72,6 +72,7 @@ object SparkEntry {
     "q_pq_encode"         -> (Embeddings.qPqEncode(_, _)),
     "q_pq_adc"            -> (Embeddings.qPqAdc(_, _)),
     "q_ann_ivfpq"         -> (Embeddings.qAnnIvfPq(_, _)),
+    "q_pq_rerank"         -> (Embeddings.qPqRerank(_, _)),
     "q_minhash_sig"       -> (Dedup.qMinhashSignature(_, _)),
     "q_minhash_lsh_pairs" -> (Dedup.qMinhashLshPairs(_, _)),
     "q_lsh_audit"         -> (Dedup.qLshAudit(_, _)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_dsir_weights"      -> (Sampling.qDsirWeights(_, _)),
     "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
     "q_quality_tiers"     -> (Sampling.qQualityTiers(_, _)),
+    "q_domain_cap"        -> (Sampling.qDomainCap(_, _)),
     "q_wfq_interleave"    -> (Sampling.qWfqInterleave(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_split_audit"       -> (Sampling.qSplitAudit(_, _)),
@@ -281,6 +283,7 @@ object SparkEntry {
     "q_dsir_weights"       -> Sampling.sqlDsirWeights,
     "q_budget_select"      -> Sampling.sqlBudgetSelect,
     "q_quality_tiers"      -> Sampling.sqlQualityTiers,
+    "q_domain_cap"         -> Sampling.sqlDomainCap,
     "q_wfq_interleave"     -> Sampling.sqlWfqInterleave,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_split_audit"        -> Sampling.sqlSplitAudit,
@@ -327,6 +330,7 @@ object SparkEntry {
     "q_pq_encode"          -> Embeddings.sqlPqEncode,
     "q_pq_adc"             -> Embeddings.sqlPqAdc,
     "q_ann_ivfpq"          -> Embeddings.sqlAnnIvfPq,
+    "q_pq_rerank"          -> Embeddings.sqlPqRerank,
     "q_minhash_sig"        -> Dedup.sqlMinhashSignature,
     "q_minhash_lsh_pairs"  -> Dedup.sqlMinhashLshPairs,
     "q_lsh_audit"          -> Dedup.sqlLshAudit,

@@ -272,6 +272,18 @@ object Embeddings {
   private val sqlPqCodeCols: Seq[String] = (0 until PqSubspaces).map(m =>
     s"(list_position(d$m, list_min(d$m)) - 1)::BIGINT AS pq$m")
 
+  /** Shared SQL snippets of the three PQ search twins — ADC distance,
+    * lut relabel, and the frozen IVF centroid VALUES rows — one home,
+    * like [[pqCodes]]/[[pqQueryLuts]]/[[adcCol]] on the Spark side. */
+  private val sqlAdcExpr: String =
+    (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]").reduce((a, b) => s"$a + $b")
+  private val sqlLutCols: String =
+    (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
+  private val sqlCentRows: String =
+    IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / 1048576.0))"
+    }.mkString(",\n  ")
+
   val sqlPqEncode: String = {
     val err = (0 until PqSubspaces).map(m => s"list_min(d$m)")
       .reduce((a, b) => s"($a + $b)")
@@ -302,22 +314,56 @@ object Embeddings {
   // ------------------------------------------------------------------
   val PqTopK = 3
 
-  def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val dists = pqDistFrame(spark, dir).persist()
-    dists.count() // codes and query luts both read one materialization
-    val codes = dists.select(
+  /** PQ code frame (4 small ints per vector) from the shared distance
+    * arrays — argmin per subspace, tie-to-smallest-code. One home for
+    * the construction qPqAdc / qAnnIvfPq / qPqRerank all search over
+    * (mirroring how [[sqlPqCodeCols]] is shared on the SQL side). */
+  private def pqCodes(dists: DataFrame): DataFrame =
+    dists.select(
       $"vec_id" +: (0 until PqSubspaces).map(m =>
         (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
           .cast("int").as(s"pq$m")): _*)
-    val queries = dists.filter($"vec_id" < 10).select(
+
+  /** The ≤10 gate queries' per-subspace ADC lookup tables — the
+    * distance arrays themselves, relabeled lut0..lut3. */
+  private def pqQueryLuts(dists: DataFrame): DataFrame =
+    dists.filter($"vec_id" < 10).select(
       $"vec_id".as("query_id") +:
         (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
-    val adc = (0 until PqSubspaces)
+
+  /** ADC distance Σ_m lut_m[code_m]: four table lookups per pair, no
+    * float vector on the corpus side. */
+  private def adcCol: Column =
+    (0 until PqSubspaces)
       .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
       .reduce(_ + _)
+
+  /** IVF probe ranking over `base` (vec_id, v, nv): per-vector centroid
+    * cosines ranked desc, kept to nprobe, persisted and counted —
+    * rk = 1 is the cell assignment (inverted file), rk ≤ nprobe the
+    * query probe lists. Shared by [[qAnnIvfPq]] and [[qPqRerank]]. */
+  private def ivfRanked(spark: SparkSession, base: DataFrame): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val cents = Similarity.ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", Similarity.normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val ranked = base.join(broadcast(cents))
+      .select($"vec_id", $"cent_id",
+        Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= Similarity.IvfNprobe)
+      .persist()
+    ranked.count() // inverted file + probe lists, built once
+    ranked
+  }
+
+  def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val dists = pqDistFrame(spark, dir).persist()
+    dists.count() // codes and query luts both read one materialization
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-    codes.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", adc.as("adc"))
+    pqCodes(dists).join(broadcast(pqQueryLuts(dists)), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", adcCol.as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= PqTopK)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -326,14 +372,11 @@ object Embeddings {
   }
 
   val sqlPqAdc: String = {
-    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
-      .reduce((a, b) => s"$a + $b")
-    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
     s"""WITH $sqlPqDistCte,
        |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
-       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS query_id, $sqlLutCols FROM d WHERE vec_id < 10),
        |pairs AS (
-       |  SELECT query_id, c.vec_id, $adc AS adc
+       |  SELECT query_id, c.vec_id, $sqlAdcExpr AS adc
        |  FROM codes c JOIN q ON c.vec_id <> q.query_id),
        |r AS (SELECT query_id, vec_id, adc,
        |        row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
@@ -363,40 +406,19 @@ object Embeddings {
   // q_pq_encode's sq_err).
   // ------------------------------------------------------------------
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v"))
-    val cents = Similarity.ivfGateCentroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
-      .withColumn("ncv", Similarity.normCol($"cv"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val ranked = base.join(broadcast(cents))
-      .select($"vec_id", $"cent_id",
-        Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" <= Similarity.IvfNprobe)
-      .persist()
-    ranked.count() // inverted file + probe lists, built once
+    val ranked = ivfRanked(spark, base)
     val dists = pqDistFrame(spark, dir).persist()
     dists.count() // codes and query luts read one materialization
     val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
-    val queryCells = ranked.filter($"vec_id" < 10 && $"rk" <= Similarity.IvfNprobe)
+    val queryCells = ranked.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
-    val codes = dists.select(
-      $"vec_id" +: (0 until PqSubspaces).map(m =>
-        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
-          .cast("int").as(s"pq$m")): _*)
-    val queries = dists.filter($"vec_id" < 10).select(
-      $"vec_id".as("query_id") +:
-        (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
-    val adc = (0 until PqSubspaces)
-      .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
-      .reduce(_ + _)
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
     assigned.join(broadcast(queryCells), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select($"query_id", $"vec_id", adc.as("adc"))
+      .join(pqCodes(dists), Seq("vec_id"))
+      .join(broadcast(pqQueryLuts(dists)), Seq("query_id"))
+      .select($"query_id", $"vec_id", adcCol.as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= PqTopK)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
@@ -405,16 +427,10 @@ object Embeddings {
   }
 
   val sqlAnnIvfPq: String = {
-    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
-      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / 1048576.0))"
-    }.mkString(",\n  ")
-    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
-      .reduce((a, b) => s"$a + $b")
-    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
     s"""WITH $sqlPqDistCte,
        |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
        |cc(cent_id, cv) AS (VALUES
-       |  $centRows),
+       |  $sqlCentRows),
        |s AS (SELECT e.vec_id, cc.cent_id,
        |        ${Similarity.sqlCosine("e.v", "cc.cv")} AS ccos
        |      FROM e CROSS JOIN cc),
@@ -424,9 +440,9 @@ object Embeddings {
        |a AS (SELECT vec_id, cent_id AS cell FROM r WHERE rk = 1),
        |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
        |       WHERE vec_id < 10 AND rk <= ${Similarity.IvfNprobe}),
-       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS query_id, $sqlLutCols FROM d WHERE vec_id < 10),
        |pairs AS (
-       |  SELECT qc.query_id, a.vec_id, $adc AS adc
+       |  SELECT qc.query_id, a.vec_id, $sqlAdcExpr AS adc
        |  FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
        |  JOIN codes ON codes.vec_id = a.vec_id
        |  JOIN q ON q.query_id = qc.query_id),
@@ -455,39 +471,18 @@ object Embeddings {
   def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v")).persist()
     base.count() // assignment, shortlist, and re-rank read one store
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val cents = Similarity.ivfGateCentroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
-      .withColumn("ncv", Similarity.normCol($"cv"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val ranked = base.join(broadcast(cents))
-      .select($"vec_id", $"cent_id",
-        Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" <= Similarity.IvfNprobe)
-      .persist()
-    ranked.count()
+    val ranked = ivfRanked(spark, base)
     val dists = pqDistFrame(spark, dir).persist()
     dists.count()
     val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
     val queryCells = ranked.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
-    val codes = dists.select(
-      $"vec_id" +: (0 until PqSubspaces).map(m =>
-        (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1)
-          .cast("int").as(s"pq$m")): _*)
-    val luts = dists.filter($"vec_id" < 10).select(
-      $"vec_id".as("query_id") +:
-        (0 until PqSubspaces).map(m => col(s"d$m").as(s"lut$m")): _*)
-    val adc = (0 until PqSubspaces)
-      .map(m => element_at(col(s"lut$m"), col(s"pq$m") + 1))
-      .reduce(_ + _)
     val wAdc = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
     val shortlist = assigned.join(broadcast(queryCells), Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(luts), Seq("query_id"))
-      .select($"query_id", $"vec_id", adc.as("adc"))
+      .join(pqCodes(dists), Seq("vec_id"))
+      .join(broadcast(pqQueryLuts(dists)), Seq("query_id"))
+      .select($"query_id", $"vec_id", adcCol.as("adc"))
       .withColumn("ark", row_number().over(wAdc))
       .filter($"ark" <= PqRerankDepth)
       .select($"query_id", $"vec_id")
@@ -507,16 +502,10 @@ object Embeddings {
   }
 
   val sqlPqRerank: String = {
-    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
-      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / 1048576.0))"
-    }.mkString(",\n  ")
-    val adc = (0 until PqSubspaces).map(m => s"lut$m[pq$m + 1]")
-      .reduce((a, b) => s"$a + $b")
-    val luts = (0 until PqSubspaces).map(m => s"d$m AS lut$m").mkString(", ")
     s"""WITH $sqlPqDistCte,
        |codes AS (SELECT vec_id, ${sqlPqCodeCols.mkString(", ")} FROM d),
        |cc(cent_id, cv) AS (VALUES
-       |  $centRows),
+       |  $sqlCentRows),
        |s AS (SELECT e.vec_id, cc.cent_id,
        |        ${Similarity.sqlCosine("e.v", "cc.cv")} AS ccos
        |      FROM e CROSS JOIN cc),
@@ -526,9 +515,9 @@ object Embeddings {
        |a AS (SELECT vec_id, cent_id AS cell FROM r WHERE rk = 1),
        |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
        |       WHERE vec_id < 10 AND rk <= ${Similarity.IvfNprobe}),
-       |q AS (SELECT vec_id AS query_id, $luts FROM d WHERE vec_id < 10),
+       |q AS (SELECT vec_id AS query_id, $sqlLutCols FROM d WHERE vec_id < 10),
        |pairs AS (
-       |  SELECT qc.query_id, a.vec_id, $adc AS adc
+       |  SELECT qc.query_id, a.vec_id, $sqlAdcExpr AS adc
        |  FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
        |  JOIN codes ON codes.vec_id = a.vec_id
        |  JOIN q ON q.query_id = qc.query_id),

@@ -261,6 +261,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q_pq_rerank: shortlist broadcasts into the id-keyed fat-vector fetch; store read once") {
+    val plan = executed(Embeddings.qPqRerank(spark, Sf0001))
+    // assignment, shortlist, and re-rank all read the one persisted base
+    assert(plan.contains("InMemoryTableScan"))
+    // the re-rank join is shortlist-sized vs the corpus: it must stay
+    // broadcast-shaped, never a corpus-wide sort-merge or cartesian
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_domain_cap: one slim shuffle on source; the scan never reads text") {
+    val plan = executedCold(Sampling.qDomainCap(spark, Sf0001))
+    // only (doc_id, source) leave the scan — capping must not move text
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("source"))
+    assert(!readSchema.contains("text"))
+    // exactly one hash shuffle (the per-source rank window); the only
+    // other exchange is the presentation sort
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_pq_adc: query luts broadcast; the corpus side joins as codes only") {
     val plan = executed(Embeddings.qPqAdc(spark, Sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
