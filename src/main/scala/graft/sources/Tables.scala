@@ -38,12 +38,18 @@ object Tables {
     *    reading of the same naive value. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case dt =>
+        // only the two driver schemas above are known-exact relabels; a
+        // third drift (STRING, INT32, …) must fail loudly, not coerce
+        // into silently wrong timestamps
+        throw new IllegalStateException(
+          s"events.ts has unexpected type $dt — add an exactness-checked branch")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
