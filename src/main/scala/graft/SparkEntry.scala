@@ -55,6 +55,7 @@ object SparkEntry {
     "q_bm25"              -> (TextOps.qBm25(_, _)),
     "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
     "q_inverted_index"    -> (TextOps.qInvertedIndex(_, _)),
+    "q_bpe_train"        -> (TextOps.qBpeTrain(_, _)),
     "q_bpe_pairs"         -> (TextOps.qBpePairs(_, _)),
     "q_bpe_encode"        -> (TextOps.qBpeEncode(_, _)),
     "q_quality_logit"     -> (TextOps.qQualityLogit(_, _)),
@@ -299,6 +300,7 @@ object SparkEntry {
     "q_bm25"               -> TextOps.sqlBm25,
     "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
     "q_inverted_index"     -> TextOps.sqlInvertedIndex,
+    "q_bpe_train"         -> TextOps.sqlBpeTrain,
     "q_bpe_pairs"          -> TextOps.sqlBpePairs,
     "q_bpe_encode"         -> TextOps.sqlBpeEncode,
     "q_quality_logit"      -> TextOps.sqlQualityLogit,

@@ -724,6 +724,97 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Full BPE trainer loop (Sennrich et al. 2016 §3.2's actual
+  // algorithm): alternate count→merge for K rounds to PRODUCE the
+  // merge table [[qBpeEncode]] consumes — [[qBpePairs]] is one
+  // iteration of the count half; this runs the whole loop. Round k:
+  // count adjacent symbol pairs over the word-type table weighted by
+  // corpus frequency, elect the argmax (count desc, then lexicographic
+  // — deterministic), rewrite every spelling with that merge applied
+  // (left-to-right non-overlapping `replace`, the exact application
+  // semantics of [[qBpeEncode]], so train and encode compose). Scale
+  // shape: the corpus scan reduces to the word-type frequency table
+  // ONCE (map-side combine); all K iterations run over that |vocab|-
+  // sized store — each materialized eagerly (persist + count, the
+  // [[Embeddings]] index-build stance) so round k+1 reads round k
+  // instead of recomputing the chain — and each round's elected merge
+  // is read back as one scalar row — the bounded per-round driver
+  // read [[Clustering.connectedComponents]]'s convergence sum already
+  // establishes (K rows total, independent of corpus size; NOT a
+  // collect over data) — and applied as a literal rewrite, so the
+  // vocab lineage grows by one projection per round (an earlier
+  // crossJoin-the-election formulation embedded the previous round's
+  // plan twice per round: exponential analysis cost by round 8). At
+  // 100 TB only the initial reduction sees the corpus; trainer cost is
+  // K small aggregates over the vocabulary, independent of corpus
+  // row count. The returned frame is the K-row merge table — a local
+  // relation, the trained artifact itself.
+  // ------------------------------------------------------------------
+  val BpeTrainRounds = 8
+
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val spelled = trim(regexp_replace(concat($"word", lit("_")), "(.)", "$1 "))
+    var vocab = Tables.documentsSharded(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy($"word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(spelled.as("sp"), $"freq")
+      .persist()
+    vocab.count() // the one corpus-sized reduction
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    (1 to BpeTrainRounds).foreach { k =>
+      val syms = split($"sp", " ")
+      val best = vocab
+        .select($"freq", explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy($"p.l".as("lhs"), $"p.r".as("rhs"))
+        .agg(sum($"freq").cast("long").as("pair_count"))
+        .orderBy($"pair_count".desc, $"lhs", $"rhs")
+        .limit(1)
+        .head() // the elected merge: one bounded scalar row per round
+      val (l, r) = (best.getString(0), best.getString(1))
+      merges += ((k.toLong, l, r, best.getLong(2)))
+      val prev = vocab
+      vocab = vocab
+        .select(replace($"sp", lit(s"$l $r"), lit(s"$l$r")).as("sp"), $"freq")
+        .persist()
+      vocab.count()
+      prev.unpersist()
+    }
+    vocab.unpersist()
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy($"rank")
+  }
+
+  val sqlBpeTrain: String = {
+    val t = Hashing.sqlTokens("text")
+    val rounds = (1 to BpeTrainRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT (pr).l AS lhs, (pr).r AS rhs, sum(freq)::BIGINT AS pair_count
+         |  FROM (SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)),
+         |        i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+         |    FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT $k::BIGINT AS rank, lhs, rhs, pair_count
+         |  FROM p$k ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |v$k AS (SELECT replace(sp, lhs || ' ' || rhs, lhs || rhs) AS sp, freq
+         |  FROM v${k - 1}, b$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeTrainRounds)
+      .map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($t) AS word FROM documents) GROUP BY 1),
+       |v0 AS (SELECT trim(regexp_replace(word || '_', '(.)', '\\1 ', 'g')) AS sp,
+       |  freq FROM wf),
+       |$rounds
+       |SELECT rank, lhs, rhs, pair_count FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Frozen n-gram LM quality score — the CCNet stance (Wenzek et al.
   // 2020, "CCNet: Extracting High Quality Monolingual Datasets from
   // Web Crawl Data": score every raw document under a language model

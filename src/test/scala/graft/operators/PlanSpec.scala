@@ -284,6 +284,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_bpe_train: the returned merge table is a local artifact — no corpus in its lineage") {
+    // training runs eagerly during construction (persist+count rounds);
+    // the artifact the caller gets must be a frozen local relation, so
+    // every downstream read costs zero corpus work
+    val plan = executed(TextOps.qBpeTrain(spark, Sf0001))
+    assert(plan.contains("LocalTableScan"))
+    assert(!plan.contains("FileScan"))
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
   test("q_pq_adc: query luts broadcast; the corpus side joins as codes only") {
     val plan = executed(Embeddings.qPqAdc(spark, Sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),

@@ -82,6 +82,23 @@ class QueriesSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("BPE trainer: K ranked merges, argmax-first, later merges consume earlier outputs") {
+    import spark.implicits._
+    val rows = TextOps.qBpeTrain(spark, Sf0001)
+      .select($"rank", $"lhs", $"rhs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == TextOps.BpeTrainRounds)
+    assert(rows.map(_._1).toSeq == (1L to TextOps.BpeTrainRounds.toLong))
+    // the corpus's dominant adjacent pair on this testdata family is
+    // (e, r) — the same first merge the frozen qBpeEncode table pins
+    assert((rows.head._2, rows.head._3) == ("e", "r"))
+    // compositionality: at least one later merge consumes an earlier
+    // merge's output symbol (the defining property of the BPE loop vs
+    // K independent pair counts)
+    val produced = rows.map { case (_, l, r) => l + r }.toSet
+    assert(rows.tail.exists { case (_, l, r) => produced(l) || produced(r) })
+  }
+
   test("exact dedup: canonical ids are minimal doc_ids and copies sum to corpus size") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
