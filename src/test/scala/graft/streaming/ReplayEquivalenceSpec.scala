@@ -268,6 +268,57 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally { q.stop(); corpusSig.unpersist() }
   }
 
+  test("IncrementalDedup: a growing band index catches a duplicate straddling a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+
+    // Production ingestion grows the index: batch N's accepted docs are
+    // part of the corpus batch N+1 probes against. The frozen-corpus
+    // equivalence test above can never see an incoming-vs-incoming dup;
+    // this one plants exactly that — doc 3 duplicates doc 1 across the
+    // batch boundary — and requires the boundary not to hide it.
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "pack my box with five dozen liquor jugs before the night falls"))
+    val alpha =
+      "large scale training corpora require careful deduplication before any model sees them"
+    val batch1 = Seq(
+      (1L, alpha),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank")) // dup of 100
+    val batch2 = Seq(
+      (3L, alpha), // duplicate of doc 1 — the straddling pair
+      (4L, "completely unrelated text about orbital mechanics and launch windows tonight"))
+
+    var store = Dedup.signatureFrame(corpus.toDF("doc_id", "text")).persist()
+    store.count()
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        verdicts.synchronized {
+          val sig = Dedup.signatureFrame(batch).persist()
+          sig.count()
+          verdicts ++= Dedup.incrementalProbe(sig, store).collect()
+          val grown = store.unionByName(sig).persist()
+          grown.count() // absorb the batch BEFORE the next probe
+          store.unpersist()
+          store = grown
+        }
+        ()
+      }.start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val byId = verdicts.map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(byId(1L)._1 == "new")
+      assert(byId(2L) == (("dup", 100L)))
+      assert(byId(3L) == (("dup", 1L)), "cross-batch duplicate must resolve to the batch-1 doc")
+      assert(byId(4L)._1 == "new")
+    } finally { q.stop(); store.unpersist() }
+  }
+
   test("NoveltyCurve: bucket-ordered ingest batches against a growing seen-shingle store equal the batch curve") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
