@@ -55,6 +55,7 @@ object SparkEntry {
     "q_bm25"              -> (TextOps.qBm25(_, _)),
     "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
     "q_inverted_index"    -> (TextOps.qInvertedIndex(_, _)),
+    "q_phrase_search"     -> (TextOps.qPhraseSearch(_, _)),
     "q_bpe_train"        -> (TextOps.qBpeTrain(_, _)),
     "q_bpe_pairs"         -> (TextOps.qBpePairs(_, _)),
     "q_bpe_encode"        -> (TextOps.qBpeEncode(_, _)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
     "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
     "q_dedup_decision"    -> (Clustering.qDedupDecision(_, _)),
+    "q_kmeans"            -> (Clustering.qKmeans(_, _)),
     // corpus preparation: chunking, repetition filters, segment dedup,
     // PII-pattern redaction
     "q_chunk_docs"        -> (Corpus.qChunkDocs(_, _)),
@@ -115,6 +117,8 @@ object SparkEntry {
     "q_budget_select"     -> (Sampling.qBudgetSelect(_, _)),
     "q_quality_tiers"     -> (Sampling.qQualityTiers(_, _)),
     "q_domain_cap"        -> (Sampling.qDomainCap(_, _)),
+    "q_priority_sample"   -> (Sampling.qPrioritySample(_, _)),
+    "q_unimax_alloc"      -> (Sampling.qUnimaxAlloc(_, _)),
     "q_wfq_interleave"    -> (Sampling.qWfqInterleave(_, _)),
     "q_leakage_split"     -> (Sampling.qLeakageSplit(_, _)),
     "q_split_audit"       -> (Sampling.qSplitAudit(_, _)),
@@ -130,6 +134,9 @@ object SparkEntry {
     "q_knn_brute"         -> (Similarity.qKnnBruteForce(_, _)),
     "q_hard_negatives"    -> (Similarity.qHardNegatives(_, _)),
     "q_rrf_fusion"        -> (Similarity.qRrfFusion(_, _)),
+    "q_mmr_rerank"        -> (Similarity.qMmr(_, _)),
+    "q_margin_mine"       -> (Similarity.qMarginMine(_, _)),
+    "q_maxsim"            -> (Similarity.qMaxSim(_, _)),
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_semantic_dedup"    -> (Similarity.qSemanticDedup(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
@@ -256,6 +263,7 @@ object SparkEntry {
     "q_range_join"         -> Temporal.sqlRangeJoin,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
     "q_dedup_decision"     -> Clustering.sqlDedupDecision,
+    "q_kmeans"             -> Clustering.sqlKmeans,
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,
     "q_chunk_quality"      -> Corpus.sqlChunkQuality,
     "q_repetition"         -> Corpus.sqlRepetition,
@@ -285,6 +293,8 @@ object SparkEntry {
     "q_budget_select"      -> Sampling.sqlBudgetSelect,
     "q_quality_tiers"      -> Sampling.sqlQualityTiers,
     "q_domain_cap"         -> Sampling.sqlDomainCap,
+    "q_priority_sample"    -> Sampling.sqlPrioritySample,
+    "q_unimax_alloc"       -> Sampling.sqlUnimaxAlloc,
     "q_wfq_interleave"     -> Sampling.sqlWfqInterleave,
     "q_leakage_split"      -> Sampling.sqlLeakageSplit,
     "q_split_audit"        -> Sampling.sqlSplitAudit,
@@ -300,6 +310,7 @@ object SparkEntry {
     "q_bm25"               -> TextOps.sqlBm25,
     "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
     "q_inverted_index"     -> TextOps.sqlInvertedIndex,
+    "q_phrase_search"      -> TextOps.sqlPhraseSearch,
     "q_bpe_train"         -> TextOps.sqlBpeTrain,
     "q_bpe_pairs"          -> TextOps.sqlBpePairs,
     "q_bpe_encode"         -> TextOps.sqlBpeEncode,
@@ -342,6 +353,9 @@ object SparkEntry {
     "q_knn_brute"          -> Similarity.sqlKnnBruteForce,
     "q_hard_negatives"     -> Similarity.sqlHardNegatives,
     "q_rrf_fusion"         -> Similarity.sqlRrfFusion,
+    "q_mmr_rerank"         -> Similarity.sqlMmr,
+    "q_margin_mine"        -> Similarity.sqlMarginMine,
+    "q_maxsim"             -> Similarity.sqlMaxSim,
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_semantic_dedup"     -> Similarity.sqlSemanticDedup,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,

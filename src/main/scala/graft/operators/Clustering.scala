@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing
@@ -252,5 +253,167 @@ object Clustering {
        |  (sum(n_tokens) - sum(CASE WHEN keep THEN n_tokens ELSE 0 END))::DOUBLE /
        |    sum(n_tokens)::DOUBLE AS dup_token_frac
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Lloyd's k-means over the embedding corpus (Lloyd 1982) — the LIVE
+  // trainer whose frozen outputs the IVF coarse quantizer
+  // ([[Similarity.qAnnIvf]]) and the PQ codebooks
+  // ([[Embeddings.qPqEncode]]) consume as constants; this gate runs
+  // the loop itself, so the cross-engine oracle replays every round.
+  // Reference analogue: the reference repo fits its models offline and
+  // ships them frozen (SURVEY §2.10 training-artifact stance); the
+  // repo's own GenIvfGateCentroids generator is this loop run once.
+  //
+  // Determinism (the repo's cross-engine float law): centroid updates
+  // sum each dimension as exact DECIMAL(28,12) — shuffle-order free —
+  // and divide by the count as ONE IEEE double op (the
+  // [[Embeddings.qEmbCentroid]] convention); squared distance is three
+  // strict left folds combined as `vv - 2*vc + cc` with identical
+  // parenthesization in both engines; argmin ties break to the
+  // smallest cell id. Every intermediate double is therefore
+  // bit-identical to DuckDB's K unrolled CTE rounds, and only the gate
+  // face is rounded (r6).
+  //
+  // Scale shape (MLlib KMeans' own layout): per round the k×d centroid
+  // model rides into ONE corpus scan as broadcast literals (no join,
+  // no corpus shuffle — assignment is pure per-row fold math), the
+  // update is a slim (cell, dim, decimal-partial) map-side-combined
+  // aggregate over ≤ k·d keys, and the driver reads back k rows of
+  // model state — bounded and independent of corpus size, the
+  // [[TextOps.qBpeTrain]] election-read precedent, NOT a collect over
+  // data. Reading the model back as literals also cuts plan lineage:
+  // round k+1's plan is flat (one scan + one agg) instead of nesting
+  // round k's. At 100 TB the first-k seeding would be k-means||
+  // (Bahmani et al. 2012); the loop shape is unchanged.
+  // ------------------------------------------------------------------
+  val KmK = 8
+  val KmRounds = 4
+  private val KmDims = Similarity.Dims
+  private val DEC28 = DecimalType(28, 12)
+  private def r6(c: Column): Column =
+    c.cast(DEC28).cast(DecimalType(18, 6)).cast("double")
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
+
+  /** Driver-side twin of the codegen'd strict left fold, for the
+    * literal `cc` term: `(((0.0 + c₁c₁) + c₂c₂) + …)`. */
+  private def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Squared L2 distance to literal centroid `c`, shaped
+    * `(vv - (2·v·c)) + c·c` — the exact association the DuckDB twin
+    * `fsum(v*v) - 2.0*fsum(v*c) + fsum(c*c)` parses to. */
+  private def d2Col(vv: Column, v: Column, c: Seq[Double]): Column =
+    vv - lit(2.0) * dot(v, typedLit(c)) + lit(dotLocal(c, c))
+
+  /** argmin cell over literal centroids: lexicographic min of
+    * (d2, cell) structs — smallest distance, ties to smallest cell. */
+  private def bestCol(cent: Seq[(Int, Seq[Double])], vv: Column, v: Column): Column =
+    array_min(array(cent.map { case (cell, c) =>
+      struct(d2Col(vv, v, c).as("d2"), lit(cell).as("cell"))
+    }: _*))
+
+  /** Run `rounds` Lloyd iterations; returns the trained centroids as
+    * (cell, centroid) rows read back from the final update. */
+  private def kmeansCentroids(
+      vecs: DataFrame, rounds: Int): Seq[(Int, Seq[Double])] = {
+    var cent: Seq[(Int, Seq[Double])] = vecs
+      .filter($"vec_id" < KmK)
+      .orderBy($"vec_id")
+      .select($"vec_id".cast("int"), $"v")
+      .head(KmK) // k seed rows — bounded model read
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    (1 to rounds).foreach { _ =>
+      cent = vecs
+        .select(bestCol(cent, $"vv", $"v").getField("cell").as("cell"),
+          posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cell", $"dim")
+        .agg((sum($"x".cast(DEC28)).cast("double") / count(lit(1))).as("cmean"))
+        .groupBy($"cell")
+        .agg(transform(array_sort(collect_list(struct($"dim", $"cmean"))),
+          s => s.getField("cmean")).as("cv"))
+        .orderBy($"cell")
+        .head(KmK) // k rows of model state — bounded read-back per round
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+    cent
+  }
+
+  /** Gate face: per cell after a final E-step against the trained
+    * centroids — member count, decimal-summed inertia, first four
+    * centroid components. */
+  private def kmeansGate(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val vecs = Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("vv", dot($"v", $"v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cent =
+      try kmeansCentroids(vecs, rounds)
+      finally vecs.unpersist() // final E-step below re-derives from parquet
+    val best = bestCol(cent, dot($"v", $"v"), $"v")
+    val stats = Tables.embeddingsSharded(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select(best.getField("cell").as("cell"), best.getField("d2").as("d2"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        r6(sum($"d2".cast(DEC28)).cast("double")).as("inertia"))
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val centFace = cent
+      .map { case (cell, c) => (cell, c(0), c(1), c(2), c(3)) }
+      .toDF("cell", "rc0", "rc1", "rc2", "rc3")
+    stats.join(broadcast(centFace), Seq("cell"))
+      .select($"cell", $"n_vecs", $"inertia",
+        r6($"rc0").as("c0"), r6($"rc1").as("c1"),
+        r6($"rc2").as("c2"), r6($"rc3").as("c3"))
+      .orderBy($"cell")
+  }
+
+  def qKmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansGate(spark, dir, KmRounds)
+
+  /** Spec hook: total inertia after `rounds` iterations — Lloyd's
+    * objective, monotone non-increasing in exact arithmetic. */
+  def kmeansInertia(spark: SparkSession, dir: String, rounds: Int): Double =
+    kmeansGate(spark, dir, rounds)
+      .agg(sum($"inertia").cast("double")).head.getDouble(0)
+
+  val sqlKmeans: String = {
+    val rSql = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    def fsumDot(a: String, b: String) = Similarity.sqlFsum(
+      s"list_transform(range(1, $KmDims + 1), i -> ($a)[i] * ($b)[i])")
+    def d2(v: String, c: String) =
+      s"${fsumDot(v, v)} - 2.0::DOUBLE * ${fsumDot(v, c)} + ${fsumDot(c, c)}"
+    def assign(name: String, centTbl: String) =
+      s"""$name AS (SELECT vec_id, v, cell, d2 FROM (
+         |  SELECT vec_id, v, cell, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM (SELECT e.vec_id, e.v, c.cell, ${d2("e.v", "c.v")} AS d2
+         |        FROM e CROSS JOIN $centTbl c)) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to KmRounds).map { k =>
+      s"""${assign(s"a$k", s"cent${k - 1}")},
+         |cd$k AS (SELECT cell, d AS dim,
+         |    CAST(sum(CAST(v[d + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cmean
+         |  FROM a$k CROSS JOIN range(0, $KmDims) AS r(d)
+         |  GROUP BY cell, d),
+         |cent$k AS (SELECT cell, list(cmean ORDER BY dim) AS v FROM cd$k GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id::INTEGER AS cell, v FROM e WHERE vec_id < $KmK),
+       |$rounds,
+       |${assign("af", s"cent$KmRounds")},
+       |s AS (SELECT cell, count(*)::BIGINT AS n_vecs,
+       |    ${rSql("CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE)")} AS inertia
+       |  FROM af GROUP BY cell)
+       |SELECT s.cell, n_vecs, inertia,
+       |  ${rSql("c.v[1]")} AS c0, ${rSql("c.v[2]")} AS c1,
+       |  ${rSql("c.v[3]")} AS c2, ${rSql("c.v[4]")} AS c3
+       |FROM s JOIN cent$KmRounds c ON s.cell = c.cell
+       |ORDER BY s.cell""".stripMargin
   }
 }

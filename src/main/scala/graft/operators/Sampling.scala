@@ -682,4 +682,142 @@ object Sampling {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Weighted priority sampling, k per source (Duffield, Lund & Thorup,
+  // JACM 2007: "Priority sampling for estimation of arbitrary subset
+  // sums"). Each document draws priority w/u — weight w = n_chars,
+  // u a seeded-hash uniform — and the k highest priorities per source
+  // survive, with threshold τ = the (k+1)-th priority. The kept rows
+  // carry ŵ = max(w, τ), the estimator making ANY subset-sum of the
+  // sample unbiased for the population — what plain top-k or uniform
+  // sampling cannot give, and the property that lets a 100 TB corpus
+  // be profiled from a bounded per-source sketch without a second
+  // pass. Exactness: u = (h mod 2²⁰ + 1)/2²⁰, so the priority is one
+  // IEEE divide of two exactly-representable integers — reproducible
+  // bit-for-bit in both engines; no transcendental (the exp-jump A-ES
+  // formulation would need `ln`, whose libm rounding differs across
+  // engines). Scale shape: one slim shuffle on source for the rank
+  // window — only (doc_id, source, n_chars, pri) rows move, never
+  // text; per-source partitions skew with the biggest domain, exactly
+  // what AQE skew-split handles.
+  // ------------------------------------------------------------------
+  val PriSeed = "pri1"
+  val PriK = 16L
+  val PriM = 1048576L // 2^20 — the uniform's exact-in-double grid
+
+  private def r6(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(28, 12))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)).cast("double")
+  private val rSql =
+    (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val pri = (($"n_chars" * lit(PriM)).cast("double") /
+      (sampleKey(PriSeed, $"doc_id") % PriM + 1L).cast("double")).as("pri")
+    val wRank = Window.partitionBy($"source").orderBy($"pri".desc, $"doc_id")
+    val wSrc = Window.partitionBy($"source")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", pri)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("tau", coalesce(
+        max(when($"rk" === PriK + 1L, $"pri")).over(wSrc), lit(0.0)))
+      .filter($"rk" <= PriK)
+      .select($"doc_id", $"source", $"n_chars", $"rk",
+        r6($"pri").as("priority"), r6($"tau").as("tau"),
+        r6(greatest($"n_chars".cast("double"), $"tau")).as("w_est"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlPrioritySample: String = {
+    val h = sqlSampleKey(PriSeed, "doc_id")
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    CAST(n_chars * $PriM AS DOUBLE) / CAST(($h % $PriM) + 1 AS DOUBLE) AS pri
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_chars, pri,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id)::BIGINT AS rk
+       |  FROM d),
+       |t AS (SELECT doc_id, source, n_chars, pri, rk,
+       |    coalesce(max(CASE WHEN rk = ${PriK + 1} THEN pri END)
+       |      OVER (PARTITION BY source), 0.0::DOUBLE) AS tau
+       |  FROM r)
+       |SELECT doc_id, source, n_chars, rk,
+       |  ${rSql("pri")} AS priority, ${rSql("tau")} AS tau,
+       |  ${rSql("greatest(CAST(n_chars AS DOUBLE), tau)")} AS w_est
+       |FROM t WHERE rk <= $PriK ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // UniMax budget allocation (Chung et al., ICLR 2023: "UniMax: Fairer
+  // and More Effective Language Sampling for Large-Scale Multilingual
+  // Pretraining"): split a total training-token budget B across
+  // sources so no source repeats more than E epochs, and what the
+  // capped sources cannot absorb spills UNIFORMLY to the rest — the
+  // closed-form waterfill: alloc_i = min(cap_i, τ) with cap_i = E·sz_i
+  // and water level τ chosen so Σ alloc ≈ B. τ comes from the sorted
+  // prefix scan: the capped set is a prefix of sources ordered by cap
+  // (standard waterfill argument), m = |prefix| where
+  // cap_j·(n−j+1) + cum_{j−1} ≤ B, and τ = (B − cum_m) div (n − m).
+  // All arithmetic is integer (div, not float division — floor(a/b)
+  // on doubles can be off by one ulp cross-engine); the only double is
+  // the r6'd epochs report. Scale shape: everything past the one
+  // per-source aggregate runs on the |sources|-row frame — the
+  // single-partition sort window there orders sources, not corpus
+  // rows, and the scalar terms ride broadcast single-row aggregates
+  // (the repo's crossJoin-broadcast convention).
+  // ------------------------------------------------------------------
+  val UniMaxEpochs = 4L
+  val UniMaxBudgetEpochs = 2L // B = 2 × total corpus mass
+
+  def qUnimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .groupBy($"source")
+      .agg(sum($"n_chars").cast("long").as("sz"))
+      .withColumn("cap", ($"sz" * UniMaxEpochs).cast("long"))
+    val scalars = src.agg(
+      (sum($"sz") * UniMaxBudgetEpochs).cast("long").as("b"),
+      count(lit(1)).cast("long").as("n"),
+      max($"cap").cast("long").as("max_cap"))
+    val wOrd = Window.orderBy($"cap", $"source")
+    val ranked = src.crossJoin(broadcast(scalars))
+      .withColumn("j", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum($"cap")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("is_capped",
+        $"cap" <= expr("(b - (cum - cap)) div (n - j + 1)"))
+    val boundary = ranked.agg(
+      sum(when($"is_capped", 1L).otherwise(0L)).cast("long").as("m"),
+      coalesce(max(when($"is_capped", $"cum")), lit(0L)).cast("long").as("cum_m"))
+    ranked.crossJoin(broadcast(boundary))
+      .withColumn("tau", when($"m" === $"n", $"max_cap")
+        .otherwise(expr("(b - cum_m) div (n - m)")).cast("long"))
+      .withColumn("alloc", least($"cap", $"tau").cast("long"))
+      .withColumn("epochs", r6($"alloc".cast("double") / $"sz".cast("double")))
+      .select($"source", $"sz", $"cap", $"tau", $"alloc", $"epochs")
+      .orderBy($"source")
+  }
+
+  val sqlUnimaxAlloc: String =
+    s"""WITH src AS (SELECT source, sum(n_chars)::BIGINT AS sz,
+       |    sum(n_chars)::BIGINT * $UniMaxEpochs AS cap
+       |  FROM documents GROUP BY source),
+       |s1 AS (SELECT sum(sz)::BIGINT * $UniMaxBudgetEpochs AS b,
+       |    count(*)::BIGINT AS n, max(cap)::BIGINT AS max_cap FROM src),
+       |r AS (SELECT source, sz, cap, b, n, max_cap,
+       |    row_number() OVER (ORDER BY cap, source)::BIGINT AS j,
+       |    sum(cap) OVER (ORDER BY cap, source
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |  FROM src CROSS JOIN s1),
+       |r2 AS (SELECT source, sz, cap, b, n, max_cap, j, cum,
+       |    cap <= ((b - (cum - cap)) // (n - j + 1)) AS is_capped FROM r),
+       |s2 AS (SELECT coalesce(sum(CASE WHEN is_capped THEN 1 ELSE 0 END), 0)::BIGINT AS m,
+       |    coalesce(max(CASE WHEN is_capped THEN cum END), 0)::BIGINT AS cum_m FROM r2),
+       |f AS (SELECT source, sz, cap,
+       |    (CASE WHEN m = n THEN max_cap
+       |          ELSE (b - cum_m) // (n - m) END)::BIGINT AS tau
+       |  FROM r2 CROSS JOIN s2)
+       |SELECT source, sz, cap, tau, least(cap, tau)::BIGINT AS alloc,
+       |  ${rSql("CAST(least(cap, tau) AS DOUBLE) / CAST(sz AS DOUBLE)")} AS epochs
+       |FROM f ORDER BY source""".stripMargin
 }

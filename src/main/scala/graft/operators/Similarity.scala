@@ -764,4 +764,253 @@ object Similarity {
       .select($"vec_a", $"vec_b", cosineWithNorms($"va", $"vb", $"na", $"nb").as("cosine"))
       .filter($"cosine" >= threshold)
   }
+
+  // ------------------------------------------------------------------
+  // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998:
+  // "The use of MMR, diversity-based reranking …"): from each query's
+  // relevance shortlist, greedily select K results maximizing
+  // λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the de-redundancy step a
+  // RAG retriever runs after ANN, so near-duplicate passages don't
+  // crowd the context window. λ = 0.7; score with empty S is λ·rel
+  // (penalty coalesces to 0). Ties break to the smallest doc id.
+  //
+  // Scale shape: ONE corpus scan builds the R-deep shortlist
+  // (broadcast probes, the brute/ANN contract); everything after runs
+  // on shortlist-sized frames — the pairwise sim table is R²·|Q| rows
+  // and each greedy step reads back ≤ |Q| picks (bounded greedy state,
+  // the [[TextOps.qBpeTrain]] election-read precedent — NOT a collect
+  // over corpus data), so selection cost is independent of corpus
+  // size. In production the shortlist comes from IVF-PQ
+  // ([[Embeddings.qPqRerank]]); the MMR stage is unchanged.
+  // Doubles are raw, not rounded: every term is the same
+  // fold-ordered cosine both engines already agree on bit-for-bit,
+  // and λ-blend literals (0.7/0.3) parse to identical doubles.
+  // ------------------------------------------------------------------
+  val MmrShortlist = 12
+  val MmrSteps = 5
+  val MmrQueries = 10
+
+  def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val corpus = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val queries = corpus.filter($"vec_id" < MmrQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
+    val wRel = Window.partitionBy($"query_id").orderBy($"rel".desc, $"doc_id")
+    val shortlist = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("doc_id"),
+        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("rel"), $"v", $"nv")
+      .withColumn("rn", row_number().over(wRel))
+      .filter($"rn" <= MmrShortlist).drop("rn")
+      .persist()
+    shortlist.count()
+    val pairs = shortlist.as("x").join(shortlist.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("sim"))
+      .persist()
+    pairs.count()
+    var sel = Vector.empty[(Long, Long)] // (query_id, doc_id)
+    val picks = Seq.newBuilder[(Long, Long, Long, Double, Double)]
+    (1 to MmrSteps).foreach { k =>
+      val selDf = sel.toDF("query_id", "doc_id")
+      val cands = shortlist
+        .join(broadcast(selDf), Seq("query_id", "doc_id"), "left_anti")
+      val pen = pairs
+        .join(broadcast(selDf.select($"query_id", $"doc_id".as("b"))), Seq("query_id", "b"))
+        .groupBy($"query_id", $"a".as("doc_id"))
+        .agg(max($"sim").as("maxsim"))
+      val wPick = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+      cands.join(pen, Seq("query_id", "doc_id"), "left")
+        .withColumn("score",
+          lit(0.7) * $"rel" - lit(0.3) * coalesce($"maxsim", lit(0.0)))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"query_id", $"doc_id", $"rel", $"score")
+        .orderBy($"query_id")
+        .head(MmrQueries) // ≤ |Q| rows — bounded greedy-state read
+        .foreach { r =>
+          picks += ((r.getLong(0), k.toLong, r.getLong(1),
+            r.getDouble(2), r.getDouble(3)))
+          sel = sel :+ (r.getLong(0), r.getLong(1))
+        }
+    }
+    shortlist.unpersist()
+    pairs.unpersist()
+    picks.result().toDF("query_id", "step", "doc_id", "rel", "mmr_score")
+      .orderBy($"query_id", $"step")
+  }
+
+  val sqlMmr: String = {
+    val steps = (1 to MmrSteps).map { k =>
+      s"""c$k AS (SELECT s.query_id, s.doc_id, s.rel FROM sl s
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+         |    WHERE x.query_id = s.query_id AND x.doc_id = s.doc_id)),
+         |ps$k AS (SELECT p.query_id, p.a, max(p.sim) AS maxsim
+         |  FROM pr p JOIN sel${k - 1} x
+         |    ON p.query_id = x.query_id AND p.b = x.doc_id
+         |  GROUP BY p.query_id, p.a),
+         |m$k AS (SELECT c.query_id, c.doc_id, c.rel,
+         |    0.7::DOUBLE * c.rel - 0.3::DOUBLE * coalesce(ps.maxsim, 0.0::DOUBLE) AS score
+         |  FROM c$k c LEFT JOIN ps$k ps
+         |    ON ps.query_id = c.query_id AND ps.a = c.doc_id),
+         |p$k AS (SELECT query_id, doc_id, rel, $k::BIGINT AS step, score FROM (
+         |    SELECT query_id, doc_id, rel, score,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |    FROM m$k) WHERE rn = 1),
+         |sel$k AS (SELECT query_id, doc_id, rel, step, score FROM sel${k - 1}
+         |  UNION ALL SELECT query_id, doc_id, rel, step, score FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sl AS (SELECT query_id, doc_id, rel, v FROM (
+       |  SELECT query_id, doc_id, rel, v,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+       |  FROM (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |          ${sqlCosine("q.v", "c.v")} AS rel, c.v AS v
+       |        FROM e q JOIN e c ON q.vec_id < $MmrQueries AND c.vec_id <> q.vec_id))
+       |  WHERE rn <= $MmrShortlist),
+       |pr AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |    ${sqlCosine("x.v", "y.v")} AS sim
+       |  FROM sl x JOIN sl y
+       |    ON x.query_id = y.query_id AND x.doc_id <> y.doc_id),
+       |sel0 AS (SELECT query_id, doc_id, rel, 0::BIGINT AS step, 0.0::DOUBLE AS score
+       |  FROM sl WHERE false),
+       |$steps
+       |SELECT query_id, step, doc_id, rel, score AS mmr_score
+       |FROM sel$MmrSteps ORDER BY query_id, step""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Margin-based pair mining (Artetxe & Schwenk, ACL 2019:
+  // "Margin-based Parallel Corpus Mining with Multilingual Sentence
+  // Embeddings" — the LASER/CCMatrix criterion). Absolute cosine is a
+  // bad pair test in embedding space (hubness: some vectors are close
+  // to EVERYTHING); the margin rescales each candidate cosine by the
+  // mean cosine of both endpoints' k-NN neighborhoods:
+  //   margin(x,y) = cos(x,y) / (avgNNₖ(x)/2 + avgNNₖ(y)/2)
+  // and a pair is mined iff the best-margin y clears the threshold.
+  // Probe side A = vec_id < 40 (the incoming slice to align); corpus
+  // side B = the rest. ONE broadcast-probe corpus scan produces the
+  // full A×B cosine frame; both neighborhood means come from that same
+  // frame (top-k per x and per y), decimal-summed so the k-cosine sum
+  // is shuffle-order free, divided by 2k as one IEEE op. Raw doubles —
+  // the fold-ordered cosine both engines agree on bit-for-bit.
+  // Scale shape: the A-multiplied frame is the same |Q|·|C| brute
+  // contract as [[qKnnBruteForce]]; in production A×B candidates come
+  // from the ANN index ([[Embeddings.qAnnIvfPq]]) and the margin
+  // rescale is unchanged — only slim (id, id, cos) rows ever shuffle.
+  // ------------------------------------------------------------------
+  val MarginProbes = 40
+  val MarginK = 4
+  val MarginThreshold = 1.05
+
+  def qMarginMine(spark: SparkSession, dir: String): DataFrame = {
+    val DEC28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val probes = base.filter($"vec_id" < MarginProbes)
+      .select($"vec_id".as("x"), $"v".as("xv"), $"nv".as("nx"))
+    val mat = base.filter($"vec_id" >= MarginProbes)
+      .join(broadcast(probes), $"vec_id" =!= $"x")
+      .select($"x", $"vec_id".as("y"),
+        cosineWithNorms($"xv", $"v", $"nx", $"nv").as("cos"))
+    val wx = Window.partitionBy($"x").orderBy($"cos".desc, $"y")
+    val wy = Window.partitionBy($"y").orderBy($"cos".desc, $"x")
+    val nnx = mat.withColumn("rk", row_number().over(wx))
+      .filter($"rk" <= MarginK)
+      .groupBy($"x")
+      .agg((sum($"cos".cast(DEC28)).cast("double") / (2.0 * MarginK)).as("ax"))
+    val nny = mat.withColumn("rk", row_number().over(wy))
+      .filter($"rk" <= MarginK)
+      .groupBy($"y")
+      .agg((sum($"cos".cast(DEC28)).cast("double") / (2.0 * MarginK)).as("ay"))
+    val wBest = Window.partitionBy($"x").orderBy($"margin".desc, $"y")
+    mat.join(broadcast(nnx), Seq("x"))
+      .join(nny, Seq("y"))
+      .select($"x", $"y", $"cos", ($"cos" / ($"ax" + $"ay")).as("margin"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .select($"x".as("probe_id"), $"y".as("match_id"), $"cos",
+        $"margin", ($"margin" >= MarginThreshold).as("is_pair"))
+      .orderBy($"probe_id")
+  }
+
+  val sqlMarginMine: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mat AS (SELECT p.vec_id AS x, c.vec_id AS y,
+       |    ${sqlCosine("p.v", "c.v")} AS cos
+       |  FROM e p JOIN e c ON p.vec_id < $MarginProbes AND c.vec_id >= $MarginProbes),
+       |nnx AS (SELECT x,
+       |    CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / ${2.0 * MarginK} AS ax
+       |  FROM (SELECT x, cos,
+       |      row_number() OVER (PARTITION BY x ORDER BY cos DESC, y) AS rk FROM mat)
+       |  WHERE rk <= $MarginK GROUP BY x),
+       |nny AS (SELECT y,
+       |    CAST(sum(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / ${2.0 * MarginK} AS ay
+       |  FROM (SELECT y, cos,
+       |      row_number() OVER (PARTITION BY y ORDER BY cos DESC, x) AS rk FROM mat)
+       |  WHERE rk <= $MarginK GROUP BY y),
+       |m AS (SELECT mat.x, mat.y, mat.cos, mat.cos / (nnx.ax + nny.ay) AS margin
+       |  FROM mat JOIN nnx USING (x) JOIN nny USING (y))
+       |SELECT x AS probe_id, y AS match_id, cos, margin,
+       |  margin >= $MarginThreshold AS is_pair
+       |FROM (SELECT x, y, cos, margin,
+       |    row_number() OVER (PARTITION BY x ORDER BY margin DESC, y) AS rk FROM m)
+       |WHERE rk = 1 ORDER BY probe_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Late-interaction MaxSim scoring (Khattab & Zaharia, SIGIR 2020:
+  // ColBERT). Documents are MULTI-vector here: vec_id div 8 groups the
+  // embedding table into pseudo-documents of 8 token-vectors each, and
+  //   score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} cos(qt, dt)
+  // — each query token finds its best-matching document token, and the
+  // per-token maxima sum (decimal, order-free). This is the retrieval
+  // scorer single-vector search cannot express: a document matches if
+  // it covers EVERY facet of the query somewhere, not on one pooled
+  // direction. Query side = the first $MaxSimQueries pseudo-docs
+  // (bounded probe contract, broadcast); corpus side is ONE scan, and
+  // the two aggregations move only slim (q_doc, token/doc, max-cos)
+  // rows. In production the corpus side is first pruned by ANN over
+  // pooled vectors ([[qAnnIvf]]) and MaxSim re-ranks the shortlist —
+  // the scorer is unchanged.
+  // ------------------------------------------------------------------
+  val MaxSimDocVecs = 8
+  val MaxSimQueries = 4
+  val MaxSimTopK = 5
+
+  def qMaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val DEC28 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val base = vecs(spark, dir)
+      .withColumn("gid", expr(s"vec_id div $MaxSimDocVecs"))
+      .withColumn("nv", normCol($"v"))
+    val qvecs = base.filter($"gid" < MaxSimQueries)
+      .select($"gid".as("q_doc"), $"vec_id".as("qt"), $"v".as("qv"), $"nv".as("nq"))
+    val perToken = base.filter($"gid" >= MaxSimQueries)
+      .join(broadcast(qvecs), $"gid" =!= $"q_doc")
+      .groupBy($"q_doc", $"qt", $"gid".as("doc"))
+      .agg(max(cosineWithNorms($"qv", $"v", $"nq", $"nv")).as("best"))
+    val w = Window.partitionBy($"q_doc").orderBy($"score".desc, $"doc")
+    perToken.groupBy($"q_doc", $"doc")
+      .agg(sum($"best".cast(DEC28)).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= MaxSimTopK)
+      .select($"q_doc", $"rank", $"doc", $"score")
+      .orderBy($"q_doc", $"rank")
+  }
+
+  val sqlMaxSim: String =
+    s"""WITH e AS (SELECT vec_id, vec_id // $MaxSimDocVecs AS gid,
+       |    embedding::DOUBLE[] AS v FROM embeddings),
+       |pt AS (SELECT q.gid AS q_doc, q.vec_id AS qt, c.gid AS doc,
+       |    max(${sqlCosine("q.v", "c.v")}) AS best
+       |  FROM e q JOIN e c ON q.gid < $MaxSimQueries AND c.gid >= $MaxSimQueries
+       |  GROUP BY 1, 2, 3),
+       |s AS (SELECT q_doc, doc,
+       |    CAST(sum(CAST(best AS DECIMAL(28,12))) AS DOUBLE) AS score
+       |  FROM pt GROUP BY 1, 2)
+       |SELECT q_doc, rank, doc, score FROM (
+       |  SELECT q_doc, doc, score,
+       |    row_number() OVER (PARTITION BY q_doc ORDER BY score DESC, doc)::BIGINT AS rank
+       |  FROM s)
+       |WHERE rank <= $MaxSimTopK ORDER BY q_doc, rank""".stripMargin
 }

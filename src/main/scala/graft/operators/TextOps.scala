@@ -904,4 +904,73 @@ object TextOps {
        |FROM docs d LEFT JOIN scored s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Positional phrase search (Zobel & Moffat 2006, "Inverted files for
+  // text search engines" §6: positional postings make multi-word
+  // queries exact where bag-of-words retrieval cannot). The classic
+  // index formulation joins per-term posting lists on (doc, pos+1);
+  // here the match is evaluated WHERE THE TOKENS ALREADY ARE — each
+  // document checks the bounded literal phrase set against its own
+  // token array in one pass (overlap-correct: "table table table"
+  // yields two hits of "table table", which a replace()-count trick
+  // would miss). Zero joins, zero shuffle except the presentation
+  // sort: at 100 TB this is embarrassingly parallel per-row codegen
+  // work, strictly cheaper than shuffling positional postings — the
+  // posting-list join shape only wins when the phrase set is dynamic
+  // and the corpus is pre-indexed ([[qInvertedIndex]] is that store's
+  // build step).
+  // ------------------------------------------------------------------
+  val PhraseQueries = Seq("table table", "fast scan", "query value", "the row fast")
+
+  /** 1-based start positions of exact phrase `words` in token array
+    * `t` (empty when the doc is shorter than the phrase). */
+  private def phraseHits(t: Column, words: Seq[String]): Column = {
+    val n = words.length
+    val cond = (i: Column) =>
+      words.zipWithIndex.map { case (wd, j) =>
+        element_at(t, (i + lit(j)).cast("int")) === lit(wd)
+      }.reduce(_ && _)
+    // guard: Spark's sequence(1, stop) REVERSES when stop < 1 (step is
+    // inferred as -1), which would index position 0 and throw in ANSI
+    when(size(t) >= n, filter(sequence(lit(1), size(t) - (n - 1)), cond))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val matches = PhraseQueries.map { ph =>
+      struct(lit(ph).as("phrase"),
+        phraseHits($"t", ph.split(" ").toSeq).as("hits"))
+    }
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(array(matches: _*)).as("m"))
+      .select($"doc_id", $"m.phrase".as("phrase"),
+        size($"m.hits").cast("long").as("n_hits"),
+        when(size($"m.hits") > 0, element_at($"m.hits", 1))
+          .cast("long").as("first_pos"))
+      .filter($"n_hits" > 0)
+      .orderBy($"phrase", $"doc_id")
+  }
+
+  val sqlPhraseSearch: String = {
+    val t = Hashing.sqlTokens("text")
+    val legs = PhraseQueries.map { ph =>
+      val words = ph.split(" ")
+      val n = words.length
+      val cond = words.zipWithIndex
+        .map { case (wd, j) => s"t[i + $j] = '$wd'" }
+        .mkString(" AND ")
+      s"""SELECT doc_id, '$ph' AS phrase,
+         |    list_filter(range(1, len(t) - ${n - 1} + 1), i -> $cond) AS hits
+         |  FROM d""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, $t AS t FROM documents),
+       |h AS (
+       |  $legs)
+       |SELECT doc_id, phrase, len(hits)::BIGINT AS n_hits,
+       |  hits[1]::BIGINT AS first_pos
+       |FROM h WHERE len(hits) > 0
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
 }

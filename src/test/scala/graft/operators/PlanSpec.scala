@@ -585,4 +585,78 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"only the 1-row totals cross may be a BNLJ, found $bnlj")
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("q_kmeans: centroids are literals — the gate face is one scan, one slim agg, one local join") {
+    val plan = executedCold(Clustering.qKmeans(spark, Sf0001))
+    // assignment must be per-row expression math against literal
+    // centroids: the only join is the 8-row centroid face (broadcast
+    // local relation), never a corpus-sized shuffle join
+    assert(plan.contains("LocalTableScan"), "the trained centroid face is a local artifact")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial"), "the per-cell stats combine map-side")
+    // one cell aggregate is the only hash shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
+  test("q_mmr_rerank: the selected list is a local artifact — no corpus in its lineage") {
+    // greedy selection runs eagerly (bounded per-step reads); the
+    // caller's frame must be a frozen local relation like q_bpe_train
+    val plan = executed(Similarity.qMmr(spark, Sf0001))
+    assert(plan.contains("LocalTableScan"))
+    assert(!plan.contains("FileScan"))
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("q_margin_mine: probes broadcast into one corpus scan; neighborhood means are slim aggregates") {
+    val plan = executedCold(Similarity.qMarginMine(spark, Sf0001))
+    assert(plan.contains("BroadcastExchange"), "the probe set must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial"), "k-NN mean sums combine map-side")
+  }
+
+  test("q_maxsim: query token set broadcasts; both reductions combine map-side") {
+    val plan = executedCold(Similarity.qMaxSim(spark, Sf0001))
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+    // the probe non-equi join is the only nested-loop allowed
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the broadcast probe join may be a BNLJ, found $bnlj")
+    assert(plan.contains("partial"))
+  }
+
+  test("q_phrase_search: matches evaluate inside the row — no join, no hash shuffle") {
+    val plan = executedCold(TextOps.qPhraseSearch(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(!plan.contains("Exchange hashpartitioning"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"))
+  }
+
+  test("q_priority_sample: one slim shuffle on source; the scan never reads text") {
+    val plan = executedCold(Sampling.qPrioritySample(spark, Sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"))
+    assert(!readSchema.contains("text"))
+    // rank and threshold windows share the one per-source partitioning
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_unimax_alloc: the waterfill runs over the |sources| aggregate, not the corpus") {
+    val plan = executedCold(Sampling.qUnimaxAlloc(spark, Sf0001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("source") && readSchema.contains("n_chars"))
+    assert(!readSchema.contains("text"))
+    assert(!plan.contains("CartesianProduct"))
+    // the scalar terms ride broadcast single-row aggregates; the ranked
+    // subtree (with its scalar cross) compiles twice — once under the
+    // boundary aggregate, once in the final join — so its BNLJ prints
+    // twice plus the boundary broadcast: 3 total, all single-row sides
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"only the single-row scalar broadcasts may be BNLJ, found $bnlj")
+    // the per-source aggregate combines map-side before any window
+    assert(plan.contains("partial"))
+  }
 }
