@@ -96,6 +96,7 @@ object SparkEntry {
     "q_boilerplate_strip" -> (Corpus.qBoilerplateStrip(_, _)),
     "q_incremental_dedup" -> (Dedup.qIncrementalDedup(_, _)),
     "q_pii_redact"        -> (Corpus.qPiiRedact(_, _)),
+    "q_pii_luhn"          -> (Corpus.qPiiLuhn(_, _)),
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
     "q_source_health"     -> (Corpus.qSourceHealth(_, _)),
@@ -124,6 +125,9 @@ object SparkEntry {
     "q_split_audit"       -> (Sampling.qSplitAudit(_, _)),
     "q_profile"           -> (Analytics.qProfile(_, _)),
     "q_heavy_hitters"     -> (Scale.qHeavyHitters(_, _)),
+    "q_skew_audit"        -> (Scale.qSkewAudit(_, _)),
+    "q_salted_agg"        -> (Scale.qSaltedAgg(_, _)),
+    "q_zorder_audit"      -> (Scale.qZorderAudit(_, _)),
     "q_winsorize"         -> (Analytics.qWinsorize(_, _)),
     "q_length_histogram"  -> (TextOps.qLengthHistogram(_, _)),
     "q_sequence_pack"     -> (Packing.qSequencePack(_, _)),
@@ -274,6 +278,7 @@ object SparkEntry {
     "q_boilerplate_strip"  -> Corpus.sqlBoilerplateStrip,
     "q_incremental_dedup"  -> Dedup.sqlIncrementalDedup,
     "q_pii_redact"         -> Corpus.sqlPiiRedact,
+    "q_pii_luhn"           -> Corpus.sqlPiiLuhn,
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_contam_spans"       -> Corpus.sqlContamSpans,
     "q_source_health"      -> Corpus.sqlSourceHealth,
@@ -300,6 +305,9 @@ object SparkEntry {
     "q_split_audit"        -> Sampling.sqlSplitAudit,
     "q_profile"            -> Analytics.sqlProfile,
     "q_heavy_hitters"      -> Scale.sqlHeavyHitters,
+    "q_skew_audit"         -> Scale.sqlSkewAudit,
+    "q_salted_agg"         -> Scale.sqlSaltedAgg,
+    "q_zorder_audit"       -> Scale.sqlZorderAudit,
     "q_winsorize"          -> Analytics.sqlWinsorize,
     "q_length_histogram"   -> TextOps.sqlLengthHistogram,
     "q_sequence_pack"      -> Packing.sqlSequencePack,

@@ -330,17 +330,21 @@ object Clustering {
       .head(KmK) // k seed rows — bounded model read
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     (1 to rounds).foreach { _ =>
-      cent = vecs
+      // one slim (cell, dim) aggregate per round; the ≤ k·d result rows
+      // ARE the model state — assembled into per-cell arrays on the
+      // driver instead of paying a second shuffle + collect_list stage
+      val dims = vecs
         .select(bestCol(cent, $"vv", $"v").getField("cell").as("cell"),
           posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cell", $"dim")
         .agg((sum($"x".cast(DEC28)).cast("double") / count(lit(1))).as("cmean"))
-        .groupBy($"cell")
-        .agg(transform(array_sort(collect_list(struct($"dim", $"cmean"))),
-          s => s.getField("cmean")).as("cv"))
-        .orderBy($"cell")
-        .head(KmK) // k rows of model state — bounded read-back per round
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .head(KmK * KmDims + 1) // bounded k·d model read-back per round
+      cent = dims
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toSeq.sortBy(_._1)
     }
     cent
   }

@@ -435,6 +435,72 @@ object Corpus {
        |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // Checksum-validated PII candidates (Luhn 1960, US patent 2 950 048 —
+  // the mod-10 check every payment-card number satisfies; the device
+  // public PII scanners use to separate card-shaped digit runs from
+  // random long ids, cutting the false-positive flood a bare \d{12,}
+  // redactor produces). Every ≥6-digit run from the profile scan is
+  // scored: from the rightmost digit, double every second digit, fold
+  // the digit sums, valid iff total ≡ 0 (mod 10). Pure integer
+  // per-row fold — no float, no shuffle beyond the presentation sort;
+  // at 100 TB this rides the same single scan as the redaction pass.
+  // ------------------------------------------------------------------
+  def luhnSum(run: Column): Column = {
+    val len = length(run)
+    aggregate(
+      transform(sequence(lit(1), len), p => {
+        val d = run.substr(len - p + 1, lit(1)).cast("int")
+        val x = when(pmod(p, lit(2)) === 0, d * 2).otherwise(d)
+        when(x > 9, x - 9).otherwise(x)
+      }),
+      lit(0), (a, b) => a + b)
+  }
+
+  def qPiiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val profile = concat_ws(" ", $"c_name", $"c_mktsegment")
+    Tables.customer(spark, dir)
+      .select($"c_custkey", profile.as("profile"))
+      .select($"c_custkey",
+        posexplode(regexp_extract_all($"profile", lit(LongIdRe), lit(0)))
+          .as(Seq("run_idx", "run")))
+      .select($"c_custkey", $"run_idx".cast("long").as("run_idx"),
+        length($"run").cast("long").as("n_digits"),
+        luhnSum($"run").cast("long").as("luhn_sum"))
+      .withColumn("luhn_ok", pmod($"luhn_sum", lit(10L)) === 0L)
+      .orderBy($"c_custkey", $"run_idx")
+  }
+
+  val sqlPiiLuhn: String =
+    s"""WITH runs AS (
+       |  SELECT c_custkey,
+       |    regexp_extract_all(concat_ws(' ', c_name, c_mktsegment), '$LongIdRe') AS rs
+       |  FROM customer),
+       |x AS (
+       |  SELECT c_custkey, (e).i - 1 AS run_idx, (e).run AS run
+       |  FROM (SELECT c_custkey,
+       |      unnest(list_transform(range(1, len(rs) + 1),
+       |        i -> {'i': i, 'run': rs[i]})) AS e
+       |    FROM runs)),
+       |s AS (
+       |  SELECT c_custkey, run_idx::BIGINT AS run_idx,
+       |    len(run)::BIGINT AS n_digits,
+       |    list_reduce([0] || list_transform(range(1, len(run) + 1),
+       |      p -> CASE WHEN (CASE WHEN p % 2 = 0
+       |            THEN 2 * CAST(substr(run, len(run) - p + 1, 1) AS INTEGER)
+       |            ELSE CAST(substr(run, len(run) - p + 1, 1) AS INTEGER) END) > 9
+       |        THEN (CASE WHEN p % 2 = 0
+       |            THEN 2 * CAST(substr(run, len(run) - p + 1, 1) AS INTEGER)
+       |            ELSE CAST(substr(run, len(run) - p + 1, 1) AS INTEGER) END) - 9
+       |        ELSE (CASE WHEN p % 2 = 0
+       |            THEN 2 * CAST(substr(run, len(run) - p + 1, 1) AS INTEGER)
+       |            ELSE CAST(substr(run, len(run) - p + 1, 1) AS INTEGER) END) END),
+       |      (a, b) -> a + b)::BIGINT AS luhn_sum
+       |  FROM x)
+       |SELECT c_custkey, run_idx, n_digits, luhn_sum,
+       |  luhn_sum % 10 = 0 AS luhn_ok
+       |FROM s ORDER BY c_custkey, run_idx""".stripMargin
+
+  // ------------------------------------------------------------------
   // Benchmark decontamination: per corpus document, the fraction of its
   // distinct shingles that appear anywhere in a held-out eval set
   // (stand-in: doc_id ≡ EvalRem (mod EvalMod)). The eval index is tiny

@@ -712,13 +712,32 @@ object Sampling {
   private val rSql =
     (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
 
-  def qPrioritySample(spark: SparkSession, dir: String): DataFrame = {
-    val pri = (($"n_chars" * lit(PriM)).cast("double") /
-      (sampleKey(PriSeed, $"doc_id") % PriM + 1L).cast("double")).as("pri")
+  /** (doc_id, source, n_chars, pri) for raw document rows — the
+    * priority draw every consumer (batch face, streaming reservoir)
+    * shares. */
+  def priorityFrame(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", $"source", $"n_chars",
+      (($"n_chars" * lit(PriM)).cast("double") /
+        (sampleKey(PriSeed, $"doc_id") % PriM + 1L).cast("double")).as("pri"))
+
+  /** Per-source top-`keep` rows by priority — the MERGEABLE reservoir:
+    * the top-m of a union of partial top-m's IS the global top-m, so a
+    * streaming ingest folds each micro-batch into a (k+1)-deep store
+    * and never revisits earlier data (pinned stream ≡ batch in
+    * ReplayEquivalenceSpec). k+1 deep, not k: the face needs the
+    * (k+1)-th priority as the estimator threshold τ. */
+  def priorityReservoir(frame: DataFrame, keep: Long): DataFrame = {
+    val w = Window.partitionBy($"source").orderBy($"pri".desc, $"doc_id")
+    frame.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= keep).drop("rk")
+  }
+
+  /** Gate face over a priority frame (full corpus or merged reservoir —
+    * identical by mergeability). */
+  def priorityFace(frame: DataFrame): DataFrame = {
     val wRank = Window.partitionBy($"source").orderBy($"pri".desc, $"doc_id")
     val wSrc = Window.partitionBy($"source")
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"n_chars", pri)
+    frame
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .withColumn("tau", coalesce(
         max(when($"rk" === PriK + 1L, $"pri")).over(wSrc), lit(0.0)))
@@ -728,6 +747,9 @@ object Sampling {
         r6(greatest($"n_chars".cast("double"), $"tau")).as("w_est"))
       .orderBy($"doc_id")
   }
+
+  def qPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    priorityFace(priorityFrame(Tables.documents(spark, dir)))
 
   val sqlPrioritySample: String = {
     val h = sqlSampleKey(PriSeed, "doc_id")

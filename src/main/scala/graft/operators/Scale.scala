@@ -39,6 +39,26 @@ object Scale {
       .agg(sum($"_n").as("n"), sum($"_s").cast("double").as("total"))
 
   // ------------------------------------------------------------------
+  // Oracle gate for the two-stage salted aggregation: the Spark face
+  // runs [[saltedCountSum]] (16-way salt → merge) and must hash-match
+  // DuckDB's DIRECT one-stage groupBy — the algebraic-decomposition
+  // equality the whole salting lever rests on, checked cross-engine on
+  // real data, not just the in-suite self-comparison (ScaleSpec).
+  // ------------------------------------------------------------------
+  def qSaltedAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    saltedCountSum(
+      Tables.events(spark, dir).select($"user_id", $"value", $"event_id"),
+      "user_id", "value", "event_id")
+      .orderBy($"user_id")
+  }
+
+  val sqlSaltedAgg: String =
+    """SELECT user_id, count(*)::BIGINT AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // Skew diagnostics: the measurement that tells you WHEN to reach for
   // the salting/AQE levers above. For a prospective join/group key,
   // emit the top-k heaviest keys with their share of the table and the
@@ -109,5 +129,136 @@ object Scale {
        |  ${r6("cnt * n_keys / n_rows")} AS skew_ratio
        |FROM c CROSS JOIN t
        |ORDER BY cnt DESC, user_id LIMIT $HeavyHitterK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Key-distribution skew audit — the measurement that DECIDES the
+  // salting above: per candidate shuffle key, the concentration stats
+  // a planner needs before picking a layout. max_share is the single
+  // worst reducer's fraction; hhi is the Herfindahl concentration
+  // index Σ shareᵢ² (1/n_keys when uniform, →1 when one key owns the
+  // table) computed exactly as Σcntᵢ² over integers with ONE final
+  // divide; salt_factor is the ceil of how many of the
+  // $SkewTargetPartitions-way reducers the hottest key alone would
+  // need — 1 means AQE alone is fine, >1 is the factor to hand
+  // [[saltedCountSum]]. Scale shape: one count-per-key aggregate per
+  // key column (map-side combined), then arithmetic on the tiny
+  // per-key frame; nothing but (key, cnt) ever shuffles.
+  // ------------------------------------------------------------------
+  val SkewTargetPartitions = 32L
+
+  def qSkewAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    val r6 = (c: Column) => c.cast(DecimalType(28, 12)).cast(DEC).cast("double")
+    def forKey(keyCol: String): DataFrame =
+      ev.groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum($"cnt").cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_keys"),
+          max($"cnt").cast("long").as("max_cnt"),
+          sum($"cnt" * $"cnt").cast("long").as("sum_sq"))
+        .withColumn("key_col", lit(keyCol))
+    forKey("user_id").unionByName(forKey("event_type"))
+      .select($"key_col", $"n_rows", $"n_keys", $"max_cnt",
+        r6($"max_cnt".cast("double") / $"n_rows".cast("double")).as("max_share"),
+        r6($"sum_sq".cast("double") /
+          ($"n_rows".cast("double") * $"n_rows".cast("double"))).as("hhi"),
+        greatest(lit(1L),
+          expr(s"(max_cnt * $SkewTargetPartitions + n_rows - 1) div n_rows"))
+          .cast("long").as("salt_factor"))
+      .orderBy($"key_col")
+  }
+
+  val sqlSkewAudit: String = {
+    val r6 = (e: String) => s"CAST(round(CAST(($e) AS DECIMAL(28,12)), 6) AS DOUBLE)"
+    def leg(c: String) =
+      s"""SELECT '$c' AS key_col, sum(cnt)::BIGINT AS n_rows,
+         |  count(*)::BIGINT AS n_keys, max(cnt)::BIGINT AS max_cnt,
+         |  sum(cnt * cnt)::BIGINT AS sum_sq
+         |FROM (SELECT CAST($c AS VARCHAR) AS k, count(*) AS cnt
+         |      FROM events GROUP BY 1)""".stripMargin
+    s"""WITH s AS (${leg("user_id")} UNION ALL ${leg("event_type")})
+       |SELECT key_col, n_rows, n_keys, max_cnt,
+       |  ${r6("max_cnt::DOUBLE / n_rows::DOUBLE")} AS max_share,
+       |  ${r6("sum_sq::DOUBLE / (n_rows::DOUBLE * n_rows::DOUBLE)")} AS hhi,
+       |  greatest(1, (max_cnt * $SkewTargetPartitions + n_rows - 1) // n_rows)::BIGINT
+       |    AS salt_factor
+       |FROM s ORDER BY key_col""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Z-order clustering audit (Morton 1966's bit-interleaved curve —
+  // the multi-dimensional file-clustering layout behind Delta/Iceberg
+  // `OPTIMIZE ZORDER`): quantize (user_id, event-time) to 10-bit grids,
+  // interleave the bits, and shard on equal-width z-ranges; then
+  // report, per shard and per layout, how tight each dimension's
+  // bounds are. The single-key time sort — what [[writeRangeSorted]]
+  // produces — leaves the OTHER dimension's min/max spanning the whole
+  // domain (a user-keyed point query must open every shard); z-order
+  // bounds BOTH dims at √ granularity, which is the whole case for
+  // multi-dim clustering of a 100 TB fact table. All arithmetic is
+  // integer shift/mask on exact epoch-µs and ids — bit-identical
+  // cross-engine. Scale shape: one bounds aggregate (broadcast
+  // single-row), one scan computing both layouts, one slim
+  // (layout, shard) aggregate.
+  // ------------------------------------------------------------------
+  val ZBits = 10
+  val ZShards = 16L
+  private val ZCells = 1L << ZBits // 1024 buckets per dimension
+
+  /** Bit-interleave two ZBits-wide bucket columns (a gets odd bits). */
+  def zValue(a: Column, b: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  def qZorderAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val e = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("tmu"))
+    val bounds = e.agg(
+      min($"user_id").as("umin"), max($"user_id").as("umax"),
+      min($"tmu").as("tmin"), max($"tmu").as("tmax"))
+    val g = e.crossJoin(broadcast(bounds))
+      .select(
+        expr(s"((user_id - umin) * $ZCells) div (umax - umin + 1)").as("ub"),
+        expr(s"((tmu - tmin) * $ZCells) div (tmax - tmin + 1)").as("tb"))
+      .withColumn("zval", zValue($"ub", $"tb"))
+    val zWidth = (ZCells * ZCells) / ZShards
+    val tWidth = ZCells / ZShards
+    g.select($"ub", $"tb", explode(array(
+        struct(lit("zorder").as("layout"), ($"zval" / zWidth).cast("long").as("shard")),
+        struct(lit("tssort").as("layout"), ($"tb" / tWidth).cast("long").as("shard"))))
+        .as("l"))
+      .select($"l.layout".as("layout"), $"l.shard".as("shard"), $"ub", $"tb")
+      .groupBy($"layout", $"shard")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (max($"ub") - min($"ub")).cast("long").as("ub_span"),
+        (max($"tb") - min($"tb")).cast("long").as("tb_span"))
+      .orderBy($"layout", $"shard")
+  }
+
+  val sqlZorderAudit: String = {
+    val zexpr = (0 until ZBits).map { i =>
+      s"((ub >> $i) & 1) * ${1L << (2 * i + 1)} + ((tb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    val zWidth = (ZCells * ZCells) / ZShards
+    val tWidth = ZCells / ZShards
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tmu FROM events),
+       |b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |    min(tmu) AS tmin, max(tmu) AS tmax FROM e),
+       |g AS (SELECT ((user_id - umin) * $ZCells) // (umax - umin + 1) AS ub,
+       |    ((tmu - tmin) * $ZCells) // (tmax - tmin + 1) AS tb
+       |  FROM e CROSS JOIN b),
+       |z AS (SELECT ub, tb, $zexpr AS zval FROM g),
+       |h AS (SELECT 'zorder' AS layout, zval // $zWidth AS shard, ub, tb FROM z
+       |  UNION ALL SELECT 'tssort' AS layout, tb // $tWidth AS shard, ub, tb FROM z)
+       |SELECT layout, shard::BIGINT AS shard, count(*)::BIGINT AS n_rows,
+       |  (max(ub) - min(ub))::BIGINT AS ub_span,
+       |  (max(tb) - min(tb))::BIGINT AS tb_span
+       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 }

@@ -644,6 +644,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_pii_luhn: checksum folds inside the row — no join, no hash shuffle") {
+    val plan = executedCold(Corpus.qPiiLuhn(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(!plan.contains("Exchange hashpartitioning"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("c_name") && readSchema.contains("c_mktsegment"))
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_address"))
+  }
+
+  test("q_skew_audit: only (key, cnt) partials shuffle; no join anywhere") {
+    val plan = executedCold(Scale.qSkewAudit(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(plan.contains("partial"), "per-key counts must combine map-side")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("value"))
+  }
+
+  test("q_zorder_audit: bounds broadcast; one slim (layout, shard) aggregate") {
+    val plan = executedCold(Scale.qZorderAudit(spark, Sf0001))
+    // the single-row bounds frame is the only nested-loop allowed
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row bounds cross may be a BNLJ, found $bnlj")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial"))
+    // shard stats are the only hash shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
   test("q_unimax_alloc: the waterfill runs over the |sources| aggregate, not the corpus") {
     val plan = executedCold(Sampling.qUnimaxAlloc(spark, Sf0001))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get

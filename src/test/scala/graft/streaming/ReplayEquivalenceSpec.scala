@@ -378,6 +378,56 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally { q.stop(); seen.unpersist() }
   }
 
+  test("PrioritySample: a (k+1)-deep mergeable reservoir over micro-batches equals the batch sampler") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Sampling
+
+    // sf0.01: ~25 docs per source, so the k=16 reservoir actually
+    // truncates — sf0.001 keeps everything and proves nothing
+    val dir = graft.SparkSpec.Sf001
+    val expected = Sampling.qPrioritySample(spark, dir)
+      .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(expected.nonEmpty)
+
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+
+    // Production analog: the ingest job holds ONLY the per-source
+    // top-(k+1) priorities — |sources|·(k+1) rows no matter how big
+    // the corpus — because the top-m of a union of partial top-m's is
+    // the global top-m. Each micro-batch folds in and re-truncates;
+    // earlier data is never revisited.
+    val lock = new Object
+    var state = Seq.empty[(Long, String, Long, Double)]
+
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        lock.synchronized {
+          val stateDf = state.toDF("doc_id", "source", "n_chars", "pri")
+          state = Sampling.priorityReservoir(
+              Sampling.priorityFrame(batch).unionByName(stateDf),
+              Sampling.PriK + 1)
+            .as[(Long, String, Long, Double)].collect().toSeq
+        }
+        ()
+      }.start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = lock.synchronized {
+        Sampling.priorityFace(state.toDF("doc_id", "source", "n_chars", "pri"))
+          .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      }
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

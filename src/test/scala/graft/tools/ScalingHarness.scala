@@ -115,7 +115,24 @@ object ScalingHarness {
     "lm_score" ->
       (dir => graft.operators.TextOps.qLmScore(spark, dir).count()),
     "pq_encode" ->
-      (dir => graft.operators.Embeddings.qPqEncode(spark, dir).count()))
+      (dir => graft.operators.Embeddings.qPqEncode(spark, dir).count()),
+    // Round-7 additions. kmeans_train is the live trainer: K rounds ×
+    // one corpus scan + slim (cell, dim) update each — the ratio
+    // measures the loop body, the bounded model read-backs are
+    // corpus-independent. margin_mine/maxsim are broadcast-probe
+    // single-scan scorers (probe count fixed by contract, corpus side
+    // grows). priority_sample is one slim per-source rank shuffle.
+    // phrase_search is pure per-row work — the zero-shuffle exemplar.
+    "kmeans_train" ->
+      (dir => Clustering.qKmeans(spark, dir).count()),
+    "margin_mine" ->
+      (dir => Similarity.qMarginMine(spark, dir).count()),
+    "maxsim" ->
+      (dir => Similarity.qMaxSim(spark, dir).count()),
+    "priority_sample" ->
+      (dir => graft.operators.Sampling.qPrioritySample(spark, dir).count()),
+    "phrase_search" ->
+      (dir => graft.operators.TextOps.qPhraseSearch(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
