@@ -43,6 +43,7 @@ object SparkEntry {
     "q_window_trend"      -> (EventWindows.qWindowTrend(_, _)),
     "q_decline_trend"     -> (EventWindows.qDeclineTrend(_, _)),
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
+    "q_funnel"            -> (EventWindows.qFunnel(_, _)),
     // stateful keyed-stream FSM (SURVEY §2.6 T1) replayed on events
     "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
     // text analysis (word count P4/A1 + corpus quality surface)
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_ann_lsh"           -> (Similarity.qAnnLsh(_, _)),
     "q_semantic_dedup"    -> (Similarity.qSemanticDedup(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
+    "q_ann_eval"          -> (Similarity.qAnnEval(_, _)),
     "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
@@ -333,6 +335,7 @@ object SparkEntry {
     "q_window_trend"       -> EventWindows.sqlWindowTrend,
     "q_decline_trend"      -> EventWindows.sqlDeclineTrend,
     "q_sessionize"         -> EventWindows.sqlSessionize,
+    "q_funnel"             -> EventWindows.sqlFunnel,
     "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
     "q_word_count"         -> TextOps.sqlWordCount,
     "q_token_count"        -> TextOps.sqlTokenCount,
@@ -367,6 +370,7 @@ object SparkEntry {
     "q_ann_lsh"            -> Similarity.sqlAnnLsh,
     "q_semantic_dedup"     -> Similarity.sqlSemanticDedup,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
+    "q_ann_eval"           -> Similarity.sqlAnnEval,
     "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,
     "q_incremental_rollup" -> IncrementalAgg.sqlIncrementalRollup,
     "q_ann_ivf"            -> Similarity.sqlAnnIvf,

@@ -190,4 +190,79 @@ object EventWindows {
       |  max(ts_s) AS session_end_s, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Ordered conversion funnel (view → click → purchase): per user, the
+  // FIRST view, the first click strictly after it, and the first
+  // purchase strictly after that click AND within FunnelWindowSecs of
+  // the view — the MATCH_RECOGNIZE/CEP sequence query of product
+  // analytics (the batch face of the reference's event-type dispatch
+  // pipelines, SURVEY §2.3 P7–P8), expressed as per-stage keyed
+  // windows instead of a row-pattern engine. "Strictly after" orders
+  // on (ts_s, event_id) so same-second chains resolve identically in
+  // both engines. Scale shape: each stage is one slim per-user window
+  // over the type-FILTERED scan (the event_type predicate pushes to
+  // parquet), all joins are user-keyed equi joins of per-user single
+  // rows — no cross-user movement, no event explosion, and stage
+  // frames shrink monotonically (funnel users ⊆ view users).
+  // ------------------------------------------------------------------
+  val FunnelWindowSecs = 3600L
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+    def first(df: DataFrame, tAlias: String, idAlias: String): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"ts_s".as(tAlias), $"event_id".as(idAlias))
+    }
+    val v = first(ev.filter($"event_type" === "view"), "t_view", "v_id")
+    val c = first(
+      ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+        .filter($"ts_s" > $"t_view" ||
+          ($"ts_s" === $"t_view" && $"event_id" > $"v_id")),
+      "t_click", "c_id")
+    val p = first(
+      ev.filter($"event_type" === "purchase")
+        .join(v, Seq("user_id")).join(c, Seq("user_id"))
+        .filter(($"ts_s" > $"t_click" ||
+            ($"ts_s" === $"t_click" && $"event_id" > $"c_id")) &&
+          $"ts_s" <= $"t_view" + FunnelWindowSecs),
+      "t_purchase", "p_id")
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (lit(1L) + when($"t_click".isNotNull, 1L).otherwise(0L) +
+          when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stages"),
+        ($"t_purchase" - $"t_view").as("secs_to_convert"))
+      .orderBy($"user_id")
+  }
+
+  val sqlFunnel: String =
+    s"""WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
+       |    event_type FROM events),
+       |v AS (SELECT user_id, ts_s AS t_view, event_id AS v_id FROM (
+       |    SELECT user_id, ts_s, event_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
+       |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+       |c AS (SELECT user_id, ts_s AS t_click, event_id AS c_id FROM (
+       |    SELECT x.user_id, x.ts_s, x.event_id,
+       |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
+       |    FROM e x JOIN v USING (user_id)
+       |    WHERE x.event_type = 'click'
+       |      AND (x.ts_s > v.t_view OR (x.ts_s = v.t_view AND x.event_id > v.v_id)))
+       |  WHERE rn = 1),
+       |p AS (SELECT user_id, ts_s AS t_purchase, event_id AS p_id FROM (
+       |    SELECT x.user_id, x.ts_s, x.event_id,
+       |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
+       |    FROM e x JOIN v USING (user_id) JOIN c USING (user_id)
+       |    WHERE x.event_type = 'purchase'
+       |      AND (x.ts_s > c.t_click OR (x.ts_s = c.t_click AND x.event_id > c.c_id))
+       |      AND x.ts_s <= v.t_view + $FunnelWindowSecs)
+       |  WHERE rn = 1)
+       |SELECT v.user_id, t_view, t_click, t_purchase,
+       |  (1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+       |     + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stages,
+       |  (t_purchase - t_view)::BIGINT AS secs_to_convert
+       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |ORDER BY v.user_id""".stripMargin
 }

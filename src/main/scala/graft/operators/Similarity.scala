@@ -882,6 +882,51 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // ANN quality evaluation (the ann-benchmarks methodology, Aumüller,
+  // Bernhardsson & Faithfull 2017): recall@k and the true-top-1
+  // reciprocal rank of the banded-LSH index against exact brute-force
+  // truth, per query — the metric pair that decides whether an ANN
+  // index's speed is worth its misses. AnnRecallSpec pins a recall
+  // FLOOR in-suite; this gate makes the whole evaluation itself a
+  // cross-engine-reproducible query (both the index and the truth are
+  // deterministic, so the scorecard is too). Every metric is a single
+  // IEEE divide of exact integers — raw doubles, no rounding needed.
+  // Scale shape: composes two existing bounded-probe queries and joins
+  // their |Q|·k row outputs — evaluation cost is probe-sized, not
+  // corpus-sized.
+  // ------------------------------------------------------------------
+  val EvalK = 3
+
+  def qAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qKnnBruteForce(spark, dir).filter($"rank" <= EvalK)
+      .select($"query_id", $"neighbor_id", $"rank".as("t_rank"))
+    val ann = qAnnLshBanded(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank".as("a_rank"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).cast("long").as("truth_k"),
+        count($"a_rank").cast("long").as("n_hit"),
+        (count($"a_rank").cast("double") / count(lit(1)).cast("double"))
+          .as("recall"),
+        coalesce(lit(1.0) / min(when($"t_rank" === 1, $"a_rank")).cast("double"),
+          lit(0.0)).as("mrr"))
+      .orderBy($"query_id")
+  }
+
+  val sqlAnnEval: String =
+    s"""WITH t0 AS ($sqlKnnBruteForce),
+       |a0 AS ($sqlAnnLshBanded),
+       |j AS (SELECT t.query_id, t.rank AS t_rank, a.rank AS a_rank
+       |  FROM (SELECT query_id, neighbor_id, rank FROM t0 WHERE rank <= $EvalK) t
+       |  LEFT JOIN a0 a
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+       |SELECT query_id, count(*)::BIGINT AS truth_k, count(a_rank)::BIGINT AS n_hit,
+       |  count(a_rank)::DOUBLE / count(*)::DOUBLE AS recall,
+       |  coalesce(1.0::DOUBLE / min(CASE WHEN t_rank = 1 THEN a_rank END)::DOUBLE,
+       |    0.0::DOUBLE) AS mrr
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Margin-based pair mining (Artetxe & Schwenk, ACL 2019:
   // "Margin-based Parallel Corpus Mining with Multilingual Sentence
   // Embeddings" — the LASER/CCMatrix criterion). Absolute cosine is a

@@ -644,6 +644,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_funnel: stage filters push to the scan; every join is user-keyed") {
+    val plan = executedCold(EventWindows.qFunnel(spark, Sf0001))
+    // the event_type predicates must reach parquet, not filter post-scan
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(event_type"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("value"))
+  }
+
+  test("q_ann_eval: evaluation joins probe-sized outputs — never corpus-sized frames") {
+    val plan = executedCold(Similarity.qAnnEval(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the truth/ann join carries |Q|·k rows per side and stays hashed
+    assert(plan.contains("partial"))
+  }
+
   test("q_pii_luhn: checksum folds inside the row — no join, no hash shuffle") {
     val plan = executedCold(Corpus.qPiiLuhn(spark, Sf0001))
     assert(!plan.contains("Join"))
