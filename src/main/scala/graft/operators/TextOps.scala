@@ -754,12 +754,24 @@ object TextOps {
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val spelled = trim(regexp_replace(concat($"word", lit("_")), "(.)", "$1 "))
-    var vocab = Tables.documentsSharded(spark, dir)
+    val base = Tables.documentsSharded(spark, dir)
       .select(explode(toks).as("word"))
       .groupBy($"word").agg(count(lit(1)).cast("long").as("freq"))
       .select(spelled.as("sp"), $"freq")
       .persist()
-    vocab.count() // the one corpus-sized reduction
+    base.count() // the one corpus-sized reduction
+    // Round k's vocab is the persisted base with k−1 literal replace()
+    // projections chained on top — LINEAR lineage (one Project per
+    // round; the exponential blowup warned about above came from a
+    // crossJoin-the-election shape embedding the previous plan twice,
+    // not from chaining). Each election therefore re-applies ≤ K
+    // replaces over the |vocab|-row cache — K²/2 cheap row-local
+    // rewrites total — in exchange for dropping a persist + count
+    // materialization per round (2 jobs each): a modest measured win at
+    // sf0.1, where the vocab is tiny either way. At 100 TB the trade
+    // holds: the corpus is touched once by the base reduction either
+    // way, and the K² rewrites run over the vocabulary, not the corpus.
+    var vocab: DataFrame = base
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     (1 to BpeTrainRounds).foreach { k =>
       val syms = split($"sp", " ")
@@ -775,14 +787,10 @@ object TextOps {
         .head() // the elected merge: one bounded scalar row per round
       val (l, r) = (best.getString(0), best.getString(1))
       merges += ((k.toLong, l, r, best.getLong(2)))
-      val prev = vocab
       vocab = vocab
         .select(replace($"sp", lit(s"$l $r"), lit(s"$l$r")).as("sp"), $"freq")
-        .persist()
-      vocab.count()
-      prev.unpersist()
     }
-    vocab.unpersist()
+    base.unpersist()
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     merges.result().toDF("rank", "lhs", "rhs", "pair_count")
       .orderBy($"rank")

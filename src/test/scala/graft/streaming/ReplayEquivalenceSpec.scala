@@ -428,6 +428,43 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FunnelTracker: MemoryStream replay of the CEP funnel equals the batch stage windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import FunnelTracker._
+
+    val dir = graft.SparkSpec.Sf0001
+    // batch truth: each non-null stage timestamp of q_funnel is one hit
+    val expected = graft.operators.EventWindows.qFunnel(spark, dir).collect().toSeq
+      .flatMap { r =>
+        val u = r.getAs[Long]("user_id")
+        Seq(Some((u, 1L, r.getAs[Long]("t_view"))),
+          Option(r.getAs[java.lang.Long]("t_click")).map(t => (u, 2L, t.toLong)),
+          Option(r.getAs[java.lang.Long]("t_purchase")).map(t => (u, 3L, t.toLong))).flatten
+      }.sorted
+    assert(expected.nonEmpty)
+
+    val events = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .as[FunnelEvent].collect().toSeq.sortBy(e => (e.ts_s, e.event_id))
+
+    val input = MemoryStream[FunnelEvent]
+    val q = trackStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[FunnelEvent](events, _.ts_s, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_replay")
+        .as[FunnelHit].collect().toSeq
+        .map(h => (h.user_id, h.stage, h.ts_s)).sorted
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
