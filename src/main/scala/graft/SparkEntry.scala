@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Behavior, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +44,10 @@ object SparkEntry {
     "q_decline_trend"     -> (EventWindows.qDeclineTrend(_, _)),
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
     "q_funnel"            -> (EventWindows.qFunnel(_, _)),
+    // user-behavior analytics (cohorts, decayed engagement, experiments)
+    "q_retention"         -> (Behavior.qRetention(_, _)),
+    "q_decay_score"       -> (Behavior.qDecayScore(_, _)),
+    "q_srm_check"         -> (Behavior.qSrmCheck(_, _)),
     // stateful keyed-stream FSM (SURVEY §2.6 T1) replayed on events
     "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
     // text analysis (word count P4/A1 + corpus quality surface)
@@ -336,6 +340,9 @@ object SparkEntry {
     "q_decline_trend"      -> EventWindows.sqlDeclineTrend,
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_funnel"             -> EventWindows.sqlFunnel,
+    "q_retention"          -> Behavior.sqlRetention,
+    "q_decay_score"        -> Behavior.sqlDecayScore,
+    "q_srm_check"          -> Behavior.sqlSrmCheck,
     "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
     "q_word_count"         -> TextOps.sqlWordCount,
     "q_token_count"        -> TextOps.sqlTokenCount,

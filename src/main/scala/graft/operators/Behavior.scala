@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+import graft.sources.Tables
+
+/**
+ * Product / user-behavior analytics over the events stream — the
+ * dashboard family the reference's KPI views imply (arch doc:2243-2272
+ * `v_trade_performance`, per-strategy rollups) generalized to the three
+ * classic event-log queries every analytics engine ships: cohort
+ * retention, time-decayed engagement, and experiment sample-ratio
+ * checks.
+ *
+ * Determinism rules of the house: week/day arithmetic is integer
+ * micros (exact in both engines), decay weights are negative powers of
+ * two (an IEEE double times 2^-k is an exponent shift — exact), sums
+ * cross decimal casts (order-free), and every emitted ratio is a
+ * single IEEE divide of exact integers or decimals.
+ */
+object Behavior {
+  import Relational.ColInterp
+
+  private val WeekMicros = 7L * 86400L * 1000000L
+
+  /** Epoch week of `ts` — integer micros floor-divided, bit-identical
+    * to DuckDB's `epoch_us(ts) // 604800000000`. */
+  private def weekCol = expr(s"unix_micros(ts) div $WeekMicros")
+
+  // ------------------------------------------------------------------
+  // Cohort retention (the weekly retention triangle): users are
+  // cohorted by their first active week; each later active week counts
+  // toward (cohort_week, week_offset). Scale shape: the ONLY
+  // corpus-sized shuffle is the distinct over slim (user_id, week)
+  // rows (map-side partial distinct); the cohort min and the join back
+  // are keyed on user_id over already-distinct rows; the final rollup
+  // is |cohorts|·|weeks| — tiny at any corpus size. No windows over
+  // raw events, no collect.
+  // ------------------------------------------------------------------
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select($"user_id", weekCol.as("week"))
+      .distinct()
+    val cohort = act.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val cells = act.join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // offset 0 is the cohort's own first week, so cohort_size always
+    // resolves; the window runs over the tiny rollup, not the events
+    val w = Window.partitionBy($"cohort_week")
+    cells
+      .withColumn("cohort_size",
+        max(when($"week_offset" === 0, $"n_active")).over(w))
+      .withColumn("retention",
+        $"n_active".cast("double") / $"cohort_size".cast("double"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val sqlRetention: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekMicros AS week FROM events),
+       |coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+       |cells AS (
+       |  SELECT cohort_week, week - cohort_week AS week_offset,
+       |    count(*)::BIGINT AS n_active
+       |  FROM act JOIN coh USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset, n_active,
+       |  (max(CASE WHEN week_offset = 0 THEN n_active END)
+       |     OVER (PARTITION BY cohort_week))::BIGINT AS cohort_size,
+       |  n_active::DOUBLE / (max(CASE WHEN week_offset = 0 THEN n_active END)
+       |     OVER (PARTITION BY cohort_week))::DOUBLE AS retention
+       |FROM cells ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Time-decayed engagement score: score(user) = Σ value·2^-k where
+  // k = full weeks since the event, anchored at the corpus's newest
+  // event (half-life = one week). The weight is a negative power of
+  // two, so value·2^-k is EXACT in IEEE doubles (pure exponent shift);
+  // per-term decimal casts make the per-user sum shuffle-order free
+  // (dsum convention). Weights below 2^-40 are exactly zero — beyond
+  // decimal(28,12) resolution anyway — which also bounds the shift.
+  // Scale shape: one single-row max-day aggregate broadcast back
+  // (crossJoin of a 1-row frame), then one user-keyed partial-agg
+  // shuffle. Nothing else moves.
+  // ------------------------------------------------------------------
+  val DecayCapWeeks = 40
+
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select($"user_id", $"value", weekCol.as("week"))
+    val anchor = ev.agg(max($"week").as("anchor_week"))
+    val k = least($"anchor_week" - $"week", lit(DecayCapWeeks.toLong))
+    val term = when(k >= DecayCapWeeks, lit(0.0))
+      .otherwise($"value" * (lit(1.0) / expr("shiftleft(1L, cast(k as int))")))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("k", k)
+      .withColumn("term", term)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"week").as("last_week"),
+        sum($"term".cast(DecimalType(28, 12)))
+          .cast(DecimalType(38, 6)).cast("double").as("score"))
+      .orderBy($"user_id")
+  }
+
+  // least() clamps the oracle's shift even though the CASE already
+  // zeroes the capped branch: a vectorized engine may evaluate both arms
+  val sqlDecayScore: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, value, epoch_us(ts) // $WeekMicros AS week FROM events),
+       |a AS (SELECT max(week) AS anchor_week FROM ev),
+       |t AS (
+       |  SELECT user_id, week,
+       |    CASE WHEN anchor_week - week >= $DecayCapWeeks THEN 0.0::DOUBLE
+       |         ELSE value * (1.0::DOUBLE /
+       |           (1::BIGINT << least(anchor_week - week, $DecayCapWeeks))::DOUBLE)
+       |         END AS term
+       |  FROM ev CROSS JOIN a)
+       |SELECT user_id, count(*)::BIGINT AS n_events, max(week) AS last_week,
+       |  CAST(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DECIMAL(38,6)) AS DOUBLE)
+       |    AS score
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A/B bucketing + sample-ratio-mismatch check (the experimentation
+  // sanity gate: Kohavi et al., "Trustworthy Online Controlled
+  // Experiments" §21 — an SRM means the assignment or logging is
+  // broken and every downstream metric is garbage). Users are assigned
+  // 50/50 by the engine's cross-engine h60 hash (sha-derived — NOT
+  // murmur, so the DuckDB oracle reproduces assignments bit-for-bit).
+  // Emitted per event_type and for the '__users__' exposure row:
+  // per-arm counts and the 2-cell equal-split chi-square statistic
+  // (n0-n1)²/(n0+n1) — exact integers, one IEEE divide.
+  // Scale shape: assignment is per-row expression work; counts are
+  // map-side-combined partials over |event_type| groups; the user
+  // exposure row rides the same distinct shape as retention.
+  // ------------------------------------------------------------------
+  def qSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val armed = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        pmod(Hashing.h60($"user_id".cast("string")), lit(2)).as("arm"))
+    def counts(df: DataFrame) = df.agg(
+      sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+    val byType = armed.groupBy($"event_type")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n1"))
+    val users = counts(armed.select($"user_id", $"arm").distinct())
+      .select(lit("__users__").as("event_type"), $"n0", $"n1")
+    byType.unionByName(users)
+      .withColumn("chi2",
+        (($"n0" - $"n1") * ($"n0" - $"n1")).cast("double") /
+          ($"n0" + $"n1").cast("double"))
+      .orderBy($"event_type")
+  }
+
+  val sqlSrmCheck: String = {
+    val arm = s"(${Hashing.sqlH60("user_id::VARCHAR")}) % 2"
+    s"""WITH armed AS (SELECT user_id, event_type, $arm AS arm FROM events),
+       |rows_ AS (
+       |  SELECT event_type,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+       |  FROM armed GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__users__',
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+       |  FROM (SELECT DISTINCT user_id, arm FROM armed))
+       |SELECT event_type, n0, n1,
+       |  ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1)::DOUBLE AS chi2
+       |FROM rows_ ORDER BY event_type""".stripMargin
+  }
+}

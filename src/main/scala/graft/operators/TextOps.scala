@@ -981,4 +981,123 @@ object TextOps {
        |FROM h WHERE len(hits) > 0
        |ORDER BY phrase, doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // PMI collocations (Church & Hanks, CL 1990): the corpus's top
+  // bigrams by pointwise mutual information — the classic
+  // collocation-extraction / vocab-discovery pass (multi-word units a
+  // tokenizer or phrase index should treat as one). The emitted score
+  // is the PMI *lift* c12·N/(c1·c2) = p(w1w2)/(p(w1)p(w2)) — monotone
+  // in PMI (log of it) but computed as one IEEE divide of exact int64
+  // products, so it hash-matches cross-engine where log() would not.
+  // Scale shape: two map-side-combined aggregates over slim token /
+  // bigram keys (the word-count shape), two word-keyed joins of
+  // |vocab|-sized frames, a broadcast 1-row total, and a top-k that
+  // runs as TakeOrderedAndProject. The pair-count floor keeps the
+  // joined frame to real collocations. int64 headroom: c12·N with
+  // N = 5·10⁷ tokens (sf ~1) and c12 ≤ N stays under 2^63 only with
+  // the floor applied to c12·N ≤ N² — at true 100 TB scale the lift's
+  // N factor moves to a double multiply AFTER the divide (exactness of
+  // the ordering is preserved by the shared factor); here both stay
+  // exact.
+  // ------------------------------------------------------------------
+  val PmiTopK = 40
+  val PmiMinPair = 3
+
+  def qPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select(toks.as("t"))
+    val uni = docs.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum($"c").as("n_tokens"))
+    val bi = docs.select(explode(Hashing.wordShingles($"t", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c12"))
+      .filter($"c12" >= PmiMinPair)
+      .withColumn("w1", element_at(split($"bigram", " "), 1))
+      .withColumn("w2", element_at(split($"bigram", " "), 2))
+    bi.join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+      .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        ($"c12" * $"n_tokens").cast("double") / ($"c1" * $"c2").cast("double"))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"lift")
+      .orderBy($"lift".desc, $"w1", $"w2")
+      .limit(PmiTopK)
+  }
+
+  val sqlPmiBigrams: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH tok AS (SELECT ${t} AS t FROM documents),
+       |uni AS (SELECT w, count(*)::BIGINT AS c
+       |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+       |n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+       |bi AS (SELECT bg, count(*)::BIGINT AS c12
+       |  FROM (SELECT unnest(${Hashing.sqlShingles("t", 2)}) AS bg FROM tok)
+       |  GROUP BY 1 HAVING count(*) >= $PmiMinPair),
+       |sp AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |  c12 FROM bi)
+       |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+       |  (c12 * n_tokens)::DOUBLE / (u1.c * u2.c)::DOUBLE AS lift
+       |FROM sp JOIN uni u1 ON sp.w1 = u1.w JOIN uni u2 ON sp.w2 = u2.w
+       |CROSS JOIN n
+       |ORDER BY lift DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+  // — the MOSS algorithm): slide a w-window over the doc's k-gram
+  // hashes and keep each window's minimum; the selected set is a
+  // position-robust fingerprint with a guaranteed density bound
+  // (every match of length ≥ w+k-1 shares a fingerprint). Complements
+  // the engine's global fingerprint (X13 rolling sha) and MinHash
+  // (X2): winnowing is LOCAL — it finds partial overlap/plagiarism
+  // spans, not whole-doc similarity. 60-bit hashes make window ties
+  // (the one spot where tie rules differ) a non-event, so min-per-
+  // window is deterministic cross-engine.
+  // Scale shape: pure per-row array-expression work inside codegen —
+  // ZERO shuffles beyond the input re-shard and presentation sort; the
+  // emitted row is doc-level stats + an order-free XOR digest, never
+  // the hash arrays.
+  // ------------------------------------------------------------------
+  val WinnowK = 3
+  val WinnowW = 4
+
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(Hashing.wordShingles(toks, WinnowK), s => Hashing.h60(s))
+    val windows = greatest(size($"hs") - lit(WinnowW - 1), lit(1))
+    Tables.documentsSharded(spark, dir)
+      .select($"doc_id", hs.as("hs"))
+      .withColumn("sel",
+        when(size($"hs") === 0, array().cast("array<long>"))
+          .when(size($"hs") < WinnowW, array(array_min($"hs")))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size($"hs") - lit(WinnowW - 1)),
+            j => array_min(slice($"hs", j, lit(WinnowW)))))))
+      .select($"doc_id",
+        size($"hs").cast("long").as("n_shingles"),
+        size($"sel").cast("long").as("n_fp"),
+        (size($"sel").cast("double") / windows.cast("double")).as("density"),
+        aggregate($"sel", lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlWinnow: String = {
+    val t = Hashing.sqlTokens("text")
+    val h = Hashing.sqlH60("s")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_transform(${Hashing.sqlShingles("t", WinnowK)}, s -> $h) AS hs
+       |  FROM (SELECT doc_id, $t AS t FROM documents)),
+       |s AS (SELECT doc_id, len(hs)::BIGINT AS n_shingles,
+       |  CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |       WHEN len(hs) < $WinnowW THEN [list_min(hs)]
+       |       ELSE list_distinct(list_transform(
+       |         range(1, len(hs) - ${WinnowW - 2}),
+       |         j -> list_min(hs[j:j+${WinnowW - 1}]))) END AS sel
+       |  FROM d)
+       |SELECT doc_id, n_shingles, len(sel)::BIGINT AS n_fp,
+       |  len(sel)::DOUBLE / greatest(n_shingles - ${WinnowW - 1}, 1)::DOUBLE
+       |    AS density,
+       |  CASE WHEN len(sel) = 0 THEN 0::BIGINT
+       |       ELSE list_reduce(sel, (a, x) -> xor(a, x))::BIGINT END AS fp_xor
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

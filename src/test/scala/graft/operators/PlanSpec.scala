@@ -704,4 +704,34 @@ class PlanSpec extends SparkSpec {
     // the per-source aggregate combines map-side before any window
     assert(plan.contains("partial"))
   }
+
+  test("q_retention: slim (user, week) distinct is the only corpus shuffle; no nested-loop join") {
+    val plan = executedCold(Behavior.qRetention(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // distinct + rollup aggregate map-side before shuffling
+    assert(plan.contains("partial"))
+    // (user,week) distinct + user cohort-min + (cohort,offset) rollup +
+    // the cohort_size window repartition — never the raw events twice
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4)
+  }
+
+  test("q_decay_score: anchor week broadcasts as a 1-row frame; one user-keyed shuffle") {
+    val plan = executedCold(Behavior.qDecayScore(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row anchor cross may be a BNLJ, found $bnlj")
+    // the decayed sum combines map-side; user_id is the only hash shuffle
+    assert(plan.contains("partial_sum"))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
+  test("q_srm_check: assignment is per-row expression work; counts combine map-side") {
+    val plan = executedCold(Behavior.qSrmCheck(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_sum"))
+    // per-type counts + the user-exposure distinct
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+  }
 }
