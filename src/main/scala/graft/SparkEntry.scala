@@ -61,6 +61,8 @@ object SparkEntry {
     "q_vocab_coverage"    -> (TextOps.qVocabCoverage(_, _)),
     "q_inverted_index"    -> (TextOps.qInvertedIndex(_, _)),
     "q_phrase_search"     -> (TextOps.qPhraseSearch(_, _)),
+    "q_pmi_bigrams"       -> (TextOps.qPmiBigrams(_, _)),
+    "q_winnow"            -> (TextOps.qWinnow(_, _)),
     "q_bpe_train"        -> (TextOps.qBpeTrain(_, _)),
     "q_bpe_pairs"         -> (TextOps.qBpePairs(_, _)),
     "q_bpe_encode"        -> (TextOps.qBpeEncode(_, _)),
@@ -325,6 +327,8 @@ object SparkEntry {
     "q_vocab_coverage"     -> TextOps.sqlVocabCoverage,
     "q_inverted_index"     -> TextOps.sqlInvertedIndex,
     "q_phrase_search"      -> TextOps.sqlPhraseSearch,
+    "q_pmi_bigrams"        -> TextOps.sqlPmiBigrams,
+    "q_winnow"             -> TextOps.sqlWinnow,
     "q_bpe_train"         -> TextOps.sqlBpeTrain,
     "q_bpe_pairs"          -> TextOps.sqlBpePairs,
     "q_bpe_encode"         -> TextOps.sqlBpeEncode,

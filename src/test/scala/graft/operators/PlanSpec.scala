@@ -705,6 +705,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
   }
 
+  test("q_pmi_bigrams: vocab-keyed joins and map-side-combined counts; top-k is TakeOrdered") {
+    val plan = executedCold(TextOps.qPmiBigrams(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the single-row token total is the only nested-loop allowed
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"only the 1-row total cross may be a BNLJ, found $bnlj")
+    assert(plan.contains("partial_count"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_winnow: pure per-row expression work — no join, no aggregate shuffle") {
+    val plan = executedCold(TextOps.qWinnow(spark, Sf0001))
+    assert(!plan.contains("Join"), "winnowing must select fingerprints inside the row")
+    // input re-shard + presentation sort only
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2)
+  }
+
   test("q_retention: slim (user, week) distinct is the only corpus shuffle; no nested-loop join") {
     val plan = executedCold(Behavior.qRetention(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))
