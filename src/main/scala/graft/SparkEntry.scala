@@ -107,6 +107,7 @@ object SparkEntry {
     "q_decontaminate"     -> (Corpus.qDecontaminate(_, _)),
     "q_contam_spans"      -> (Corpus.qContamSpans(_, _)),
     "q_source_health"     -> (Corpus.qSourceHealth(_, _)),
+    "q_dist_shift"        -> (Corpus.qDistShift(_, _)),
     "q_filter_funnel"     -> (Corpus.qFilterFunnel(_, _)),
     "q_gopher_rules"      -> (Corpus.qGopherRules(_, _)),
     "q_corpus_verdict"    -> (Corpus.qCorpusVerdict(_, _)),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_semantic_dedup"    -> (Similarity.qSemanticDedup(_, _)),
     "q_ann_lsh_banded"    -> (Similarity.qAnnLshBanded(_, _)),
     "q_ann_eval"          -> (Similarity.qAnnEval(_, _)),
+    "q_mrl_eval"          -> (Similarity.qMrlEval(_, _)),
     "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
@@ -290,6 +292,7 @@ object SparkEntry {
     "q_decontaminate"      -> Corpus.sqlDecontaminate,
     "q_contam_spans"       -> Corpus.sqlContamSpans,
     "q_source_health"      -> Corpus.sqlSourceHealth,
+    "q_dist_shift"         -> Corpus.sqlDistShift,
     "q_filter_funnel"      -> Corpus.sqlFilterFunnel,
     "q_gopher_rules"       -> Corpus.sqlGopherRules,
     "q_corpus_verdict"     -> Corpus.sqlCorpusVerdict,
@@ -382,6 +385,7 @@ object SparkEntry {
     "q_semantic_dedup"     -> Similarity.sqlSemanticDedup,
     "q_ann_lsh_banded"     -> Similarity.sqlAnnLshBanded,
     "q_ann_eval"           -> Similarity.sqlAnnEval,
+    "q_mrl_eval"           -> Similarity.sqlMrlEval,
     "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,
     "q_incremental_rollup" -> IncrementalAgg.sqlIncrementalRollup,
     "q_ann_ivf"            -> Similarity.sqlAnnIvf,

@@ -554,6 +554,8 @@ object Corpus {
     contamCache.clear()
     shingleCache.values.foreach(_.unpersist())
     shingleCache.clear()
+    sideCountCache.values.foreach(_.unpersist())
+    sideCountCache.clear()
   }
 
   // The Spark side joins on the raw shingle STRINGS from the shared
@@ -1076,5 +1078,79 @@ object Corpus {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_distinct,
        |  coalesce(n_new, 0)::DOUBLE / n_rows::DOUBLE AS novelty_rate
        |FROM pb LEFT JOIN nn USING (bucket) ORDER BY bucket""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Token-distribution shift: total-variation distance between the
+  // unigram distributions of two corpus halves (sources hash-split
+  // 50/50 by the cross-engine h60 — no data knowledge baked in), plus
+  // the top tokens driving the shift. The drift monitor a continuously
+  // ingested corpus needs: a jump in TV between yesterday's and
+  // today's snapshot means the mixture moved. Per-token contribution
+  // is |cA·NB − cB·NA| — EXACT int64 (TV's |pA − pB| with the common
+  // denominator NA·NB cleared), so the ranking and the total are both
+  // reproducible; the only IEEE ops are the final divides. Scale
+  // shape: one map-side-combined (token, side) count — the word-count
+  // shuffle — a |vocab|-row reshape, a broadcast 1-row totals frame,
+  // and a TakeOrdered top-k. KL/JS need log(); TV needs none, which is
+  // why it's the cross-engine choice.
+  // ------------------------------------------------------------------
+  val ShiftTopK = 30
+
+  /** Per-side token-count store: the vocab-slim (w, ca, cb) frame both
+    * the top-k and the scalar TV total read. Persisted so the corpus
+    * tokenize scan happens once per session (same memoize/invalidate
+    * contract as [[shingleStore]]); every downstream consumer is
+    * vocab-sized or smaller. */
+  private val sideCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def sideCountStore(spark: SparkSession, dir: String): DataFrame =
+    sideCountCache.getOrElseUpdate((spark, dir), {
+      val store = Tables.documentsSharded(spark, dir)
+        .select(pmod(Hashing.h60($"source"), lit(2)).as("side"),
+          explode(Hashing.tokens($"text")).as("w"))
+        .groupBy($"w")
+        .agg(sum(when($"side" === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when($"side" === 1, 1L).otherwise(0L)).as("cb"))
+        .persist()
+      store.count() // eager, so every consumer reads the materialized store
+      store
+    })
+
+  def qDistShift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = sideCountStore(spark, dir)
+    val totals = counts.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    val num = abs($"ca" * $"nb" - $"cb" * $"na")
+    val withN = counts.crossJoin(broadcast(totals)).withColumn("shift_num", num)
+    val scalar = withN.agg(sum($"shift_num").as("sum_num"),
+      max($"na").as("na2"), max($"nb").as("nb2"))
+    withN
+      .orderBy($"shift_num".desc, $"w").limit(ShiftTopK)
+      .crossJoin(broadcast(scalar))
+      .select($"w", $"ca", $"cb", $"shift_num",
+        ($"shift_num".cast("double") / ($"na" * $"nb").cast("double"))
+          .as("contribution"),
+        ($"sum_num".cast("double") / (lit(2.0) * ($"na2" * $"nb2").cast("double")))
+          .as("tv_total"))
+      .orderBy($"shift_num".desc, $"w")
+  }
+
+  val sqlDistShift: String = {
+    val t = Hashing.sqlTokens("text")
+    s"""WITH toks AS (
+       |  SELECT (${Hashing.sqlH60("source")}) % 2 AS side, unnest($t) AS w
+       |  FROM documents),
+       |c AS (SELECT w,
+       |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM toks GROUP BY 1),
+       |n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+       |j AS (SELECT w, ca, cb, abs(ca * nb - cb * na) AS shift_num, na, nb
+       |  FROM c CROSS JOIN n)
+       |SELECT w, ca, cb, shift_num,
+       |  shift_num::DOUBLE / (na * nb)::DOUBLE AS contribution,
+       |  (sum(shift_num) OVER ())::DOUBLE / (2.0 * (na * nb)::DOUBLE) AS tv_total
+       |FROM j ORDER BY shift_num DESC, w LIMIT $ShiftTopK""".stripMargin
   }
 }

@@ -927,6 +927,73 @@ object Similarity {
        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Matryoshka truncation audit (Kusupati et al., NeurIPS 2022 "MRL"):
+  // recall@k of cosine search over PREFIX-truncated embeddings (dims
+  // 8/16/32 of 64) against the full-dim exact truth — the measurement
+  // that decides how far an MRL-style index can shrink its vectors
+  // before retrieval quality pays. Same bounded-probe brute contract
+  // as [[qKnnBruteForce]] (10 queries, broadcast, one ranking window
+  // per leg); truncated norms are per-row folds over the slice, so
+  // every leg is bit-reproducible in the oracle. Scale shape: the
+  // audit is |Q|·k-sized end to end; the production path it guards is
+  // the PQ/IVF family (X85–X88), where truncation would halve code
+  // sizes.
+  // ------------------------------------------------------------------
+  val MrlDims = Seq(8, 16, 32)
+
+  def qMrlEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qKnnBruteForce(spark, dir).filter($"rank" <= EvalK)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1))
+    val legs = MrlDims.map { d =>
+      val corpus = vecs(spark, dir)
+        .withColumn("tv", slice($"v", 1, d))
+        .withColumn("nv", normCol($"tv"))
+      val queries = corpus.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"tv".as("qv"), $"nv".as("nq"))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          cosineWithNorms($"qv", $"tv", $"nq", $"nv").as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= EvalK)
+        .select(lit(d.toLong).as("dims"), $"query_id", $"vec_id".as("neighbor_id"))
+    }
+    legs.reduce(_ unionByName _)
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"dims", $"query_id")
+      .agg(count(lit(1)).cast("long").as("k"),
+        count($"hit").cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"k".cast("double"))
+      .orderBy($"dims", $"query_id")
+  }
+
+  val sqlMrlEval: String = {
+    def cosD(a: String, b: String, d: Int): String = {
+      val dot = sqlFsum(s"list_transform(range(1, ${d + 1}), i -> ($a)[i] * ($b)[i])")
+      val na = sqlFsum(s"list_transform(($a)[1:$d], x -> x * x)")
+      val nb = sqlFsum(s"list_transform(($b)[1:$d], x -> x * x)")
+      s"($dot) / (sqrt($na) * sqrt($nb))"
+    }
+    val legs = MrlDims.map { d =>
+      s"""SELECT $d::BIGINT AS dims, query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosD("q.v", "v.v", d)} DESC, v.vec_id) AS rn
+         |  FROM e q JOIN e v ON q.vec_id < 10 AND v.vec_id <> q.vec_id)
+         |WHERE rn <= $EvalK""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |t AS (SELECT query_id, neighbor_id, 1 AS hit
+       |  FROM ($sqlKnnBruteForce) WHERE rank <= $EvalK),
+       |a AS (
+       |$legs)
+       |SELECT dims, query_id, count(*)::BIGINT AS k, count(hit)::BIGINT AS n_hit,
+       |  count(hit)::DOUBLE / count(*)::DOUBLE AS recall
+       |FROM a LEFT JOIN t USING (query_id, neighbor_id)
+       |GROUP BY dims, query_id ORDER BY dims, query_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Margin-based pair mining (Artetxe & Schwenk, ACL 2019:
   // "Margin-based Parallel Corpus Mining with Multilingual Sentence
   // Embeddings" — the LASER/CCMatrix criterion). Absolute cosine is a

@@ -10,6 +10,10 @@ import graft.SparkSpec.Sf0001
   * breaks; these tests make that a test failure instead. */
 class PlanSpec extends SparkSpec {
 
+  /** qMrlEval compiles one brute leg per truncated dim plus the
+    * full-dim truth leg — each is a broadcast-probe non-equi join. */
+  private val MrlEvalLegs = Similarity.MrlDims.length + 1
+
   private def executed(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
@@ -703,6 +707,29 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 3, s"only the single-row scalar broadcasts may be BNLJ, found $bnlj")
     // the per-source aggregate combines map-side before any window
     assert(plan.contains("partial"))
+  }
+
+  test("q_mrl_eval: every truncated leg broadcasts its probes; no cartesian") {
+    val plan = executedCold(Similarity.qMrlEval(spark, Sf0001))
+    assert(plan.contains("BroadcastExchange"), "probe sets must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // one non-equi broadcast probe join per leg (3 dims) + the truth leg
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= MrlEvalLegs,
+      s"only the broadcast probe joins may be BNLJ, found $bnlj")
+  }
+
+  test("q_dist_shift: side counts read the persisted store; totals broadcast as 1-row frames") {
+    val plan = executed(Corpus.qDistShift(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"),
+      "both consumers must read the persisted side-count store")
+    assert(!plan.contains("CartesianProduct"))
+    // the scalar totals and the TV sum are the only nested-loops; the
+    // totals cross compiles twice (again under the scalar's subtree),
+    // so 3 prints — all 1-row sides (same accounting as q_unimax_alloc)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 3, s"only 1-row scalar crosses may be BNLJ, found $bnlj")
+    assert(plan.contains("TakeOrderedAndProject"))
   }
 
   test("q_pmi_bigrams: vocab-keyed joins and map-side-combined counts; top-k is TakeOrdered") {
