@@ -38,6 +38,7 @@ object Bench {
       graft.operators.Dedup.minhashLshPairsCore(spark, sfDir).count()
       graft.operators.Clustering.dupLabels(spark, sfDir).count()
       graft.operators.Corpus.decontaminateCore(spark, sfDir).count()
+      graft.operators.Corpus.sideCountStore(spark, sfDir).count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

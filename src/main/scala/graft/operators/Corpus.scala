@@ -1105,7 +1105,7 @@ object Corpus {
   private val sideCountCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def sideCountStore(spark: SparkSession, dir: String): DataFrame =
+  def sideCountStore(spark: SparkSession, dir: String): DataFrame =
     sideCountCache.getOrElseUpdate((spark, dir), {
       val store = Tables.documentsSharded(spark, dir)
         .select(pmod(Hashing.h60($"source"), lit(2)).as("side"),

@@ -132,7 +132,21 @@ object ScalingHarness {
     "priority_sample" ->
       (dir => graft.operators.Sampling.qPrioritySample(spark, dir).count()),
     "phrase_search" ->
-      (dir => graft.operators.TextOps.qPhraseSearch(spark, dir).count()))
+      (dir => graft.operators.TextOps.qPhraseSearch(spark, dir).count()),
+    // Round-7 second batch. retention rides a slim (user, week)
+    // distinct — 10× users, constant weeks per user. dist_shift pays
+    // its side-count store cold each run (resetCaches drops it), so
+    // the ratio includes the tokenize scan that is prewarm in deploy.
+    // pmi_bigrams is the word-count shuffle shape twice + vocab joins.
+    // winnow joins phrase_search as the in-row zero-shuffle exemplar.
+    "retention" ->
+      (dir => graft.operators.Behavior.qRetention(spark, dir).count()),
+    "dist_shift" ->
+      (dir => Corpus.qDistShift(spark, dir).count()),
+    "pmi_bigrams" ->
+      (dir => graft.operators.TextOps.qPmiBigrams(spark, dir).count()),
+    "winnow" ->
+      (dir => graft.operators.TextOps.qWinnow(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
