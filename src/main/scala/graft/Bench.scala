@@ -23,6 +23,7 @@ object Bench {
     // clearCache() alone would strand serving now-cold plans.
     spark.sqlContext.clearCache()
     graft.operators.Clustering.invalidateLabelCache()
+    graft.operators.Clustering.invalidateVecCache()
     graft.operators.Corpus.invalidateContamCache()
     // Pre-materialize the SHARED persisted stores at the target SF so
     // per-query timings are order-independent: without this, whichever
@@ -39,6 +40,7 @@ object Bench {
       graft.operators.Clustering.dupLabels(spark, sfDir).count()
       graft.operators.Corpus.decontaminateCore(spark, sfDir).count()
       graft.operators.Corpus.sideCountStore(spark, sfDir).count()
+      graft.operators.Clustering.vecStore(spark, sfDir).count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

@@ -188,6 +188,8 @@ object SparkEntry {
     "q_wire_books"        -> (WireIngest.qWireBooks(_, _)),
     // multimodal payload plumbing (binary column + stub decode)
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
+    "q_image_phash"       -> (Multimodal.qImagePhash(_, _)),
+    "q_image_neardup_pairs" -> (Multimodal.qImageNeardupPairs(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
     // replay uses a single position family, so the whole FSM is
     // re-runnable in SQL as a recursive CTE — full value oracle below
@@ -412,6 +414,8 @@ object SparkEntry {
     "q_status_pivot"       -> Analytics.sqlStatusPivot,
     "q_density_signals"    -> DensitySignals.sqlDensitySignals,
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
+    "q_image_phash"        -> Multimodal.sqlImagePhash,
+    "q_image_neardup_pairs" -> Multimodal.sqlImageNeardupPairs,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,

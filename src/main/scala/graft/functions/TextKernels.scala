@@ -141,6 +141,37 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** Perceptual hash of a decoded payload stream: 60 gradient bits over
+    * a 61-bin code-point-bigram histogram — the histogram-feature
+    * binarization shape of image perceptual hashing (Swain & Ballard,
+    * IJCV 1991 color-histogram indexing; dHash's gradient-bit step)
+    * applied to the stub decoder's code-point stream. The histogram is
+    * ORDER-ROBUST (a rearranged payload keeps its local-bigram
+    * multiset), which is the translation-robustness a real pHash gets
+    * from downsampling, and everything is integer-only — counts and
+    * one `>` per bit, no libm — so DuckDB replays it bit-for-bit. Bin
+    * mixing uses primes (131, 61) over raw code points; a real image
+    * deployment feeds pixel luminance bytes through the same bins. */
+  def phash60(text: UTF8String): Long = {
+    val s = text.toString
+    val counts = new Array[Long](61)
+    var prev = -1
+    var idx = 0
+    while (idx < s.length) {
+      val cp = s.codePointAt(idx)
+      if (prev >= 0) counts((prev * 131 + cp) % 61) += 1
+      prev = cp
+      idx += Character.charCount(cp)
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > counts(j + 1)) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   def simhash60(text: UTF8String): Long = {
     val t = tokens(text)
     val counts = new Array[Int](60)
@@ -209,6 +240,17 @@ case class AnchorHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): AnchorHashesExpr = copy(child = newChild)
 }
 
+/** `graft_phash60(text)`: 60-bit perceptual histogram-gradient hash. */
+case class PHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash60"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.phash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.phash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): PHash60Expr = copy(child = newChild)
+}
+
 /** `graft_simhash60(text)`: 60-bit SimHash. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -227,6 +269,7 @@ object TextKernelFunctions {
   def anchorHashes(text: Column): Column = call_function("graft_anchor_hashes", text)
   def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
   def simhash60(text: Column): Column = call_function("graft_simhash60", text)
+  def phash60(text: Column): Column = call_function("graft_phash60", text)
 
   private def reg1(name: String, build: Expression => Expression) = (
     FunctionIdentifier(name),
@@ -241,5 +284,6 @@ object TextKernelFunctions {
     reg1("graft_shingle_hashes", ShingleHashesExpr),
     reg1("graft_anchor_hashes", AnchorHashesExpr),
     reg1("graft_minhash_sig", MinHashSigExpr),
-    reg1("graft_simhash60", SimHash60Expr))
+    reg1("graft_simhash60", SimHash60Expr),
+    reg1("graft_phash60", PHash60Expr))
 }

@@ -27,9 +27,14 @@ object Behavior {
 
   private val WeekMicros = 7L * 86400L * 1000000L
 
-  /** Epoch week of `ts` — integer micros floor-divided, bit-identical
-    * to DuckDB's `epoch_us(ts) // 604800000000`. */
-  private def weekCol = expr(s"unix_micros(ts) div $WeekMicros")
+  /** Epoch week of `ts` — integer micros FLOOR-divided, bit-identical
+    * to DuckDB's `epoch_us(ts) // 604800000000` for any timestamp:
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so the pre-1970 case is made explicit by subtracting the
+    * always-non-negative `pmod` remainder first (exact int64; for
+    * ts ≥ epoch the two forms coincide). */
+  private def weekCol = expr(
+    s"(unix_micros(ts) - pmod(unix_micros(ts), $WeekMicros)) div $WeekMicros")
 
   // ------------------------------------------------------------------
   // Cohort retention (the weekly retention triangle): users are

@@ -319,6 +319,33 @@ object Clustering {
       struct(d2Col(vv, v, c).as("d2"), lit(cell).as("cell"))
     }: _*))
 
+  /** Persisted (vec_id, v, vv) trainer frame, computed once per
+    * (session, dir) and memoized — every Lloyd round AND the gate's
+    * final E-step scan this store instead of re-deriving the
+    * double-cast + self-dot from parquet (the
+    * [[Corpus.sideCountStore]] memoize/invalidate contract; Bench
+    * prewarms it so per-query timings are order-independent). */
+  private val vecCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def vecStore(spark: SparkSession, dir: String): DataFrame =
+    vecCache.getOrElseUpdate((spark, dir), {
+      val v = Tables.embeddingsSharded(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("vv", dot($"v", $"v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      v.count() // eager, so every consumer reads the materialized store
+      v
+    })
+
+  /** Drop the memoized trainer frames (same contract as
+    * [[invalidateLabelCache]] — no data-change detection, so cache
+    * clears and parquet rewrites must come through here). */
+  def invalidateVecCache(): Unit = {
+    vecCache.values.foreach(_.unpersist())
+    vecCache.clear()
+  }
+
   /** Run `rounds` Lloyd iterations; returns the trained centroids as
     * (cell, centroid) rows read back from the final update. */
   private def kmeansCentroids(
@@ -330,39 +357,38 @@ object Clustering {
       .head(KmK) // k seed rows — bounded model read
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     (1 to rounds).foreach { _ =>
-      // one slim (cell, dim) aggregate per round; the ≤ k·d result rows
-      // ARE the model state — assembled into per-cell arrays on the
-      // driver instead of paying a second shuffle + collect_list stage
-      val dims = vecs
-        .select(bestCol(cent, $"vv", $"v").getField("cell").as("cell"),
-          posexplode($"v").as(Seq("dim", "x")))
-        .groupBy($"cell", $"dim")
-        .agg((sum($"x".cast(DEC28)).cast("double") / count(lit(1))).as("cmean"))
-        .head(KmK * KmDims + 1) // bounded k·d model read-back per round
-      cent = dims
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        }
-        .toSeq.sortBy(_._1)
+      // one slim per-cell aggregate per round carrying all d decimal
+      // dimension sums as COLUMNS (map-side combine over ≤ k groups —
+      // no posexplode row blowup, no (cell, dim) shuffle key); the
+      // ≤ k result rows ARE the model state. Each per-dim mean is the
+      // same order-free DECIMAL(28,12) sum cast to double, divided by
+      // the count as one IEEE op — bit-identical to the oracle's
+      // unrolled (cell, dim) CTE.
+      val sums = (0 until KmDims).map(d =>
+        sum($"v".getItem(d).cast(DEC28)).cast("double").as(s"s$d"))
+      val rows = vecs
+        .select(bestCol(cent, $"vv", $"v").getField("cell").as("cell"), $"v")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .head(KmK + 1) // bounded k-row model read-back per round
+      cent = rows.map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0), (0 until KmDims).map(d => r.getDouble(2 + d) / n))
+      }.toSeq.sortBy(_._1)
     }
     cent
   }
 
   /** Gate face: per cell after a final E-step against the trained
     * centroids — member count, decimal-summed inertia, first four
-    * centroid components. */
+    * centroid components. The E-step reads the SAME persisted store
+    * the rounds trained on (reusing its precomputed `vv`), not a
+    * fresh parquet derivation. */
   private def kmeansGate(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
-    val vecs = Tables.embeddingsSharded(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("vv", dot($"v", $"v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cent =
-      try kmeansCentroids(vecs, rounds)
-      finally vecs.unpersist() // final E-step below re-derives from parquet
-    val best = bestCol(cent, dot($"v", $"v"), $"v")
-    val stats = Tables.embeddingsSharded(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val vecs = vecStore(spark, dir)
+    val cent = kmeansCentroids(vecs, rounds)
+    val best = bestCol(cent, $"vv", $"v")
+    val stats = vecs
       .select(best.getField("cell").as("cell"), best.getField("d2").as("d2"))
       .groupBy($"cell")
       .agg(count(lit(1)).cast("long").as("n_vecs"),

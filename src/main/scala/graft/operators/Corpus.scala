@@ -1087,13 +1087,21 @@ object Corpus {
   // the top tokens driving the shift. The drift monitor a continuously
   // ingested corpus needs: a jump in TV between yesterday's and
   // today's snapshot means the mixture moved. Per-token contribution
-  // is |cA·NB − cB·NA| — EXACT int64 (TV's |pA − pB| with the common
-  // denominator NA·NB cleared), so the ranking and the total are both
-  // reproducible; the only IEEE ops are the final divides. Scale
-  // shape: one map-side-combined (token, side) count — the word-count
-  // shuffle — a |vocab|-row reshape, a broadcast 1-row totals frame,
-  // and a TakeOrdered top-k. KL/JS need log(); TV needs none, which is
-  // why it's the cross-engine choice.
+  // is |cA·NB − cB·NA| — int64-exact (TV's |pA − pB| with the common
+  // denominator NA·NB cleared) ONLY while the cross products fit:
+  // cA·NB ≤ NA·NB < 2^63 requires per-side token totals ≲ 3·10⁹ — the
+  // same headroom bound as [[TextOps.qPmiBigrams]]' c12·N, and far
+  // below a 100 TB corpus (~10¹³ tokens). Past it, Spark (non-ANSI)
+  // wraps silently while DuckDB raises, so the mitigation is the PMI
+  // one: scale both sides' counts down by one shared exact factor
+  // g = 2^⌈log₂(max(NA,NB)/3·10⁹)⌉ (⌊c/g⌋ keeps the cleared-
+  // denominator form exact in the scaled grid), or move to the double
+  // |cA/NA − cB/NB| whose ranking matches up to IEEE rounding. At the
+  // gate's SF both products stay exact. Scale shape: one
+  // map-side-combined (token, side) count — the word-count shuffle —
+  // a |vocab|-row reshape, a broadcast 1-row totals frame, and a
+  // TakeOrdered top-k. KL/JS need log(); TV needs none, which is why
+  // it's the cross-engine choice.
   // ------------------------------------------------------------------
   val ShiftTopK = 30
 

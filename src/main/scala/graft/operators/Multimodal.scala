@@ -115,4 +115,91 @@ object Multimodal {
        |  ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual hash over the binary payload
+  // ([[graft.functions.TextKernels.phash60]]): decode → 61-bin
+  // code-point-bigram histogram → 60 gradient bits. The content-level
+  // near-dup the multimodal pillar was missing — sha256 ([[
+  // qMultimodalFeatures]]) only catches BYTE-exact copies; the
+  // perceptual hash lands rearranged/lightly-edited payloads within a
+  // few bits of hamming distance, the image analog of what SimHash
+  // (X3) does for text. The decode step is the stub contract: a real
+  // deployment feeds pixel luminance through the same bins and the
+  // bucketing below is unchanged. One codegen'd kernel pass riding the
+  // payload scan; nothing but (doc_id, long) ever shuffles.
+  // ------------------------------------------------------------------
+  def qImagePhash(spark: SparkSession, dir: String): DataFrame =
+    payloadTable(spark, dir)
+      .select($"doc_id", $"meta.n_bytes".as("n_bytes"),
+        graft.functions.TextKernelFunctions.phash60(
+          decode($"payload", "UTF-8")).as("phash"))
+      .orderBy($"doc_id")
+
+  /** Oracle: the same histogram-gradient hash unrolled in SQL —
+    * `ord(substr)` walks the decoded payload's code points exactly as
+    * the kernel does. */
+  val sqlImagePhash: String = sqlPhashCte +
+    s"""SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, phash
+       |FROM ph ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE computing `ph(doc_id, text, phash)` for the oracle
+    * twins (DuckDB lacks the kernel, so the histogram is built by
+    * unnesting the code-point index). */
+  private def sqlPhashCte: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |ix AS (SELECT doc_id, text, n, unnest(range(0, n - 1)) AS i FROM d),
+       |ch AS (SELECT doc_id,
+       |    (ord(substr(text, i + 1, 1)) * 131 + ord(substr(text, i + 2, 1))) % 61 AS bk
+       |  FROM ix),
+       |bs AS (SELECT doc_id, bk, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+       |grid AS (SELECT d.doc_id, r.b AS bk FROM d, range(0, 61) r(b)),
+       |dense AS (SELECT grid.doc_id, grid.bk, coalesce(c, 0)::BIGINT AS c
+       |  FROM grid LEFT JOIN bs ON grid.doc_id = bs.doc_id AND grid.bk = bs.bk),
+       |l AS (SELECT doc_id, list(c ORDER BY bk) AS lc FROM dense GROUP BY 1),
+       |ph AS (SELECT l.doc_id, d.text,
+       |    list_sum(list_transform(range(0, 60), j ->
+       |      CASE WHEN lc[j+1] > lc[j+2] THEN (1::BIGINT << j)
+       |           ELSE 0::BIGINT END))::BIGINT AS phash
+       |  FROM l JOIN d ON l.doc_id = d.doc_id)
+       |""".stripMargin
+
+  /** Perceptual near-dup pairs: hamming(phash) ≤ 3 via the 4×15-bit
+    * chunk pigeonhole bucket join — the EXACT machinery of
+    * [[Dedup.qSimhashPairs]] (≤ 3 differing bits across 4 chunks ⇒
+    * some chunk matches exactly), so the scale story is identical:
+    * the join key is a slim (chunk, 15-bit key) pair whose keyspace
+    * grows with the corpus, and the quadratic all-pairs face exists
+    * only in the oracle. */
+  def qImageNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = payloadTable(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextKernelFunctions.phash60(
+          decode($"payload", "UTF-8")).as("phash"))
+      .persist() // computed once, read by both join sides
+    base.count() // eager materialization
+    val chunked = base.select($"doc_id", $"phash",
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright($"phash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
+      .select($"doc_id", $"phash", $"cc.chunk", $"cc.ckey")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: exact all-pairs hamming ≤ 3 (the pigeonhole guarantees the
+    * bucketed Spark plan has perfect recall vs this). */
+  val sqlImageNeardupPairs: String = sqlPhashCte +
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

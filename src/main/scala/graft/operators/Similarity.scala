@@ -951,9 +951,14 @@ object Similarity {
       val queries = corpus.filter($"vec_id" < 10)
         .select($"vec_id".as("query_id"), $"tv".as("qv"), $"nv".as("nq"))
       val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      // zero-norm guard: an all-zero prefix would make the cosine
+      // 0/0 = NaN, which sorts FIRST under desc — silently ranking the
+      // degenerate vector as a top neighbor. Score it 0 instead (the
+      // NULLIF-guarded-denominator convention used across TextOps).
       corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id",
-          cosineWithNorms($"qv", $"tv", $"nq", $"nv").as("cosine"))
+          when($"nq" === 0.0 || $"nv" === 0.0, lit(0.0))
+            .otherwise(cosineWithNorms($"qv", $"tv", $"nq", $"nv")).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= EvalK)
         .select(lit(d.toLong).as("dims"), $"query_id", $"vec_id".as("neighbor_id"))
@@ -972,7 +977,9 @@ object Similarity {
       val dot = sqlFsum(s"list_transform(range(1, ${d + 1}), i -> ($a)[i] * ($b)[i])")
       val na = sqlFsum(s"list_transform(($a)[1:$d], x -> x * x)")
       val nb = sqlFsum(s"list_transform(($b)[1:$d], x -> x * x)")
-      s"($dot) / (sqrt($na) * sqrt($nb))"
+      // zero-norm prefix scores 0, never 0/0 = NaN (mirrors the Spark guard)
+      s"CASE WHEN ($na) = 0.0 OR ($nb) = 0.0 THEN 0.0::DOUBLE " +
+        s"ELSE ($dot) / (sqrt($na) * sqrt($nb)) END"
     }
     val legs = MrlDims.map { d =>
       s"""SELECT $d::BIGINT AS dims, query_id, neighbor_id FROM (

@@ -42,4 +42,44 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length == Multimodal.FeatureDims)
     assert(f1.forall(v => v >= 0.0 && v < 1.0))
   }
+
+  test("phash60 kernel matches an independent histogram-gradient reference") {
+    import spark.implicits._
+    // twin implementation written from the spec, not from the kernel
+    def ref(s: String): Long = {
+      val counts = new Array[Long](61)
+      val cps = s.codePoints().toArray
+      (0 until cps.length - 1).foreach(i =>
+        counts((cps(i) * 131 + cps(i + 1)) % 61) += 1)
+      (0 until 60).map(j => if (counts(j) > counts(j + 1)) 1L << j else 0L).sum
+    }
+    val rows = graft.sources.Tables.documents(spark, Sf0001).limit(20)
+      .select($"text",
+        graft.functions.TextKernelFunctions.phash60($"text").as("h"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+    // degenerate inputs: empty and single-char payloads have no bigrams
+    val edge = Seq("", "x").toDF("text")
+      .select(graft.functions.TextKernelFunctions.phash60($"text")).collect()
+    assert(edge.forall(_.getLong(0) == 0L))
+  }
+
+  test("image near-dup pairs: bucketed join ≡ exact all-pairs (pigeonhole recall)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bucketed = Multimodal.qImageNeardupPairs(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    val base = graft.sources.Tables.documents(spark, Sf0001)
+      .select($"doc_id", graft.functions.TextKernelFunctions.phash60($"text").as("h"))
+    val exact = base.as("a")
+      .join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long"))
+      .collect()
+      .filter(_.getLong(2) <= 3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == exact)
+  }
 }

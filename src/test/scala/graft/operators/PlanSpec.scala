@@ -32,6 +32,7 @@ class PlanSpec extends SparkSpec {
     // documented on Corpus.invalidateContamCache)
     spark.sharedState.cacheManager.clearCache()
     Clustering.invalidateLabelCache()
+    Clustering.invalidateVecCache()
     Corpus.invalidateContamCache()
     df.queryExecution.executedPlan.toString
   }
@@ -237,6 +238,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     // run detection aggregates with map-side combine like every slim shuffle
     assert(plan.contains("partial"))
+  }
+
+  test("q_image_neardup_pairs: phash chunk-bucketed equi join, never cartesian") {
+    val plan = executed(Multimodal.qImageNeardupPairs(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q_dedup_masks: span merge stays doc_id-keyed after the anchor join") {
