@@ -44,6 +44,8 @@ object SparkEntry {
     "q_decline_trend"     -> (EventWindows.qDeclineTrend(_, _)),
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
     "q_funnel"            -> (EventWindows.qFunnel(_, _)),
+    "q_funnel4"           -> (EventWindows.qFunnel4(_, _)),
+    "q_funnel_abandon"    -> (EventWindows.qFunnelAbandon(_, _)),
     // user-behavior analytics (cohorts, decayed engagement, experiments)
     "q_retention"         -> (Behavior.qRetention(_, _)),
     "q_decay_score"       -> (Behavior.qDecayScore(_, _)),
@@ -190,6 +192,8 @@ object SparkEntry {
     "q_multimodal"        -> (Multimodal.qMultimodalFeatures(_, _)),
     "q_image_phash"       -> (Multimodal.qImagePhash(_, _)),
     "q_image_neardup_pairs" -> (Multimodal.qImageNeardupPairs(_, _)),
+    "q_frame_phash"       -> (Multimodal.qFramePhash(_, _)),
+    "q_video_neardup"     -> (Multimodal.qVideoNeardup(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
     // replay uses a single position family, so the whole FSM is
     // re-runnable in SQL as a recursive CTE — full value oracle below
@@ -349,6 +353,8 @@ object SparkEntry {
     "q_decline_trend"      -> EventWindows.sqlDeclineTrend,
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_funnel"             -> EventWindows.sqlFunnel,
+    "q_funnel4"            -> EventWindows.sqlFunnel4,
+    "q_funnel_abandon"     -> EventWindows.sqlFunnelAbandon,
     "q_retention"          -> Behavior.sqlRetention,
     "q_decay_score"        -> Behavior.sqlDecayScore,
     "q_srm_check"          -> Behavior.sqlSrmCheck,
@@ -416,6 +422,8 @@ object SparkEntry {
     "q_multimodal"         -> Multimodal.sqlMultimodalFeatures,
     "q_image_phash"        -> Multimodal.sqlImagePhash,
     "q_image_neardup_pairs" -> Multimodal.sqlImageNeardupPairs,
+    "q_frame_phash"        -> Multimodal.sqlFramePhash,
+    "q_video_neardup"      -> Multimodal.sqlVideoNeardup,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,

@@ -208,61 +208,160 @@ object EventWindows {
   // ------------------------------------------------------------------
   val FunnelWindowSecs = 3600L
 
-  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** One stage of a sequence pattern: the event type to match, plus an
+    * optional within-seconds bound measured from the FIRST stage's
+    * event time (the MATCH_RECOGNIZE-style anchor window). */
+  final case class FunnelStage(eventType: String, withinSecs: Option[Long] = None)
+
+  /** The 3-stage gate's definition — one instantiation of the generic
+    * matcher, not a bespoke query. */
+  val FunnelStages: Seq[FunnelStage] = Seq(
+    FunnelStage("view"), FunnelStage("click"),
+    FunnelStage("purchase", Some(FunnelWindowSecs)))
+
+  /** 4-stage instantiation (view → click → signup → purchase within a
+    * day) — proves the matcher is parameterized, not a 3-stage special
+    * case. */
+  val Funnel4WindowSecs = 86400L
+  val Funnel4Stages: Seq[FunnelStage] = Seq(
+    FunnelStage("view"), FunnelStage("click"), FunnelStage("signup"),
+    FunnelStage("purchase", Some(Funnel4WindowSecs)))
+
+  private def eventsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
-    def first(df: DataFrame, tAlias: String, idAlias: String): DataFrame = {
+
+  /** Generic N-stage sequence matcher over (user_id, event_id, ts_s,
+    * event_type) rows: per user, stage k matches the FIRST event of its
+    * type strictly after stage k−1 (ordered on (ts_s, event_id) so
+    * same-second chains resolve identically cross-engine) and within
+    * `withinSecs` of the stage-0 anchor when bounded. Returns one frame
+    * per stage: (user_id, t0, t<k>, id<k>) — users present in frame k
+    * completed stages 0..k. Scale shape is per stage exactly the gate's
+    * (X103): one slim per-user window over the type-FILTERED scan (the
+    * event_type predicate pushes to parquet), user-keyed equi joins of
+    * per-user single rows, frames shrinking monotonically. */
+  def sequenceMatch(ev: DataFrame, stages: Seq[FunnelStage]): Seq[DataFrame] = {
+    require(stages.nonEmpty, "sequence needs at least one stage")
+    def firstPerUser(df: DataFrame, keep: Seq[Column]): DataFrame = {
       val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
-      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"user_id", $"ts_s".as(tAlias), $"event_id".as(idAlias))
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).select(keep: _*)
     }
-    val v = first(ev.filter($"event_type" === "view"), "t_view", "v_id")
-    val c = first(
-      ev.filter($"event_type" === "click").join(v, Seq("user_id"))
-        .filter($"ts_s" > $"t_view" ||
-          ($"ts_s" === $"t_view" && $"event_id" > $"v_id")),
-      "t_click", "c_id")
-    val p = first(
-      ev.filter($"event_type" === "purchase")
-        .join(v, Seq("user_id")).join(c, Seq("user_id"))
-        .filter(($"ts_s" > $"t_click" ||
-            ($"ts_s" === $"t_click" && $"event_id" > $"c_id")) &&
-          $"ts_s" <= $"t_view" + FunnelWindowSecs),
-      "t_purchase", "p_id")
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
-        (lit(1L) + when($"t_click".isNotNull, 1L).otherwise(0L) +
-          when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stages"),
-        ($"t_purchase" - $"t_view").as("secs_to_convert"))
+    val s0 = firstPerUser(ev.filter($"event_type" === stages.head.eventType),
+      Seq($"user_id", $"ts_s".as("t0"), $"event_id".as("id0")))
+    stages.zipWithIndex.tail.scanLeft(s0) { case (prev, (st, i)) =>
+      val cand = ev.filter($"event_type" === st.eventType)
+        .join(prev, Seq("user_id"))
+        .filter($"ts_s" > col(s"t${i - 1}") ||
+          ($"ts_s" === col(s"t${i - 1}") && $"event_id" > col(s"id${i - 1}")))
+      val bounded = st.withinSecs.fold(cand)(w => cand.filter($"ts_s" <= $"t0" + w))
+      firstPerUser(bounded,
+        Seq($"user_id", $"t0", $"ts_s".as(s"t$i"), $"event_id".as(s"id$i")))
+    }
+  }
+
+  /** Gate face over [[sequenceMatch]]: per funnel-starting user, the
+    * per-stage timestamps (t_<event_type> columns), stages completed,
+    * and first→last conversion seconds. */
+  def sequenceFunnelFace(spark: SparkSession, dir: String,
+      stages: Seq[FunnelStage]): DataFrame = {
+    val frames = sequenceMatch(eventsFrame(spark, dir), stages)
+    val named = frames.zip(stages).zipWithIndex.map { case ((f, st), i) =>
+      f.select($"user_id", col(s"t$i").as(s"t_${st.eventType}"))
+    }
+    val full = named.tail.foldLeft(named.head)(
+      (acc, f) => acc.join(f, Seq("user_id"), "left"))
+    val tCols = stages.map(st => col(s"t_${st.eventType}"))
+    val stageCount = tCols.tail.foldLeft(lit(1L))(
+      (acc, c) => acc + when(c.isNotNull, 1L).otherwise(0L))
+    full.select(
+      ($"user_id" +: tCols) ++ Seq(
+        stageCount.as("stages"),
+        (tCols.last - tCols.head).as("secs_to_convert")): _*)
       .orderBy($"user_id")
   }
 
-  val sqlFunnel: String =
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    sequenceFunnelFace(spark, dir, FunnelStages)
+
+  def qFunnel4(spark: SparkSession, dir: String): DataFrame =
+    sequenceFunnelFace(spark, dir, Funnel4Stages)
+
+  /** Funnel abandonment — the timer face of the sequence matcher
+    * (reference signature pattern T1, fraud_detector.py:108-133): a
+    * user who STARTED the funnel but had not completed it when the
+    * event-time clock passed their stage-0 anchor + the funnel window
+    * is emitted as abandoned, with the stage count they had reached BY
+    * the deadline (a post-deadline click still advances the unbounded
+    * stages in [[qFunnel]], but can never complete the bounded chain —
+    * the deadline verdict is final, which is what makes the streaming
+    * twin's timer emission ([[graft.streaming.SequenceTracker]])
+    * equivalent). Scale shape: [[qFunnel]]'s frames plus one broadcast
+    * 1-row max-clock aggregate. */
+  def qFunnelAbandon(spark: SparkSession, dir: String): DataFrame = {
+    val f = qFunnel(spark, dir)
+    val anchor = eventsFrame(spark, dir).agg(max($"ts_s").as("max_ts"))
+    f.crossJoin(broadcast(anchor))
+      .withColumn("deadline", $"t_view" + FunnelWindowSecs)
+      .filter($"t_purchase".isNull && $"max_ts" > $"deadline")
+      .select($"user_id",
+        (lit(1L) + when($"t_click".isNotNull && $"t_click" <= $"deadline", 1L)
+          .otherwise(0L)).as("stages_reached"),
+        $"t_view", $"deadline")
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin of [[sequenceFunnelFace]], GENERATED from the same
+    * stage list — one CTE per stage mirroring the per-user windows, so
+    * the Spark matcher and the oracle can never drift on a stage's
+    * predicate. */
+  def sqlSequenceFunnel(stages: Seq[FunnelStage]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, ts_s AS t0, event_id AS id0 FROM (
+           |    SELECT user_id, ts_s, event_id,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
+           |    FROM e WHERE event_type = '${st.eventType}') WHERE rn = 1)""".stripMargin
+      else {
+        val within =
+          st.withinSecs.map(w => s" AND x.ts_s <= p.t0 + $w").getOrElse("")
+        s"""s$i AS (SELECT user_id, t0, ts_s AS t$i, event_id AS id$i FROM (
+           |    SELECT x.user_id, p.t0, x.ts_s, x.event_id,
+           |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
+           |    FROM e x JOIN s${i - 1} p USING (user_id)
+           |    WHERE x.event_type = '${st.eventType}'
+           |      AND (x.ts_s > p.t${i - 1} OR (x.ts_s = p.t${i - 1} AND x.event_id > p.id${i - 1}))$within)
+           |  WHERE rn = 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val tSel = stages.zipWithIndex
+      .map { case (st, i) => s"s$i.t$i AS t_${st.eventType}" }.mkString(", ")
+    val n = stages.length - 1
+    val stagesExpr = (1 to n)
+      .map(i => s"CASE WHEN s$i.t$i IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
     s"""WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
        |    event_type FROM events),
-       |v AS (SELECT user_id, ts_s AS t_view, event_id AS v_id FROM (
-       |    SELECT user_id, ts_s, event_id,
-       |      row_number() OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS rn
-       |    FROM e WHERE event_type = 'view') WHERE rn = 1),
-       |c AS (SELECT user_id, ts_s AS t_click, event_id AS c_id FROM (
-       |    SELECT x.user_id, x.ts_s, x.event_id,
-       |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
-       |    FROM e x JOIN v USING (user_id)
-       |    WHERE x.event_type = 'click'
-       |      AND (x.ts_s > v.t_view OR (x.ts_s = v.t_view AND x.event_id > v.v_id)))
-       |  WHERE rn = 1),
-       |p AS (SELECT user_id, ts_s AS t_purchase, event_id AS p_id FROM (
-       |    SELECT x.user_id, x.ts_s, x.event_id,
-       |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
-       |    FROM e x JOIN v USING (user_id) JOIN c USING (user_id)
-       |    WHERE x.event_type = 'purchase'
-       |      AND (x.ts_s > c.t_click OR (x.ts_s = c.t_click AND x.event_id > c.c_id))
-       |      AND x.ts_s <= v.t_view + $FunnelWindowSecs)
-       |  WHERE rn = 1)
-       |SELECT v.user_id, t_view, t_click, t_purchase,
-       |  (1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
-       |     + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stages,
-       |  (t_purchase - t_view)::BIGINT AS secs_to_convert
-       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-       |ORDER BY v.user_id""".stripMargin
+       |$ctes
+       |SELECT s0.user_id, $tSel,
+       |  (1 + $stagesExpr)::BIGINT AS stages,
+       |  (s$n.t$n - s0.t0)::BIGINT AS secs_to_convert
+       |FROM s0 ${(1 to n).map(i => s"LEFT JOIN s$i USING (user_id)").mkString(" ")}
+       |ORDER BY s0.user_id""".stripMargin
+  }
+
+  val sqlFunnel: String = sqlSequenceFunnel(FunnelStages)
+  val sqlFunnel4: String = sqlSequenceFunnel(Funnel4Stages)
+
+  val sqlFunnelAbandon: String =
+    s"""WITH f AS ($sqlFunnel),
+       |mx AS (SELECT max(epoch_ms(ts) // 1000) AS max_ts FROM events)
+       |SELECT user_id,
+       |  (1 + CASE WHEN t_click IS NOT NULL
+       |            AND t_click <= t_view + $FunnelWindowSecs THEN 1 ELSE 0 END)::BIGINT
+       |    AS stages_reached,
+       |  t_view, (t_view + $FunnelWindowSecs)::BIGINT AS deadline
+       |FROM f CROSS JOIN mx
+       |WHERE t_purchase IS NULL AND max_ts > t_view + $FunnelWindowSecs
+       |ORDER BY user_id""".stripMargin
 }

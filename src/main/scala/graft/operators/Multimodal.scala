@@ -202,4 +202,104 @@ object Multimodal {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Video-modality plumbing: the payload as a FRAME SEQUENCE. The stub
+  // frame sampler cuts the decoded stream into fixed-length frames
+  // (FrameChars code points ≈ one sampled video frame / audio window);
+  // each frame gets its own perceptual hash via the same kernel. This
+  // is the standard video-fingerprint layout (frame-level perceptual
+  // hashes in an inverted index — the shape behind content-ID systems):
+  // per-frame work rides the payload scan inside codegen (the
+  // substring transform is O(payload) total), and downstream only
+  // (doc_id, frame_no, long) rows move. A real deployment swaps the
+  // sampler for keyframe extraction and feeds luminance; schema and
+  // join shapes are unchanged.
+  // ------------------------------------------------------------------
+  val FrameChars = 96
+
+  /** (doc_id, frame_no, fhash) rows, unsorted — the shared core of the
+    * gate face and the near-dup join (which must not inherit a
+    * presentation sort). */
+  private def framePhashes(spark: SparkSession, dir: String): DataFrame =
+    payloadTable(spark, dir)
+      .select($"doc_id", decode($"payload", "UTF-8").as("txt"))
+      .select($"doc_id", posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(length(txt) / ${FrameChars}.0) as int), 1) - 1),
+           |  i -> graft_phash60(substring(txt, i * $FrameChars + 1, $FrameChars)))""".stripMargin))
+        .as(Seq("frame_no", "fhash")))
+      .select($"doc_id", $"frame_no".cast("long").as("frame_no"), $"fhash")
+
+  /** Per-frame perceptual hashes: (doc_id, frame_no, fhash). */
+  def qFramePhash(spark: SparkSession, dir: String): DataFrame =
+    framePhashes(spark, dir).orderBy($"doc_id", $"frame_no")
+
+  /** Shared CTE: fr(doc_id, frame_no, ftxt) + fph(doc_id, frame_no,
+    * fhash) — the frame sampler and per-frame histogram hash unrolled
+    * for DuckDB. */
+  private def sqlFramePhashCte: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |fr AS (SELECT doc_id, i AS frame_no, substr(text, i * $FrameChars + 1, $FrameChars) AS ftxt
+       |  FROM (SELECT doc_id, text, n,
+       |          unnest(range(0, greatest((n + ${FrameChars - 1}) // $FrameChars, 1))) AS i
+       |        FROM d)),
+       |ix AS (SELECT doc_id, frame_no, ftxt, unnest(range(0, length(ftxt) - 1)) AS i FROM fr),
+       |ch AS (SELECT doc_id, frame_no,
+       |    (ord(substr(ftxt, i + 1, 1)) * 131 + ord(substr(ftxt, i + 2, 1))) % 61 AS bk
+       |  FROM ix),
+       |bs AS (SELECT doc_id, frame_no, bk, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2, 3),
+       |grid AS (SELECT doc_id, frame_no, r.b AS bk FROM fr, range(0, 61) r(b)),
+       |dense AS (SELECT grid.doc_id, grid.frame_no, grid.bk, coalesce(c, 0)::BIGINT AS c
+       |  FROM grid LEFT JOIN bs ON grid.doc_id = bs.doc_id
+       |    AND grid.frame_no = bs.frame_no AND grid.bk = bs.bk),
+       |l AS (SELECT doc_id, frame_no, list(c ORDER BY bk) AS lc
+       |  FROM dense GROUP BY 1, 2),
+       |fph AS (SELECT doc_id, frame_no,
+       |    list_sum(list_transform(range(0, 60), j ->
+       |      CASE WHEN lc[j+1] > lc[j+2] THEN (1::BIGINT << j)
+       |           ELSE 0::BIGINT END))::BIGINT AS fhash
+       |  FROM l)
+       |""".stripMargin
+
+  val sqlFramePhash: String = sqlFramePhashCte +
+    s"""SELECT doc_id, frame_no::BIGINT AS frame_no, fhash FROM fph
+       |ORDER BY doc_id, frame_no""".stripMargin
+
+  /** Video near-dup: document pairs sharing ≥ [[VideoMinShared]]
+    * DISTINCT frame hashes — the shared-fingerprint-count criterion of
+    * frame-level video dedup. Scale shape: the join key is the frame
+    * hash (inverted index — keyspace grows with the corpus), frames
+    * occurring in more than [[MaxFrameDocs]] documents are dropped
+    * BEFORE the pair join (the boilerplate-frame guard bounding the
+    * quadratic blowup a title-card/intro frame would cause — the
+    * [[Dedup]] substring-anchor SubstrMaxOcc precedent, mirrored in
+    * the oracle), and only slim (doc, doc) pairs aggregate. */
+  val VideoMinShared = 2
+  val MaxFrameDocs = 50
+
+  def qVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val f = framePhashes(spark, dir).select($"doc_id", $"fhash").distinct()
+    val rare = f.groupBy($"fhash").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= MaxFrameDocs)
+    val kept = f.join(rare.select($"fhash"), Seq("fhash"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("shared_frames"))
+      .filter($"shared_frames" >= VideoMinShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val sqlVideoNeardup: String = sqlFramePhashCte +
+    s""", f AS (SELECT DISTINCT doc_id, fhash FROM fph),
+       |rare AS (SELECT fhash FROM f GROUP BY fhash
+       |  HAVING count(*) <= $MaxFrameDocs),
+       |k AS (SELECT doc_id, fhash FROM f JOIN rare USING (fhash))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*)::BIGINT AS shared_frames
+       |FROM k a JOIN k b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

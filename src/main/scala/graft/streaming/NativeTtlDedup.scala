@@ -13,7 +13,7 @@ import graft.streaming.IdempotentDedup.SignalRow
  * (`spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider`),
  * which is also why this stays behind a flag here:
  *
- * ENVIRONMENT NOTE (retried rounds 5-6, last 2026-08-13): under this sandbox's
+ * ENVIRONMENT NOTE (retried rounds 5-8, last 2026-08-14): under this sandbox's
  * local[32] JVM the RocksDB provider's maintenance thread stalls the
  * first micro-batch indefinitely (no error surfaces; the query never
  * finishes `processAllAvailable`). NativeTtlDedupSpec therefore only

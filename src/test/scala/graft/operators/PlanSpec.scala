@@ -665,6 +665,30 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("value"))
   }
 
+  test("q_funnel4: the generic matcher keeps the 3-stage plan contract at 4 stages") {
+    val plan = executedCold(EventWindows.qFunnel4(spark, Sf0001))
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(event_type"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("value"))
+  }
+
+  test("q_funnel_abandon: funnel frames + ONE broadcast 1-row clock — no extra corpus shuffle") {
+    val plan = executedCold(EventWindows.qFunnelAbandon(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the max-clock anchor joins as a broadcast of a 1-row aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("q_video_neardup: frame-hash inverted-index join is equi on fhash, never cartesian") {
+    val plan = executedCold(Multimodal.qVideoNeardup(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // shared-frame counts aggregate with map-side combine
+    assert(plan.contains("partial"))
+  }
+
   test("q_ann_eval: evaluation joins probe-sized outputs — never corpus-sized frames") {
     val plan = executedCold(Similarity.qAnnEval(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))

@@ -10,8 +10,9 @@ import graft.streaming.IdempotentDedup.SignalRow
   * to run. In this sandbox the RocksDB provider stalls the first
   * micro-batch, so the default run cancels rather than hangs; re-try
   * each round — a green run is the signal to migrate T5. Retried
-  * rounds 4, 5, 6, 7: still stalls (round 7: 300 s timeout, flag on,
-  * first micro-batch never completes). */
+  * rounds 4, 5, 6, 7, 8: still stalls (rounds 7-8: 300 s timeout,
+  * flag on, first micro-batch never completes; last retried
+  * 2026-08-14). */
 class NativeTtlDedupSpec extends SparkSpec {
 
   test("native transformWithState TTL dedup: first-seen wins within the TTL") {

@@ -428,41 +428,65 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("FunnelTracker: MemoryStream replay of the CEP funnel equals the batch stage windows") {
+  test("SequenceTracker: MemoryStream replay — hits ≡ batch stage windows, timer abandons ≡ batch deadline face") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import FunnelTracker._
+    import SequenceTracker._
+    import graft.operators.EventWindows
 
     val dir = graft.SparkSpec.Sf0001
-    // batch truth: each non-null stage timestamp of q_funnel is one hit
-    val expected = graft.operators.EventWindows.qFunnel(spark, dir).collect().toSeq
-      .flatMap { r =>
-        val u = r.getAs[Long]("user_id")
-        Seq(Some((u, 1L, r.getAs[Long]("t_view"))),
-          Option(r.getAs[java.lang.Long]("t_click")).map(t => (u, 2L, t.toLong)),
-          Option(r.getAs[java.lang.Long]("t_purchase")).map(t => (u, 3L, t.toLong))).flatten
-      }.sorted
-    assert(expected.nonEmpty)
-
     val events = Tables.events(spark, dir)
       .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
-      .as[FunnelEvent].collect().toSeq.sortBy(e => (e.ts_s, e.event_id))
+      .as[SeqEvent].collect().toSeq.sortBy(e => (e.ts_s, e.event_id))
+    val maxTs = events.map(_.ts_s).max
 
-    val input = MemoryStream[FunnelEvent]
-    val q = trackStream(input.toDS())
-      .writeStream.format("memory").queryName("funnel_replay")
-      .outputMode("append").start()
-    try {
-      timeChunks[FunnelEvent](events, _.ts_s, 4).foreach { chunk =>
-        input.addData(chunk)
+    def run(stages: Seq[EventWindows.FunnelStage],
+        qname: String): Seq[(Long, String, Long, Long)] = {
+      val input = MemoryStream[SeqEvent]
+      val q = trackStream(stages)(input.toDS())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        timeChunks[SeqEvent](events, _.ts_s, 4).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+        // sentinel at the corpus max clock (matches no stage): runs one
+        // more micro-batch so timers whose deadline the FINAL watermark
+        // passed fire — exactly the batch face's max_ts > deadline
+        // condition, no earlier and no later
+        input.addData(Seq(SeqEvent(-1L, -1L, maxTs, "__none__")))
         q.processAllAvailable()
+        spark.table(qname).as[SeqOut].collect().toSeq
+          .map(h => (h.user_id, h.kind, h.stage, h.ts_s)).sorted
+      } finally q.stop()
+    }
+
+    // ---- 3-stage instantiation: hits from q_funnel + abandons from
+    // q_funnel_abandon
+    def stageHits(face: org.apache.spark.sql.DataFrame,
+        stages: Seq[EventWindows.FunnelStage]): Seq[(Long, String, Long, Long)] =
+      face.collect().toSeq.flatMap { r =>
+        val u = r.getAs[Long]("user_id")
+        stages.zipWithIndex.flatMap { case (st, i) =>
+          Option(r.getAs[java.lang.Long](s"t_${st.eventType}"))
+            .map(t => (u, "hit", (i + 1).toLong, t.toLong))
+        }
       }
-      val streamed = spark.table("funnel_replay")
-        .as[FunnelHit].collect().toSeq
-        .map(h => (h.user_id, h.stage, h.ts_s)).sorted
-      assert(streamed.size == expected.size)
-      assert(streamed == expected)
-    } finally q.stop()
+    val hits3 = stageHits(EventWindows.qFunnel(spark, dir), EventWindows.FunnelStages)
+    val abandons3 = EventWindows.qFunnelAbandon(spark, dir).collect().toSeq
+      .map(r => (r.getAs[Long]("user_id"), "abandon",
+        r.getAs[Long]("stages_reached"), r.getAs[Long]("deadline")))
+    assert(hits3.nonEmpty && abandons3.nonEmpty)
+    val streamed3 = run(EventWindows.FunnelStages, "seq3_replay")
+    assert(streamed3 == (hits3 ++ abandons3).sorted)
+
+    // ---- 4-stage instantiation: the SAME tracker with a different
+    // stage list reproduces the 4-stage batch face's hits
+    val hits4 = stageHits(EventWindows.qFunnel4(spark, dir), EventWindows.Funnel4Stages)
+    assert(hits4.nonEmpty)
+    val streamed4 = run(EventWindows.Funnel4Stages, "seq4_replay")
+    assert(streamed4.filter(_._2 == "hit") == hits4.sorted)
   }
 
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
