@@ -45,6 +45,8 @@ object SparkEntry {
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
     "q_funnel"            -> (EventWindows.qFunnel(_, _)),
     "q_funnel4"           -> (EventWindows.qFunnel4(_, _)),
+    "q_event_flow"        -> (Behavior.qEventFlow(_, _)),
+    "q_salted_join"       -> (Scale.qSaltedJoin(_, _)),
     "q_funnel_abandon"    -> (EventWindows.qFunnelAbandon(_, _)),
     // user-behavior analytics (cohorts, decayed engagement, experiments)
     "q_retention"         -> (Behavior.qRetention(_, _)),
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_image_neardup_pairs" -> (Multimodal.qImageNeardupPairs(_, _)),
     "q_frame_phash"       -> (Multimodal.qFramePhash(_, _)),
     "q_video_neardup"     -> (Multimodal.qVideoNeardup(_, _)),
+    "q_modal_dedup"       -> (Multimodal.qModalDedup(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
     // replay uses a single position family, so the whole FSM is
     // re-runnable in SQL as a recursive CTE — full value oracle below
@@ -354,6 +357,8 @@ object SparkEntry {
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_funnel"             -> EventWindows.sqlFunnel,
     "q_funnel4"            -> EventWindows.sqlFunnel4,
+    "q_event_flow"         -> Behavior.sqlEventFlow,
+    "q_salted_join"        -> Scale.sqlSaltedJoin,
     "q_funnel_abandon"     -> EventWindows.sqlFunnelAbandon,
     "q_retention"          -> Behavior.sqlRetention,
     "q_decay_score"        -> Behavior.sqlDecayScore,
@@ -424,6 +429,7 @@ object SparkEntry {
     "q_image_neardup_pairs" -> Multimodal.sqlImageNeardupPairs,
     "q_frame_phash"        -> Multimodal.sqlFramePhash,
     "q_video_neardup"      -> Multimodal.sqlVideoNeardup,
+    "q_modal_dedup"        -> Multimodal.sqlModalDedup,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,

@@ -162,6 +162,45 @@ object Behavior {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------------------------
+  // Event-flow transition matrix (the Sankey/Markov feed of product
+  // analytics; first-order user-journey model): for each ordered pair
+  // of event types, how often does a user's NEXT event follow the
+  // current one, and with what conditional probability. Transitions
+  // order on (ts, event_id) — the funnel family's tie-break — so
+  // same-second neighbors resolve identically cross-engine; p is one
+  // IEEE divide of exact window-summed int64 counts. Scale shape: ONE
+  // user-keyed shuffle for the lead() window over slim (user, ts, id,
+  // type) rows, then a map-side-combined |types|² aggregate; the
+  // probability window runs over the tiny matrix frame.
+  // ------------------------------------------------------------------
+  def qEventFlow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val sqlEventFlow: String =
+    s"""WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
+       |    event_type FROM events),
+       |t AS (SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+       |      AS to_type
+       |  FROM e),
+       |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM t
+       |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS p
+       |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val sqlSrmCheck: String = {
     val arm = s"(${Hashing.sqlH60("user_id::VARCHAR")}) % 2"
     s"""WITH armed AS (SELECT user_id, event_type, $arm AS arm FROM events),

@@ -171,7 +171,10 @@ object Multimodal {
     * the join key is a slim (chunk, 15-bit key) pair whose keyspace
     * grows with the corpus, and the quadratic all-pairs face exists
     * only in the oracle. */
-  def qImageNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered pair set — the face downstream consumers
+    * ([[qModalDedup]]) compose over without paying the presentation
+    * sort (the [[Dedup.minhashLshPairsCore]] convention). */
+  def imageNeardupCore(spark: SparkSession, dir: String): DataFrame = {
     val base = payloadTable(spark, dir)
       .select($"doc_id",
         graft.functions.TextKernelFunctions.phash60(
@@ -191,8 +194,10 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= 3)
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  def qImageNeardupPairs(spark: SparkSession, dir: String): DataFrame =
+    imageNeardupCore(spark, dir).orderBy($"doc_a", $"doc_b")
 
   /** Oracle: exact all-pairs hamming ≤ 3 (the pigeonhole guarantees the
     * bucketed Spark plan has perfect recall vs this). */
@@ -278,7 +283,8 @@ object Multimodal {
   val VideoMinShared = 2
   val MaxFrameDocs = 50
 
-  def qVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered pair set (see [[imageNeardupCore]]). */
+  def videoNeardupCore(spark: SparkSession, dir: String): DataFrame = {
     val f = framePhashes(spark, dir).select($"doc_id", $"fhash").distinct()
     val rare = f.groupBy($"fhash").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" <= MaxFrameDocs)
@@ -289,8 +295,10 @@ object Multimodal {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).cast("long").as("shared_frames"))
       .filter($"shared_frames" >= VideoMinShared)
-      .orderBy($"doc_a", $"doc_b")
   }
+
+  def qVideoNeardup(spark: SparkSession, dir: String): DataFrame =
+    videoNeardupCore(spark, dir).orderBy($"doc_a", $"doc_b")
 
   val sqlVideoNeardup: String = sqlFramePhashCte +
     s""", f AS (SELECT DISTINCT doc_id, fhash FROM fph),
@@ -302,4 +310,82 @@ object Multimodal {
        |FROM k a JOIN k b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cross-modal dedup verdict — the integration step a multimodal
+  // training-data pipeline actually ships: near-dup evidence from ALL
+  // modalities (text MinHash-LSH X2, perceptual payload hash X113,
+  // shared video frames X117) merges into ONE edge set, connected
+  // components elect a canonical keeper per cluster, and each document
+  // gets a keep/drop verdict plus which modalities implicated it —
+  // so a doc dropped for image-level duplication is auditable as such
+  // even when its text passed. Scale shape: each evidence family
+  // already generates pairs via hash/band/chunk keys (no all-pairs
+  // anywhere); the union is |edges|-sized; min-label propagation is
+  // the [[Clustering.connectedComponents]] loop (diameter-bounded slim
+  // (long, long) shuffles); the verdict join is doc-keyed.
+  // ------------------------------------------------------------------
+  def qModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Dedup.minhashLshPairsCore(spark, dir)
+      .select($"doc_a", $"doc_b", lit("text").as("m"))
+      .unionByName(imageNeardupCore(spark, dir)
+        .select($"doc_a", $"doc_b", lit("image").as("m")))
+      .unionByName(videoNeardupCore(spark, dir)
+        .select($"doc_a", $"doc_b", lit("video").as("m")))
+    val edges = tagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct()
+    val labels = Clustering.connectedComponents(edges)
+      .select($"id".as("doc_id"), $"label")
+    val via = tagged
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"), $"m")
+      .groupBy($"doc_id")
+      .agg((sum(when($"m" === "text", 1).otherwise(0)) > 0).as("via_text"),
+        (sum(when($"m" === "image", 1).otherwise(0)) > 0).as("via_image"),
+        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"))
+    Tables.documentsSharded(spark, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .join(via, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"),
+        (coalesce($"label", $"doc_id") === $"doc_id").as("kept"),
+        coalesce($"via_text", lit(false)).as("via_text"),
+        coalesce($"via_image", lit(false)).as("via_image"),
+        coalesce($"via_video", lit(false)).as("via_video"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the three pair oracles unioned, transitive closure by
+    * recursive CTE (the [[Clustering.sqlDedupDecision]] shape), plus
+    * per-doc modality incidence flags. */
+  val sqlModalDedup: String =
+    s"""WITH RECURSIVE tp AS (${Dedup.sqlMinhashLshPairs}),
+       |ip AS ($sqlImageNeardupPairs),
+       |vp AS ($sqlVideoNeardup),
+       |tag AS (
+       |  SELECT doc_a, doc_b, 'text' AS m FROM tp
+       |  UNION ALL SELECT doc_a, doc_b, 'image' AS m FROM ip
+       |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp),
+       |edges AS (
+       |  SELECT DISTINCT doc_a AS src, doc_b AS dst FROM tag
+       |  UNION SELECT DISTINCT doc_b AS src, doc_a AS dst FROM tag),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+       |via AS (SELECT doc_id,
+       |    bool_or(m = 'text') AS via_text,
+       |    bool_or(m = 'image') AS via_image,
+       |    bool_or(m = 'video') AS via_video
+       |  FROM (SELECT doc_a AS doc_id, m FROM tag
+       |        UNION ALL SELECT doc_b AS doc_id, m FROM tag)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(l.label, d.doc_id) AS cluster_id,
+       |  coalesce(l.label, d.doc_id) = d.doc_id AS kept,
+       |  coalesce(v.via_text, false) AS via_text,
+       |  coalesce(v.via_image, false) AS via_image,
+       |  coalesce(v.via_video, false) AS via_video
+       |FROM documents d LEFT JOIN labels l USING (doc_id)
+       |  LEFT JOIN via v USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

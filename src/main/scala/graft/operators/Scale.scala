@@ -58,6 +58,51 @@ object Scale {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Two-sided salted equi-join — the fact-fact skew-JOIN lever (the
+    * join twin of [[saltedCountSum]], and what AQE's skew-join split
+    * does adaptively, expressed as an explicit deterministic rewrite):
+    * the skewed probe side gets a hash-derived salt in [0, salts); the
+    * build side is replicated once per salt value; the join runs on
+    * (key, salt), so a hot key's rows spread over `salts` reducers
+    * while every probe row still meets each matching build row exactly
+    * once — the result is row-identical to the direct join. Cost of
+    * the lever: the build side shuffles `salts`× (bounded, chosen);
+    * the win: the hot key's 30 TB no longer serializes through one
+    * reducer. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 tiebreak: String, salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt", saltCol(col(tiebreak), salts))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle gate for the salted join: the Spark face routes
+  // lineitem ⋈ orders through [[saltedJoin]] (16-way) and aggregates
+  // per customer; DuckDB runs the DIRECT join — hash-equality is the
+  // every-probe-row-meets-its-build-row-exactly-once claim, checked
+  // cross-engine on real data.
+  // ------------------------------------------------------------------
+  def qSaltedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_linenumber")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(DEC)).cast("double").as("revenue"))
+      .orderBy($"o_custkey")
+  }
+
+  val sqlSaltedJoin: String =
+    """SELECT o_custkey, count(*)::BIGINT AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   // Skew diagnostics: the measurement that tells you WHEN to reach for
   // the salting/AQE levers above. For a prospective join/group key,

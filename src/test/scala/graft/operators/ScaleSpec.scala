@@ -20,6 +20,21 @@ class ScaleSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the direct join exactly (every probe row meets its build row once)") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_extendedprice", $"l_linenumber")
+    val ord = Tables.orders(spark, Sf0001)
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    val salted = Scale.saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val direct = li.join(ord, Seq("l_orderkey"))
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted.nonEmpty && salted == direct)
+  }
+
   test("salt column is deterministic and bounded") {
     import spark.implicits._
     val ev = Tables.events(spark, Sf0001).select($"event_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Analytics, Clustering, Corpus, Similarity}
+import graft.operators.{Analytics, Clustering, Corpus, EventWindows, Multimodal, Scale, Similarity}
 import graft.sources.Tables
 import graft.streaming.PositionTracker
 
@@ -61,6 +61,20 @@ object ScalingHarness {
       d.withColumn("event_id", $"event_id" + lit(i.toLong * 10000000L))
         .withColumn("user_id", $"user_id" + lit(i.toLong * 1000000L))
     }.write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // round-8: the salted-join pipeline reads the TPC-H fact pair —
+    // keys shift per replica so join fan-out per key stays constant
+    // (10× keys, constant matches per key: the shape a fact-fact join
+    // scales along)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    replicated(ord) { (d, i) =>
+      d.withColumn("o_orderkey", $"o_orderkey" + lit(i.toLong * 100000000L))
+        .withColumn("o_custkey", $"o_custkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    replicated(li) { (d, i) =>
+      d.withColumn("l_orderkey", $"l_orderkey" + lit(i.toLong * 100000000L))
+    }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
   }
 
   private def annCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -146,12 +160,33 @@ object ScalingHarness {
     "pmi_bigrams" ->
       (dir => graft.operators.TextOps.qPmiBigrams(spark, dir).count()),
     "winnow" ->
-      (dir => graft.operators.TextOps.qWinnow(spark, dir).count()))
+      (dir => graft.operators.TextOps.qWinnow(spark, dir).count()),
+    // Round-8 additions. image_neardup is the phash chunk-bucket join
+    // (10× hashes, slim chunk keys). video_neardup is the frame-hash
+    // inverted index (10× frames; the boilerplate guard bounds hot
+    // hashes). modal_dedup unions three pair families + label
+    // propagation. funnel4 is four user-keyed stage windows over
+    // type-filtered scans. salted_join replicates the build side 16×
+    // by construction — the lever's bounded, chosen cost. event_flow
+    // is one user-keyed lead() window + a |types|²-sized aggregate.
+    "image_neardup" ->
+      (dir => Multimodal.qImageNeardupPairs(spark, dir).count()),
+    "video_neardup" ->
+      (dir => Multimodal.qVideoNeardup(spark, dir).count()),
+    "modal_dedup" ->
+      (dir => Multimodal.qModalDedup(spark, dir).count()),
+    "funnel4" ->
+      (dir => EventWindows.qFunnel4(spark, dir).count()),
+    "salted_join" ->
+      (dir => Scale.qSaltedJoin(spark, dir).count()),
+    "event_flow" ->
+      (dir => graft.operators.Behavior.qEventFlow(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
     spark.sqlContext.clearCache()
     Clustering.invalidateLabelCache()
+    Clustering.invalidateVecCache()
     Corpus.invalidateContamCache()
   }
 
