@@ -25,6 +25,7 @@ object Bench {
     graft.operators.Clustering.invalidateLabelCache()
     graft.operators.Clustering.invalidateVecCache()
     graft.operators.Corpus.invalidateContamCache()
+    graft.operators.Multimodal.invalidateModalCache()
     // Pre-materialize the SHARED persisted stores at the target SF so
     // per-query timings are order-independent: without this, whichever
     // query touches a store first absorbs its whole build cost
@@ -41,6 +42,7 @@ object Bench {
       graft.operators.Corpus.decontaminateCore(spark, sfDir).count()
       graft.operators.Corpus.sideCountStore(spark, sfDir).count()
       graft.operators.Clustering.vecStore(spark, sfDir).count()
+      graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

@@ -50,9 +50,18 @@ object Clustering {
     val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
     // Round 0 folded into init: every node starts at min(self, neighbors)
     // (sym has both directions, so every node appears as src).
+    // LINEAGE TRUNCATION (load-bearing at scale): each round's labels
+    // frame references the previous one TWICE (once directly in the
+    // union, once through the edge join), so a persist-only loop grows
+    // the LOGICAL plan exponentially with the round count — on a dense
+    // graph needing many rounds, merely printing or re-analyzing the
+    // plan OOMs the driver long before any data pressure (observed on
+    // the 10× rehearsal's modal-dedup graph). `localCheckpoint(eager)`
+    // materializes AND cuts the lineage, so every round's plan is flat:
+    // one scan of the previous checkpoint + one join/aggregate.
     var labels = sym.groupBy($"src".as("id"))
       .agg(min(least($"src", $"dst")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Labels are node-wise monotone non-increasing, so the total label
     // sum strictly decreases iff any node changed — convergence is one
     // tiny aggregate per round instead of a labels⋈labels diff join.
@@ -68,9 +77,9 @@ object Clustering {
         .select($"dst".as("id"), $"label")
       val next = labels.unionByName(viaEdges)
         .groupBy($"id").agg(min($"label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
+        .localCheckpoint(true)
       labels.unpersist()
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -116,7 +116,10 @@ object SequenceTracker {
               st = next
               hit
             }
-            state.update(st)
+            // never materialize state for users who haven't matched
+            // stage 0 — at scale, state size is |sequence starters|,
+            // not |users seen|
+            if (st.ts.nonEmpty || state.exists) state.update(st)
             if (st.ts.nonEmpty && st.ts.length < n && !st.abandonEmitted) {
               // setTimeoutTimestamp throws if the ts is not strictly
               // ahead of the watermark; clamping just defers the timer

@@ -188,6 +188,7 @@ object ScalingHarness {
     Clustering.invalidateLabelCache()
     Clustering.invalidateVecCache()
     Corpus.invalidateContamCache()
+    Multimodal.invalidateModalCache()
   }
 
   def main(args: Array[String]): Unit = {
