@@ -46,6 +46,7 @@ object SparkEntry {
     "q_funnel"            -> (EventWindows.qFunnel(_, _)),
     "q_funnel4"           -> (EventWindows.qFunnel4(_, _)),
     "q_event_flow"        -> (Behavior.qEventFlow(_, _)),
+    "q_attribution"       -> (Behavior.qAttribution(_, _)),
     "q_salted_join"       -> (Scale.qSaltedJoin(_, _)),
     "q_funnel_abandon"    -> (EventWindows.qFunnelAbandon(_, _)),
     // user-behavior analytics (cohorts, decayed engagement, experiments)
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_funnel"             -> EventWindows.sqlFunnel,
     "q_funnel4"            -> EventWindows.sqlFunnel4,
     "q_event_flow"         -> Behavior.sqlEventFlow,
+    "q_attribution"        -> Behavior.sqlAttribution,
     "q_salted_join"        -> Scale.sqlSaltedJoin,
     "q_funnel_abandon"     -> EventWindows.sqlFunnelAbandon,
     "q_retention"          -> Behavior.sqlRetention,

@@ -188,6 +188,50 @@ object Behavior {
       .orderBy($"from_type", $"to_type")
   }
 
+  // ------------------------------------------------------------------
+  // Last-touch attribution (the marketing-analytics standard: each
+  // conversion credits the latest preceding touch event): for every
+  // purchase, the most recent prior click by the same user, with the
+  // gap in seconds; unattributed purchases keep NULL touch columns.
+  // The "latest prior" is last_value-ignore-nulls over the funnel
+  // family's total (ts, event_id) order, so both engines pick the
+  // identical row (and both touch columns come from that one row).
+  // Scale shape: ONE user-keyed shuffle for the running-last window
+  // over slim rows, then a purchase-only projection — no join at all
+  // (the join-free running-last trick of [[Temporal.qAsofJoin]]).
+  // ------------------------------------------------------------------
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def lastClick(c: org.apache.spark.sql.Column) =
+      last(when($"event_type" === "click", c), ignoreNulls = true).over(w)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .withColumn("click_ts", lastClick($"ts_s"))
+      .withColumn("click_id", lastClick($"event_id"))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts_s".as("t_purchase"), $"click_id", $"click_ts",
+        ($"ts_s" - $"click_ts").as("gap_secs"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val sqlAttribution: String =
+    s"""WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
+       |    event_type FROM events),
+       |a AS (SELECT user_id, event_id, ts_s, event_type,
+       |    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+       |      OVER w AS click_ts,
+       |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+       |      OVER w AS click_id
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id AS purchase_id, ts_s AS t_purchase,
+       |  click_id, click_ts, (ts_s - click_ts)::BIGINT AS gap_secs
+       |FROM a WHERE event_type = 'purchase'
+       |ORDER BY user_id, purchase_id""".stripMargin
+
   val sqlEventFlow: String =
     s"""WITH e AS (SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
        |    event_type FROM events),

@@ -75,9 +75,37 @@ object Clustering {
     while (!converged && round < maxRounds) {
       val viaEdges = sym.join(labels, sym("src") === labels("id"))
         .select($"dst".as("id"), $"label")
-      val next = labels.unionByName(viaEdges)
+      // checkpointed BEFORE the self-join below: (a) the jump reads
+      // materialized data instead of recomputing the propagate on both
+      // sides, (b) self-joining the raw union+aggregate plan trips
+      // Catalyst's Union constraint rewrite (key-not-found on the
+      // deduplicated attribute ids) on some input shapes
+      val propagated = labels.unionByName(viaEdges)
         .groupBy($"id").agg(min($"label").as("label"))
         .localCheckpoint(true)
+      // Pointer jumping: each node additionally adopts its LABEL's own
+      // label. label(x) is always a node in x's component (the
+      // propagation invariant), so label(label(x)) is too — and chain
+      // depth HALVES per round, making the round count O(log diameter)
+      // instead of O(diameter). On the tiny dense families of text
+      // dedup this join runs over the slim labels frame and costs
+      // little; on chain-shaped graphs (perceptual near-dup paths,
+      // X113/X118) it is the difference between 5 rounds and 50.
+      // The jump side is rebuilt from the checkpointed RDD as an
+      // INDEPENDENT frame (fresh attribute ids) — a direct self-join
+      // of the aliased plan trips Catalyst's Union constraint rewrite
+      // (key-not-found on deduplicated attributes) on some shapes.
+      val jumpTo = propagated.sparkSession.createDataFrame(propagated.rdd,
+        org.apache.spark.sql.types.StructType(Seq(
+          propagated.schema(0).copy(name = "jid"),
+          propagated.schema(1).copy(name = "jlabel"))))
+      val next = propagated
+        .join(jumpTo, col("label") === col("jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      propagated.unpersist()
       labels.unpersist()
       val nextSum = labelSum(next)
       labels = next

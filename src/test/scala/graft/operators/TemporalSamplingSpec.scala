@@ -82,6 +82,17 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("connected components: pointer jumping converges a diameter-11 chain in O(log) rounds") {
+    // plain min-label needs ~11 rounds on this chain; with pointer
+    // jumping (label := label(label)) depth halves per round, so 5
+    // rounds (4 to reach the min + 1 to observe the fixed point) are
+    // enough — the chain-shaped-graph guarantee X118 relies on
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Clustering.connectedComponents(chain, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 12 && labels.forall(_._2 == 0L))
+  }
+
   test("mixture rebalance: a weighted language with zero documents forces an empty draw") {
     // the target mixture is infeasible when a weighted stratum is
     // absent — the feasibility min must see the 0, not drop the stratum
