@@ -45,6 +45,7 @@ object SparkEntry {
     "q_sessionize"        -> (EventWindows.qSessionize(_, _)),
     "q_funnel"            -> (EventWindows.qFunnel(_, _)),
     "q_funnel4"           -> (EventWindows.qFunnel4(_, _)),
+    "q_funnel_steps"      -> (EventWindows.qFunnelSteps(_, _)),
     "q_event_flow"        -> (Behavior.qEventFlow(_, _)),
     "q_attribution"       -> (Behavior.qAttribution(_, _)),
     "q_salted_join"       -> (Scale.qSaltedJoin(_, _)),
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_sessionize"         -> EventWindows.sqlSessionize,
     "q_funnel"             -> EventWindows.sqlFunnel,
     "q_funnel4"            -> EventWindows.sqlFunnel4,
+    "q_funnel_steps"       -> EventWindows.sqlFunnelSteps,
     "q_event_flow"         -> Behavior.sqlEventFlow,
     "q_attribution"        -> Behavior.sqlAttribution,
     "q_salted_join"        -> Scale.sqlSaltedJoin,

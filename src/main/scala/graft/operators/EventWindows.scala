@@ -208,10 +208,13 @@ object EventWindows {
   // ------------------------------------------------------------------
   val FunnelWindowSecs = 3600L
 
-  /** One stage of a sequence pattern: the event type to match, plus an
+  /** One stage of a sequence pattern: the event type to match, an
     * optional within-seconds bound measured from the FIRST stage's
-    * event time (the MATCH_RECOGNIZE-style anchor window). */
-  final case class FunnelStage(eventType: String, withinSecs: Option[Long] = None)
+    * event time (the MATCH_RECOGNIZE-style anchor window), and an
+    * optional per-step bound measured from the PREVIOUS stage's event
+    * time (the step-gap window — "click within 30 min of the view"). */
+  final case class FunnelStage(eventType: String,
+      withinSecs: Option[Long] = None, withinPrevSecs: Option[Long] = None)
 
   /** The 3-stage gate's definition — one instantiation of the generic
     * matcher, not a bespoke query. */
@@ -226,6 +229,14 @@ object EventWindows {
   val Funnel4Stages: Seq[FunnelStage] = Seq(
     FunnelStage("view"), FunnelStage("click"), FunnelStage("signup"),
     FunnelStage("purchase", Some(Funnel4WindowSecs)))
+
+  /** Per-step-bounded instantiation: anchor window on the whole chain
+    * PLUS step-gap windows between consecutive stages. */
+  val FunnelStepSecs = 1800L
+  val FunnelStepStages: Seq[FunnelStage] = Seq(
+    FunnelStage("view"),
+    FunnelStage("click", withinPrevSecs = Some(FunnelStepSecs)),
+    FunnelStage("purchase", Some(FunnelWindowSecs), Some(FunnelStepSecs)))
 
   private def eventsFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -254,7 +265,9 @@ object EventWindows {
         .join(prev, Seq("user_id"))
         .filter($"ts_s" > col(s"t${i - 1}") ||
           ($"ts_s" === col(s"t${i - 1}") && $"event_id" > col(s"id${i - 1}")))
-      val bounded = st.withinSecs.fold(cand)(w => cand.filter($"ts_s" <= $"t0" + w))
+      val anchored = st.withinSecs.fold(cand)(w => cand.filter($"ts_s" <= $"t0" + w))
+      val bounded = st.withinPrevSecs.fold(anchored)(w =>
+        anchored.filter($"ts_s" <= col(s"t${i - 1}") + w))
       firstPerUser(bounded,
         Seq($"user_id", $"t0", $"ts_s".as(s"t$i"), $"event_id".as(s"id$i")))
     }
@@ -286,6 +299,9 @@ object EventWindows {
 
   def qFunnel4(spark: SparkSession, dir: String): DataFrame =
     sequenceFunnelFace(spark, dir, Funnel4Stages)
+
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame =
+    sequenceFunnelFace(spark, dir, FunnelStepStages)
 
   /** Funnel abandonment — the timer face of the sequence matcher
     * (reference signature pattern T1, fraud_detector.py:108-133): a
@@ -324,7 +340,9 @@ object EventWindows {
            |    FROM e WHERE event_type = '${st.eventType}') WHERE rn = 1)""".stripMargin
       else {
         val within =
-          st.withinSecs.map(w => s" AND x.ts_s <= p.t0 + $w").getOrElse("")
+          st.withinSecs.map(w => s" AND x.ts_s <= p.t0 + $w").getOrElse("") +
+            st.withinPrevSecs
+              .map(w => s" AND x.ts_s <= p.t${i - 1} + $w").getOrElse("")
         s"""s$i AS (SELECT user_id, t0, ts_s AS t$i, event_id AS id$i FROM (
            |    SELECT x.user_id, p.t0, x.ts_s, x.event_id,
            |      row_number() OVER (PARTITION BY x.user_id ORDER BY x.ts_s, x.event_id) AS rn
@@ -352,6 +370,7 @@ object EventWindows {
 
   val sqlFunnel: String = sqlSequenceFunnel(FunnelStages)
   val sqlFunnel4: String = sqlSequenceFunnel(Funnel4Stages)
+  val sqlFunnelSteps: String = sqlSequenceFunnel(FunnelStepStages)
 
   val sqlFunnelAbandon: String =
     s"""WITH f AS ($sqlFunnel),

@@ -75,7 +75,8 @@ object SequenceTracker {
       val stage = stages(k)
       val matches = e.event_type == stage.eventType &&
         (k == 0 || later(e.ts_s, e.event_id, st.ts.last, st.ids.last)) &&
-        stage.withinSecs.forall(w => k == 0 || e.ts_s <= st.ts.head + w)
+        stage.withinSecs.forall(w => k == 0 || e.ts_s <= st.ts.head + w) &&
+        stage.withinPrevSecs.forall(w => k == 0 || e.ts_s <= st.ts.last + w)
       if (matches)
         (st.copy(ts = st.ts :+ e.ts_s, ids = st.ids :+ e.event_id),
           Some(SeqOut(e.user_id, "hit", (k + 1).toLong, e.ts_s)))

@@ -487,6 +487,14 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(hits4.nonEmpty)
     val streamed4 = run(EventWindows.Funnel4Stages, "seq4_replay")
     assert(streamed4.filter(_._2 == "hit") == hits4.sorted)
+
+    // ---- per-step-bounded instantiation: step-gap windows drive the
+    // FSM and the batch windows identically
+    val hitsS = stageHits(EventWindows.qFunnelSteps(spark, dir),
+      EventWindows.FunnelStepStages)
+    assert(hitsS.nonEmpty)
+    val streamedS = run(EventWindows.FunnelStepStages, "seqs_replay")
+    assert(streamedS.filter(_._2 == "hit") == hitsS.sorted)
   }
 
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
