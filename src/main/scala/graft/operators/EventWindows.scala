@@ -151,9 +151,12 @@ object EventWindows {
 
   // ------------------------------------------------------------------
   // Sessionization: gap-based sessions (30 min inactivity) per user —
-  // the classic event-stream operator (Spark also has
-  // session_window(); this closed form matches the SQL oracle and
-  // shows the islands-and-gaps encoding).
+  // the classic event-stream operator. This closed form matches the
+  // SQL oracle and shows the islands-and-gaps encoding; the NATIVE
+  // streaming face (watermarked `session_window()` aggregation) is
+  // pinned stream ≡ batch against this gate in ReplayEquivalenceSpec
+  // (gap 1801 s there, because session_window merges on gap < g while
+  // this face splits on gap > 1800 — the two rules then coincide).
   // ------------------------------------------------------------------
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")

@@ -497,6 +497,56 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(streamedS.filter(_._2 == "hit") == hitsS.sorted)
   }
 
+  test("native session_window stream equals the batch islands-and-gaps sessionize") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = graft.SparkSpec.Sf0001
+    // batch truth (gate face): new session iff gap > 1800 s
+    val batch = graft.operators.EventWindows.qSessionize(spark, dir).collect().toSeq
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_s"),
+        r.getAs[Long]("session_end_s"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("session_value"))).sorted
+    assert(batch.nonEmpty)
+
+    val events = Tables.events(spark, dir).filter($"user_id" < 30)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"),
+        $"value".cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(e => (e._3, e._2))
+    val maxTs = events.map(_._3).max
+
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    // gap "1801 seconds": session_window merges when gap < gapDuration,
+    // the batch face splits when gap > 1800 — 1801 makes the two rules
+    // coincide exactly (gap == 1800 stays one session in both)
+    val agg = input.toDF().toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("eventTime", timestamp_seconds($"ts_s"))
+      .withWatermark("eventTime", "0 seconds")
+      .groupBy(session_window($"eventTime", "1801 seconds"), $"user_id")
+      .agg(min($"ts_s").as("session_start_s"), max($"ts_s").as("session_end_s"),
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select($"user_id", $"session_start_s", $"session_end_s",
+        $"n_events", $"session_value")
+    val q = agg.writeStream.format("memory").queryName("sess_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[(Long, Long, Long, Double)](events, _._3, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // sentinel far past every session end so the watermark closes and
+      // emits all real sessions (its own session stays open, filtered out)
+      input.addData(Seq((-1L, -1L, maxTs + 4000L, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_replay")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        .filter(_._1 >= 0).sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("PositionTracker: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
