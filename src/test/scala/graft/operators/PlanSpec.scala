@@ -689,6 +689,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial"))
   }
 
+  test("q_attribution: one user-keyed window shuffle, join-free") {
+    val plan = executedCold(Behavior.qAttribution(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
+  test("q_event_flow: join-free — user window then map-side-combined matrix aggregate") {
+    val plan = executedCold(Behavior.qEventFlow(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(plan.contains("partial"))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3)
+  }
+
+  test("q_frame_phash: per-frame hashing rides the scan — no join, no hash shuffle") {
+    val plan = executedCold(Multimodal.qFramePhash(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0)
+  }
+
   test("q_ann_eval: evaluation joins probe-sized outputs — never corpus-sized frames") {
     val plan = executedCold(Similarity.qAnnEval(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))
