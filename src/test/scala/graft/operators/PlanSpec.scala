@@ -708,6 +708,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0)
   }
 
+  test("q_image_phash: scan reads only (doc_id, text) — unused metadata fields pruned") {
+    val plan = executedCold(Multimodal.qImagePhash(spark, Sf0001))
+    assert(!plan.contains("Join"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"))
+  }
+
   test("q_ann_eval: evaluation joins probe-sized outputs — never corpus-sized frames") {
     val plan = executedCold(Similarity.qAnnEval(spark, Sf0001))
     assert(!plan.contains("CartesianProduct"))
