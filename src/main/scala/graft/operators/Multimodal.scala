@@ -312,6 +312,76 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // Incremental perceptual dedup — the multimodal twin of the text
+  // pipeline's incremental probe ([[Dedup.incrementalProbe]], X56): an
+  // incoming payload batch probes the PERSISTED phash chunk index of
+  // the existing corpus (never re-dedups it) and each incoming doc
+  // gets a new/dup verdict with its best (lowest-hamming) corpus
+  // match. The 4×15-bit pigeonhole guarantees the bucketed probe has
+  // perfect recall at hamming ≤ 3, so the bucketed verdicts equal the
+  // oracle's exact incoming×corpus scan. Scale shape: the index side
+  // is (chunk, ckey, doc, phash) — slim, hash-keyed, grows with the
+  // corpus; per batch only incoming chunks shuffle; the same
+  // micro-batch-commuting argument as the text probe (verdicts depend
+  // only on (doc, corpus)).
+  // ------------------------------------------------------------------
+  def qIncrementalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = payloadTable(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextKernelFunctions.phash60(
+          decode($"payload", "UTF-8")).as("phash"))
+      .persist() // both splits and both probe branches read one store
+    base.count()
+    def chunked(df: DataFrame, id: String) = df.select($"doc_id".as(id),
+        $"phash".as(s"${id}_ph"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright($"phash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
+      .select(col(id), col(s"${id}_ph"), $"cc.chunk", $"cc.ckey")
+    val incoming = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+    val corpus = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    val best = chunked(incoming, "i_id")
+      .join(chunked(corpus, "c_id"), Seq("chunk", "ckey"))
+      .select($"i_id", $"c_id",
+        bit_count($"i_id_ph".bitwiseXOR($"c_id_ph")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"i_id").orderBy($"hamming", $"c_id")))
+      .filter($"rk" === 1)
+    incoming.select($"doc_id")
+      .join(best.select($"i_id".as("doc_id"), $"c_id", $"hamming"), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"c_id".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        coalesce($"c_id", lit(-1L)).cast("long").as("dup_of"),
+        coalesce($"hamming", lit(-1L)).cast("long").as("hamming"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: exact incoming × corpus hamming scan (bounded verify face
+    * — incoming is ~10% of the gate corpus, the [[Dedup.sqlIncrementalDedup]]
+    * contract), best match by (hamming, c_id). */
+  val sqlIncrementalPhash: String = sqlPhashCte +
+    s""", i AS (SELECT doc_id, phash FROM ph
+       |  WHERE doc_id % ${Dedup.IncomingMod} = ${Dedup.IncomingRem}),
+       |c AS (SELECT doc_id, phash FROM ph
+       |  WHERE doc_id % ${Dedup.IncomingMod} <> ${Dedup.IncomingRem}),
+       |v AS (SELECT i.doc_id AS i_id, c.doc_id AS c_id,
+       |    bit_count(xor(i.phash, c.phash)) AS h
+       |  FROM i JOIN c ON true),
+       |best AS (SELECT i_id, c_id, h FROM (
+       |  SELECT i_id, c_id, h,
+       |    row_number() OVER (PARTITION BY i_id ORDER BY h, c_id) AS rk
+       |  FROM v WHERE h <= 3) WHERE rk = 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN best.c_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+       |  coalesce(best.c_id, -1)::BIGINT AS dup_of,
+       |  coalesce(best.h, -1)::BIGINT AS hamming
+       |FROM i LEFT JOIN best ON i.doc_id = best.i_id
+       |ORDER BY i.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Cross-modal dedup verdict — the integration step a multimodal
   // training-data pipeline actually ships: near-dup evidence from ALL
   // modalities (text MinHash-LSH X2, perceptual payload hash X113,

@@ -708,6 +708,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0)
   }
 
+  test("q_incremental_phash: index probe is chunk-key equi, never cartesian") {
+    val plan = executedCold(Multimodal.qIncrementalPhash(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_image_phash: scan reads only (doc_id, text) — unused metadata fields pruned") {
     val plan = executedCold(Multimodal.qImagePhash(spark, Sf0001))
     assert(!plan.contains("Join"))
