@@ -48,20 +48,30 @@ object Clustering {
     // edge list — not persisted itself, so it costs no extra
     // materialization action (each round re-derives it from cache).
     val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    // LINEAGE TRUNCATION (load-bearing at scale): each round's labels
+    // frame is referenced twice (once directly in the union, once
+    // through the edge join), so a naive loop grows the LOGICAL plan
+    // exponentially with the round count — on a dense graph needing
+    // many rounds, merely printing or re-analyzing the plan OOMs the
+    // driver long before any data pressure (observed on the 10×
+    // rehearsal's modal-dedup graph). Each round therefore materializes
+    // its label frame into an RDD persisted at the RDD LEVEL and wraps
+    // it in a fresh flat DataFrame: the logical plan stays one
+    // scan + one join/aggregate regardless of round count, the
+    // previous round's blocks are released DETERMINISTICALLY
+    // (`RDD.unpersist` — Dataset.unpersist is a no-op on non-CacheManager
+    // frames, and localCheckpoint both leaks until GC and cuts
+    // lineage-based recovery), and recomputation on block loss remains
+    // possible through the RDD lineage chain.
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rows, df.schema), rows)
+    }
     // Round 0 folded into init: every node starts at min(self, neighbors)
     // (sym has both directions, so every node appears as src).
-    // LINEAGE TRUNCATION (load-bearing at scale): each round's labels
-    // frame references the previous one TWICE (once directly in the
-    // union, once through the edge join), so a persist-only loop grows
-    // the LOGICAL plan exponentially with the round count — on a dense
-    // graph needing many rounds, merely printing or re-analyzing the
-    // plan OOMs the driver long before any data pressure (observed on
-    // the 10× rehearsal's modal-dedup graph). `localCheckpoint(eager)`
-    // materializes AND cuts the lineage, so every round's plan is flat:
-    // one scan of the previous checkpoint + one join/aggregate.
-    var labels = sym.groupBy($"src".as("id"))
-      .agg(min(least($"src", $"dst")).as("label"))
-      .localCheckpoint(true)
+    var (labels, labelRows) = materialize(
+      sym.groupBy($"src".as("id")).agg(min(least($"src", $"dst")).as("label")))
     // Labels are node-wise monotone non-increasing, so the total label
     // sum strictly decreases iff any node changed — convergence is one
     // tiny aggregate per round instead of a labels⋈labels diff join.
@@ -75,14 +85,10 @@ object Clustering {
     while (!converged && round < maxRounds) {
       val viaEdges = sym.join(labels, sym("src") === labels("id"))
         .select($"dst".as("id"), $"label")
-      // checkpointed BEFORE the self-join below: (a) the jump reads
-      // materialized data instead of recomputing the propagate on both
-      // sides, (b) self-joining the raw union+aggregate plan trips
-      // Catalyst's Union constraint rewrite (key-not-found on the
-      // deduplicated attribute ids) on some input shapes
-      val propagated = labels.unionByName(viaEdges)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint(true)
+      // materialized BEFORE the jump join below: the jump reads cached
+      // rows instead of recomputing the propagate on both sides
+      val (propagated, propRows) = materialize(
+        labels.unionByName(viaEdges).groupBy($"id").agg(min($"label").as("label")))
       // Pointer jumping: each node additionally adopts its LABEL's own
       // label. label(x) is always a node in x's component (the
       // propagation invariant), so label(label(x)) is too — and chain
@@ -91,24 +97,24 @@ object Clustering {
       // dedup this join runs over the slim labels frame and costs
       // little; on chain-shaped graphs (perceptual near-dup paths,
       // X113/X118) it is the difference between 5 rounds and 50.
-      // The jump side is rebuilt from the checkpointed RDD as an
-      // INDEPENDENT frame (fresh attribute ids) — a direct self-join
+      // The jump side wraps the SAME persisted row RDD in a second
+      // independent frame (fresh attribute ids) — a direct self-join
       // of the aliased plan trips Catalyst's Union constraint rewrite
       // (key-not-found on deduplicated attributes) on some shapes.
-      val jumpTo = propagated.sparkSession.createDataFrame(propagated.rdd,
+      val jumpTo = spark.createDataFrame(propRows,
         org.apache.spark.sql.types.StructType(Seq(
           propagated.schema(0).copy(name = "jid"),
           propagated.schema(1).copy(name = "jlabel"))))
-      val next = propagated
+      val (next, nextRows) = materialize(propagated
         .join(jumpTo, col("label") === col("jid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("jlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
-      propagated.unpersist()
-      labels.unpersist()
-      val nextSum = labelSum(next)
+            .as("label")))
+      val nextSum = labelSum(next) // materializes nextRows (and propRows)
+      propRows.unpersist()
+      labelRows.unpersist()
       labels = next
+      labelRows = nextRows
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
@@ -119,14 +125,20 @@ object Clustering {
     // (dedup decisions, leakage splits, corpus verdicts) with no error.
     // A long-diameter graph must fail the job, not degrade it.
     if (!converged) {
-      labels.unpersist()
+      labelRows.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxRounds rounds — " +
           "the edge graph has a longer diameter than min-label propagation " +
           "was budgeted for; raise maxRounds or switch to large-star/" +
           "small-star contraction (O(log n) rounds)")
     }
-    labels
+    // hand the caller a CacheManager-registered frame (so the standard
+    // Dataset persist/unpersist contract applies downstream) and
+    // release the loop's final RDD blocks
+    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    labelRows.unpersist()
+    out
   }
 
   /** Near-dup cluster labels for a corpus dir, computed once per

@@ -224,28 +224,47 @@ object Dedup {
     s"""SELECT doc_id, ${Hashing.sqlSimhash(Hashing.sqlTokens("text"))} AS simhash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** (doc_id, _h, chunk, ckey) rows: a 60-bit hash split into its four
+    * 15-bit chunk bucket keys — the pigeonhole index shape shared by
+    * SimHash text pairs (X3), perceptual payload pairs (X113), and the
+    * incremental perceptual probe (X124). */
+  def chunkKeys(hashed: DataFrame, hashCol: String): DataFrame =
+    hashed.select($"doc_id", col(hashCol).as("_h"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col(hashCol), c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
+      .select($"doc_id", $"_h", $"cc.chunk", $"cc.ckey")
+
+  /** Pigeonhole near-dup pairs of a (doc_id, hash) frame: hamming ≤
+    * `maxHamming` via the 4×15-bit chunk bucket self-join (≤ 3
+    * differing bits across 4 chunks ⇒ at least one chunk matches
+    * exactly — the recall guarantee requires maxHamming < 4). The
+    * bucketed join is the scale path; callers persist `hashed` first
+    * so both join sides read one materialization. */
+  def chunkBucketPairs(hashed: DataFrame, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4-chunk pigeonhole only guarantees recall for hamming < 4")
+    val chunked = chunkKeys(hashed, hashCol)
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a._h").bitwiseXOR(col("b._h"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+  }
+
   /** SimHash near-dup pairs by hamming distance ≤ 3, bucketed by the
-    * 4 15-bit chunks (pigeonhole: ≤ 3 differing bits across 4 chunks
-    * ⇒ at least one chunk matches exactly): the bucketed join is
+    * 4 15-bit chunks ([[chunkBucketPairs]]): the bucketed join is
     * the scale path, identical in shape to the MinHash LSH join. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documentsSharded(spark, dir)
       .select($"doc_id", TextKernelFunctions.simhash60($"text").as("simhash"))
       .persist() // computed once, read by both join sides
     base.count() // eager materialization
-    val chunked = base.select($"doc_id", $"simhash",
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright($"simhash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
-      .select($"doc_id", $"simhash", $"cc.chunk", $"cc.ckey")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 3)
+    chunkBucketPairs(base, "simhash")
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -281,6 +281,11 @@ object EventWindows {
     * and first→last conversion seconds. */
   def sequenceFunnelFace(spark: SparkSession, dir: String,
       stages: Seq[FunnelStage]): DataFrame = {
+    // the face names columns t_<event_type>; a repeated type would
+    // collide (the positional matcher itself is fine with repeats —
+    // a repeat-capable face would need index-suffixed names)
+    require(stages.map(_.eventType).distinct.size == stages.size,
+      "sequenceFunnelFace needs distinct stage event types (t_<type> columns)")
     val frames = sequenceMatch(eventsFrame(spark, dir), stages)
     val named = frames.zip(stages).zipWithIndex.map { case ((f, st), i) =>
       f.select($"user_id", col(s"t$i").as(s"t_${st.eventType}"))
@@ -335,6 +340,8 @@ object EventWindows {
     * the Spark matcher and the oracle can never drift on a stage's
     * predicate. */
   def sqlSequenceFunnel(stages: Seq[FunnelStage]): String = {
+    require(stages.map(_.eventType).distinct.size == stages.size,
+      "sqlSequenceFunnel needs distinct stage event types (t_<type> columns)")
     val ctes = stages.zipWithIndex.map { case (st, i) =>
       if (i == 0)
         s"""s0 AS (SELECT user_id, ts_s AS t0, event_id AS id0 FROM (

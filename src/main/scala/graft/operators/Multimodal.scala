@@ -181,19 +181,7 @@ object Multimodal {
           decode($"payload", "UTF-8")).as("phash"))
       .persist() // computed once, read by both join sides
     base.count() // eager materialization
-    val chunked = base.select($"doc_id", $"phash",
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright($"phash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
-      .select($"doc_id", $"phash", $"cc.chunk", $"cc.ckey")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long").as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 3)
+    Dedup.chunkBucketPairs(base, "phash")
   }
 
   def qImageNeardupPairs(spark: SparkSession, dir: String): DataFrame =
@@ -332,12 +320,8 @@ object Multimodal {
           decode($"payload", "UTF-8")).as("phash"))
       .persist() // both splits and both probe branches read one store
     base.count()
-    def chunked(df: DataFrame, id: String) = df.select($"doc_id".as(id),
-        $"phash".as(s"${id}_ph"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright($"phash", c * 15).bitwiseAND(lit(32767L)).as("ckey"))): _*)).as("cc"))
-      .select(col(id), col(s"${id}_ph"), $"cc.chunk", $"cc.ckey")
+    def chunked(df: DataFrame, id: String) = Dedup.chunkKeys(df, "phash")
+      .select($"doc_id".as(id), $"_h".as(s"${id}_ph"), $"chunk", $"ckey")
     val incoming = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
     val corpus = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
     val best = chunked(incoming, "i_id")

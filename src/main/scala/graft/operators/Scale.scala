@@ -70,8 +70,8 @@ object Scale {
     * the win: the hot key's 30 TB no longer serializes through one
     * reducer. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 tiebreak: String, salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("_salt", saltCol(col(tiebreak), salts))
+                 tiebreak: Column, salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt", saltCol(tiebreak, salts))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -90,7 +90,11 @@ object Scale {
       .select($"l_orderkey", $"l_extendedprice", $"l_linenumber")
     val ord = Tables.orders(spark, dir)
       .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
-    saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+    // the salt basis must be HIGH-CARDINALITY or the spread is capped:
+    // l_linenumber alone has 7 distinct values, so at most 7 of the 16
+    // salt buckets would ever be probed while the build side still
+    // replicates 16× — salt on the (orderkey, linenumber) row identity
+    saltedJoin(li, ord, "l_orderkey", struct($"l_orderkey", $"l_linenumber"))
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_items"),
         sum($"l_extendedprice".cast(DEC)).cast("double").as("revenue"))

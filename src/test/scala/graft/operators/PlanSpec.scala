@@ -34,6 +34,7 @@ class PlanSpec extends SparkSpec {
     Clustering.invalidateLabelCache()
     Clustering.invalidateVecCache()
     Corpus.invalidateContamCache()
+    Multimodal.invalidateModalCache()
     df.queryExecution.executedPlan.toString
   }
 

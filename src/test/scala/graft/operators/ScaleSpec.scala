@@ -26,7 +26,8 @@ class ScaleSpec extends SparkSpec {
       .select($"l_orderkey", $"l_extendedprice", $"l_linenumber")
     val ord = Tables.orders(spark, Sf0001)
       .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
-    val salted = Scale.saltedJoin(li, ord, "l_orderkey", "l_linenumber")
+    val salted = Scale.saltedJoin(li, ord, "l_orderkey",
+      struct($"l_orderkey", $"l_linenumber"))
       .select($"l_orderkey", $"l_linenumber", $"o_custkey")
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val direct = li.join(ord, Seq("l_orderkey"))
