@@ -24,6 +24,7 @@ object Bench {
     spark.sqlContext.clearCache()
     graft.operators.Clustering.invalidateLabelCache()
     graft.operators.Clustering.invalidateVecCache()
+    graft.operators.Clustering.invalidateIncrementalStore()
     graft.operators.Corpus.invalidateContamCache()
     graft.operators.Multimodal.invalidateModalCache()
     // Pre-materialize the SHARED persisted stores at the target SF so
@@ -42,6 +43,7 @@ object Bench {
       graft.operators.Corpus.decontaminateCore(spark, sfDir).count()
       graft.operators.Corpus.sideCountStore(spark, sfDir).count()
       graft.operators.Clustering.vecStore(spark, sfDir).count()
+      graft.operators.Clustering.incrementalStore(spark, sfDir).corpusLabels.count()
       graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9

@@ -95,6 +95,7 @@ object SparkEntry {
     "q_simhash_pairs"     -> (Dedup.qSimhashPairs(_, _)),
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
     "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
+    "q_incremental_clusters" -> (Clustering.qIncrementalClusters(_, _)),
     "q_dedup_decision"    -> (Clustering.qDedupDecision(_, _)),
     "q_kmeans"            -> (Clustering.qKmeans(_, _)),
     // corpus preparation: chunking, repetition filters, segment dedup,
@@ -288,6 +289,7 @@ object SparkEntry {
     "q_asof_join"          -> Temporal.sqlAsofJoin,
     "q_range_join"         -> Temporal.sqlRangeJoin,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
+    "q_incremental_clusters" -> Clustering.sqlIncrementalClusters,
     "q_dedup_decision"     -> Clustering.sqlDedupDecision,
     "q_kmeans"             -> Clustering.sqlKmeans,
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,

@@ -246,6 +246,151 @@ object Clustering {
   }
 
   // ------------------------------------------------------------------
+  // Incremental cluster-label maintenance (X125) — the production step
+  // the per-doc probes (X56 text, X124 phash) stop short of: a 100 TB
+  // ingestion pipeline holds PERSISTED cluster labels and, per incoming
+  // batch, merges only the batch's NEW near-dup edges into that store —
+  // it never re-runs the closure over the corpus. New docs adopt the
+  // min label of the components they match; a new doc bridging two
+  // existing clusters relabels only the affected components (a join on
+  // their labels, bounded by the batch's touch set). Correctness rests
+  // on two exact algebraic facts: LSH band collision + Jaccard verify
+  // are PAIRWISE properties, so the full pair graph decomposes as
+  // pairsWithin(corpus) ∪ edgesOf(batch, corpus)
+  // ([[Dedup.edgesOf]]); and closure-of-contraction = closure — with
+  // every stored label the true min doc_id of its component,
+  // contracting each new edge's endpoints to their current labels and
+  // closing THAT graph yields exactly the labels of the from-scratch
+  // closure over corpus ∪ batch. The gate's oracle is that from-scratch
+  // closure (recursive CTE in DuckDB); batch-split invariance (merging
+  // in two batches ≡ one) is pinned in ReplayEquivalenceSpec.
+  // ------------------------------------------------------------------
+
+  /** Merge a batch's near-dup EDGES into a persisted (id, label) store.
+    * `edges` (cols a, b) must touch at least one endpoint outside the
+    * store or inside it — ids never seen before become newcomers. All
+    * frames here are bounded by the store (slim) and the batch's edge
+    * set; the corpus itself is never touched. */
+  def mergeEdgesIntoLabels(edges: DataFrame, corpusLabels: DataFrame): DataFrame = {
+    if (edges.isEmpty) return corpusLabels
+    val lab = corpusLabels.select($"id", $"label")
+    // contract endpoints to their current component labels: stored
+    // members → their label; everything else (incoming docs, corpus
+    // singletons) → themselves
+    val contracted = edges
+      .join(lab.select($"id".as("a"), $"label".as("la")), Seq("a"), "left")
+      .join(lab.select($"id".as("b"), $"label".as("lb")), Seq("b"), "left")
+      .select(coalesce($"la", $"a").as("a"), coalesce($"lb", $"b").as("b"))
+      .filter($"a" =!= $"b")
+    if (contracted.isEmpty) return corpusLabels
+    // closure over the CONTRACTED graph only — its node set is
+    // {touched labels} ∪ {newcomers}, bounded by the batch edge count,
+    // never the corpus
+    val comp = connectedComponents(contracted)
+    val oldLabels = lab.select($"label".as("id")).distinct()
+    val mapping = comp.join(oldLabels, Seq("id"))
+      .select($"id".as("old_label"), $"label".as("new_label"))
+    // bounded relabel: only members of touched components join the
+    // mapping; unchanged clusters stream through the left join
+    val relabeled = lab
+      .join(mapping.withColumnRenamed("old_label", "label"), Seq("label"), "left")
+      .select($"id", coalesce($"new_label", $"label").as("label"))
+    // newcomers: contracted nodes that were not existing labels —
+    // incoming docs and previously-singleton corpus docs
+    val newcomers = comp.join(oldLabels, Seq("id"), "left_anti")
+      .select($"id", $"label")
+    relabeled.unionByName(newcomers)
+  }
+
+  /** Merge one incoming batch (as a (doc_id, sh, sig) signature frame)
+    * into a persisted label store, generating the batch's new edges
+    * from the persisted corpus band index. Batch doc_ids must be
+    * disjoint from the corpus (ingestion's contract; exact-id dedup
+    * runs upstream). The result satisfies the same invariant the input
+    * store does — every label is the min doc_id of its component — so
+    * the merge composes across batches. */
+  def mergeIncrementalLabels(batchSig: DataFrame, corpusSig: DataFrame,
+      corpusLabels: DataFrame): DataFrame =
+    mergeEdgesIntoLabels(Dedup.edgesOf(batchSig, corpusSig), corpusLabels)
+
+  /** Persisted pre-batch state for the gate: the corpus-split signature
+    * store and its from-scratch label store — what a production
+    * pipeline holds between batches. Memoized per (session, dir) and
+    * prewarmed by Bench so the gate query pays the MERGE, not the
+    * store build (the [[dupLabels]] accounting stance). */
+  /** base = the persisted signature store (held for unpersist);
+    * batchSig/corpusSig are its two deterministic splits. */
+  final case class IncStore(base: DataFrame, batchSig: DataFrame,
+      corpusSig: DataFrame, corpusLabels: DataFrame)
+
+  private val incStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IncStore]
+
+  def incrementalStore(spark: SparkSession, dir: String): IncStore =
+    incStoreCache.getOrElseUpdate((spark, dir), {
+      val base = Dedup.signatureFrame(Tables.documentsSharded(spark, dir)
+          .select($"doc_id", $"text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val corpusSig = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+      val batchSig = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+      // corpus-only from-scratch closure — built ONCE per store, the
+      // persisted artifact every batch merge starts from. (edgesOf
+      // against an empty second frame = pairs WITHIN corpusSig; the
+      // limit(0) keeps the schema trivially identical.)
+      val corpusLabels = connectedComponents(
+        Dedup.edgesOf(corpusSig, corpusSig.limit(0)))
+      IncStore(base, batchSig, corpusSig, corpusLabels)
+    })
+
+  def invalidateIncrementalStore(): Unit = {
+    incStoreCache.values.foreach { s => s.base.unpersist(); s.corpusLabels.unpersist() }
+    incStoreCache.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // Gate query: merge the deterministic incoming batch
+  // (doc_id % 10 == 7, the X56 convention) into the persisted corpus
+  // label store; emit (doc_id, cluster_id, cluster_size, origin) for
+  // every clustered document after the merge. The oracle is the
+  // from-scratch recursive-CTE closure over ALL documents — the merge
+  // must be indistinguishable from re-clustering the world.
+  // ------------------------------------------------------------------
+  def qIncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val st = incrementalStore(spark, dir)
+    mergeIncrementalLabels(st.batchSig, st.corpusSig, st.corpusLabels)
+      .select($"id".as("doc_id"), $"label".as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"label")).as("cluster_size"),
+        when($"id" % Dedup.IncomingMod === Dedup.IncomingRem, lit("incoming"))
+          .otherwise(lit("corpus")).as("origin"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: from-scratch closure over the full corpus ∪ batch pair
+    * graph — the equivalence that DEFINES incremental correctness. */
+  val sqlIncrementalClusters: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |  CASE WHEN l.doc_id % ${Dedup.IncomingMod} = ${Dedup.IncomingRem}
+       |       THEN 'incoming' ELSE 'corpus' END AS origin
+       |FROM labels l
+       |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+       |  USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Dedup savings report — the dataset-card numbers: per source, how
   // many documents and tokens survive near-dup deduplication when
   // each cluster keeps only its representative (min doc_id, the
@@ -379,8 +524,19 @@ object Clustering {
 
   def vecStore(spark: SparkSession, dir: String): DataFrame =
     vecCache.getOrElseUpdate((spark, dir), {
+      // Distributed shape assertion at store-build time: every consumer
+      // (Lloyd rounds, the gate E-step, ANN) assumes fixed-length
+      // non-null vectors — the kmeans column-sums read-back in
+      // particular would NPE on a null dimension sum. A ragged or
+      // null-element embedding fails HERE with the offending vec_id,
+      // once per store build, instead of downstream with a bare NPE.
+      val wellFormed = size($"v") === lit(Similarity.Dims) &&
+        !exists($"v", _.isNull)
       val v = Tables.embeddingsSharded(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("v", when(wellFormed, $"v").otherwise(raise_error(concat(
+          lit(s"malformed embedding (need non-null length ${Similarity.Dims}): vec_id="),
+          $"vec_id".cast("string")))))
         .withColumn("vv", dot($"v", $"v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       v.count() // eager, so every consumer reads the materialized store

@@ -684,6 +684,42 @@ object Dedup {
       TextKernelFunctions.shingleSet($"text").as("sh"),
       TextKernelFunctions.minhashSig($"text").as("sig"))
 
+  /** (doc_id, bkey) band index of a (doc_id, sh, sig) frame — the slim
+    * frame every LSH candidate join shuffles (the shingle arrays never
+    * enter an exchange). */
+  def bandIndex(sig: DataFrame): DataFrame =
+    sig.select($"doc_id",
+      explode(array((0 until NumBands).map(b =>
+        Hashing.bandKey($"sig", b, RowsPerBand)): _*)).as("bkey"))
+
+  /** Verified near-dup edges (doc_a < doc_b, Jaccard ≥ 0.5) WITHIN one
+    * signature frame plus ACROSS it to a second one — the exact pair
+    * semantics of [[minhashLshPairsCore]] decomposed for incremental
+    * maintenance: band collision and the Jaccard verify are pairwise
+    * properties, so pairs(corpus ∪ batch) is EXACTLY
+    * pairsWithin(corpus) ∪ edgesOf(batch, corpus), which is what makes
+    * a persisted corpus label store mergeable without re-deduping the
+    * corpus ([[Clustering.mergeIncrementalLabels]]). Candidates
+    * shuffle only (doc_id, bkey); verification joins the candidate ids
+    * back against the two stores' shingle columns. */
+  def edgesOf(batchSig: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val bb = bandIndex(batchSig)
+    val cross = bb.select($"doc_id".as("a"), $"bkey")
+      .join(bandIndex(corpusSig).select($"doc_id".as("b"), $"bkey"), "bkey")
+    val within = bb.select($"doc_id".as("a"), $"bkey")
+      .join(bandIndex(batchSig).select($"doc_id".as("b"), $"bkey"), "bkey")
+      .filter($"a" < $"b")
+    val cand = cross.select($"a", $"b").unionByName(within.select($"a", $"b"))
+      .distinct()
+    val sh = batchSig.select($"doc_id", $"sh")
+      .unionByName(corpusSig.select($"doc_id", $"sh"))
+    cand
+      .join(sh.select($"doc_id".as("a"), $"sh".as("sh_a")), "a")
+      .join(sh.select($"doc_id".as("b"), $"sh".as("sh_b")), "b")
+      .filter(Hashing.jaccard($"sh_a", $"sh_b") >= 0.5)
+      .select($"a", $"b")
+  }
+
   def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = signatureFrame(Tables.documentsSharded(spark, dir)
         .select($"doc_id", $"text"))

@@ -313,17 +313,22 @@ object Multimodal {
   // micro-batch-commuting argument as the text probe (verdicts depend
   // only on (doc, corpus)).
   // ------------------------------------------------------------------
-  def qIncrementalPhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = payloadTable(spark, dir)
-      .select($"doc_id",
-        graft.functions.TextKernelFunctions.phash60(
-          decode($"payload", "UTF-8")).as("phash"))
-      .persist() // both splits and both probe branches read one store
-    base.count()
+  /** (doc_id, phash) of a (doc_id, payload) frame — the per-doc
+    * perceptual fingerprint the chunk index is built over. */
+  def phashFrame(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+      graft.functions.TextKernelFunctions.phash60(
+        decode($"payload", "UTF-8")).as("phash"))
+
+  /** Probe one incoming (doc_id, phash) batch against the corpus chunk
+    * index: per-doc new/dup verdict with the best (lowest-hamming)
+    * corpus match. The core both the gate and the streaming face
+    * (ReplayEquivalenceSpec) drive — per-doc verdicts depend only on
+    * (doc, corpus), so micro-batching the incoming side commutes with
+    * this probe, exactly as [[Dedup.incrementalProbe]]. */
+  def phashProbe(incoming: DataFrame, corpus: DataFrame): DataFrame = {
     def chunked(df: DataFrame, id: String) = Dedup.chunkKeys(df, "phash")
       .select($"doc_id".as(id), $"_h".as(s"${id}_ph"), $"chunk", $"ckey")
-    val incoming = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
-    val corpus = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
     val best = chunked(incoming, "i_id")
       .join(chunked(corpus, "c_id"), Seq("chunk", "ckey"))
       .select($"i_id", $"c_id",
@@ -340,7 +345,15 @@ object Multimodal {
         when($"c_id".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
         coalesce($"c_id", lit(-1L)).cast("long").as("dup_of"),
         coalesce($"hamming", lit(-1L)).cast("long").as("hamming"))
-      .orderBy($"doc_id")
+  }
+
+  def qIncrementalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = phashFrame(payloadTable(spark, dir))
+      .persist() // both splits and both probe branches read one store
+    base.count()
+    val incoming = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+    val corpus = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    phashProbe(incoming, corpus).orderBy($"doc_id")
   }
 
   /** Oracle: exact incoming × corpus hamming scan (bounded verify face

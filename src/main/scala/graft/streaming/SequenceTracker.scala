@@ -58,11 +58,25 @@ object SequenceTracker {
     t > t0 || (t == t0 && id > id0)
 
   /** The abandon deadline offset: the sequence's (single) within
-    * window. Stages with no bound never time out on their own. */
+    * window. The deadline semantics — anchor t0 + window, verdict
+    * final when the watermark passes it — only match the batch twin
+    * (`qFunnelAbandon`-style faces) when exactly ONE stage is
+    * anchor-bounded and it is the LAST stage, so that is a hard
+    * requirement, not a convention: a mid-sequence `withinSecs` would
+    * make "incomplete at deadline" a non-final verdict (a later
+    * unbounded stage could still match), and two differing bounds
+    * have no single deadline at all. `withinPrevSecs` (gap bounds)
+    * carry no timer semantics and stay unrestricted. */
   def windowSecs(stages: Seq[FunnelStage]): Long = {
-    val ws = stages.flatMap(_.withinSecs)
-    require(ws.nonEmpty, "abandon tracking needs at least one bounded stage")
-    ws.max
+    val bounded = stages.zipWithIndex.collect {
+      case (st, i) if st.withinSecs.isDefined => i
+    }
+    require(bounded.nonEmpty, "abandon tracking needs at least one bounded stage")
+    require(bounded == Seq(stages.length - 1),
+      s"abandon tracking requires the single withinSecs-bounded stage to be " +
+        s"the final stage; found bounds on stage(s) ${bounded.mkString(", ")} " +
+        s"of ${stages.length}")
+    stages.last.withinSecs.get
   }
 
   /** One in-order step of the sequence FSM — the pure twin of one

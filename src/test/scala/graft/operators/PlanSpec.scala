@@ -33,6 +33,7 @@ class PlanSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
     Clustering.invalidateLabelCache()
     Clustering.invalidateVecCache()
+    Clustering.invalidateIncrementalStore()
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
     df.queryExecution.executedPlan.toString

@@ -187,6 +187,7 @@ object ScalingHarness {
     spark.sqlContext.clearCache()
     Clustering.invalidateLabelCache()
     Clustering.invalidateVecCache()
+    Clustering.invalidateIncrementalStore()
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
   }
