@@ -317,9 +317,9 @@ object Clustering {
     * store and its from-scratch label store — what a production
     * pipeline holds between batches. Memoized per (session, dir) and
     * prewarmed by Bench so the gate query pays the MERGE, not the
-    * store build (the [[dupLabels]] accounting stance). */
-  /** base = the persisted signature store (held for unpersist);
-    * batchSig/corpusSig are its two deterministic splits. */
+    * store build (the [[dupLabels]] accounting stance). `base` is the
+    * persisted signature store (held for unpersist); batchSig/corpusSig
+    * are its two deterministic splits. */
   final case class IncStore(base: DataFrame, batchSig: DataFrame,
       corpusSig: DataFrame, corpusLabels: DataFrame)
 

@@ -844,4 +844,60 @@ class PlanSpec extends SparkSpec {
     // per-type counts + the user-exposure distinct
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
   }
+
+  test("q_incremental_clusters: the merge never re-closes the corpus — stores read cached, closure is a bounded RDD artifact") {
+    Clustering.incrementalStore(spark, Sf0001) // warm, as Bench does
+    val plan = executed(Clustering.qIncrementalClusters(spark, Sf0001))
+    // the persisted label store and signature store feed every branch
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted stores")
+    // the contracted closure ran during construction and enters the
+    // plan as a materialized row RDD — bounded by the batch's touch
+    // set; a corpus-sized band self-join re-appearing here would be
+    // the re-closure this operator exists to avoid
+    assert(plan.contains("ExistingRDD"),
+      "contracted-closure labels must be a materialized bounded artifact")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ------------------------------------------------------------------
+  // Single-partition-window contract: Spark warns "No Partition
+  // Defined for Window" whenever a window has no partitionBy — fatal
+  // at 100 TB if the input is corpus-sized, fine if the input is a
+  // bounded frame (a histogram, a top-K cut, a per-query shortlist).
+  // This test turns that eyeball judgment into a checked contract:
+  // every unpartitioned logical Window across the ENTIRE query surface
+  // must (a) belong to an explicitly allowlisted query and (b) have an
+  // input that row-counts under the bound at the test SF.
+  // ------------------------------------------------------------------
+  test("unpartitioned windows: exactly the allowlisted sites, every input bounded") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val Bound = 20000L
+    // the allowed sites and why each window's input is bounded:
+    val allow: Set[String] = Set(
+      "q_novelty_curve",  // cumulative novelty over the per-bucket rollup (|ingest buckets| rows)
+      "q_unimax_alloc",   // round-robin budget allocation over the per-source table (|sources| rows)
+      "q_budget_select",  // threshold pick over histogram-bucket boundaries (fixed bucket grid)
+      "q_vocab_coverage"  // cumulative coverage over the top-K vocab cut (K rows)
+    )
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val actual = scala.collection.mutable.Set.empty[String]
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, Sf0001)
+      val wins = df.queryExecution.analyzed.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty) actual += name
+      wins.foreach { w =>
+        val n = org.apache.spark.sql.GraftPlanAccess.ofRows(spark, w.child).count()
+        if (n > Bound) offenders += s"$name (unpartitioned window input $n > $Bound)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned-window inputs over bound: ${offenders.mkString("; ")}")
+    // exact in both directions: a NEW unpartitioned window anywhere in
+    // the surface must be reviewed onto this list; a REMOVED one must
+    // leave it
+    assert(actual.toSet == allow,
+      s"allowlist drift — actual unpartitioned-window sites: ${actual.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -573,4 +573,198 @@ class ReplayEquivalenceSpec extends SparkSpec {
       assert(streamed == expected)
     } finally q.stop()
   }
+
+  test("Attribution: MemoryStream replay of sf0.001 equals the batch face row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import SequenceTracker.SeqEvent
+    import AttributionTracker.AttrOut
+
+    val dir = graft.SparkSpec.Sf0001
+    val events = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .as[SeqEvent].collect().toSeq.sortBy(e => (e.ts_s, e.event_id))
+
+    val expected = graft.operators.Behavior.qAttribution(spark, dir)
+      .as[AttrOut].collect().toSeq.sortBy(a => (a.user_id, a.purchase_id))
+    assert(expected.nonEmpty)
+    // the equivalence must cover both arms: attributed purchases and
+    // click-less (NULL-credit) ones
+    assert(expected.exists(_.click_id.isDefined))
+    assert(expected.exists(_.click_id.isEmpty))
+
+    val input = MemoryStream[SeqEvent]
+    val q = AttributionTracker.trackStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[SeqEvent](events, _.ts_s, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr_replay")
+        .as[AttrOut].collect().toSeq.sortBy(a => (a.user_id, a.purchase_id))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
+  test("IncrementalPhash: micro-batched incoming payloads probed per-batch equal the one-shot probe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+
+    // the X124 claim made checkable: per-doc verdicts depend only on
+    // (doc, corpus index), so the probe commutes with micro-batching —
+    // including when two near-dup INCOMING docs land in different
+    // batches (each still resolves against the corpus alone, in both
+    // the one-shot and the split run).
+    val dir = graft.SparkSpec.Sf0001
+    val expected = Multimodal.qIncrementalPhash(spark, dir)
+      .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(expected.nonEmpty)
+
+    val base = Multimodal.phashFrame(Multimodal.payloadTable(spark, dir)).persist()
+    base.count()
+    val corpus = base.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    val incoming = base.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+
+    // force a near-dup incoming PAIR to straddle the batch boundary:
+    // find two incoming docs probing to the same corpus match (near
+    // dups of each other through it) and split between them; fall back
+    // to a plain even split if none exists
+    val dupIds = expected.filter(_(1) == "dup").map(_.head.asInstanceOf[Long])
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val batches: Seq[Seq[(Long, Long)]] =
+      if (dupIds.size >= 2) {
+        // cut right after the FIRST dup verdict: batch 1 holds it,
+        // batch 2 holds every later one — dup-status docs (near-dups of
+        // each other through their shared corpus match) straddle
+        val cut = dupIds.head
+        Seq(incoming.filter(_._1 <= cut), incoming.filter(_._1 > cut))
+      } else incoming.grouped((incoming.length + 1) / 2).toSeq
+    assert(batches.size >= 2 && batches.forall(_.nonEmpty))
+
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "phash")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        verdicts.synchronized {
+          verdicts ++= Multimodal.phashProbe(batch, corpus).collect().toSeq.map(_.toSeq)
+        }
+        ()
+      }.start()
+    try {
+      batches.foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = verdicts.toSeq.sortBy(_.head.asInstanceOf[Long])
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally { q.stop(); base.unpersist() }
+  }
+
+  test("IncrementalClusters: merging the incoming docs in 3 batches equals the from-scratch closure") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Clustering, Dedup}
+
+    // the X125 invariance: a persisted label store maintained batch by
+    // batch (absorbing each batch's signatures into the index) ends at
+    // EXACTLY the labels of re-clustering the world from scratch —
+    // regardless of how the incoming stream is cut.
+    val dir = graft.SparkSpec.Sf0001
+    val expected = Clustering.dupLabels(spark, dir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.nonEmpty)
+
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", $"text")
+    var storeSig = Dedup.signatureFrame(
+      docs.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)).persist()
+    storeSig.count()
+    var labels = Clustering.connectedComponents(
+      Dedup.edgesOf(storeSig, storeSig.limit(0)))
+    val incoming = docs.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        this.synchronized {
+          val sig = Dedup.signatureFrame(batch).persist()
+          sig.count()
+          labels = Clustering.mergeIncrementalLabels(sig, storeSig, labels)
+            .persist()
+          labels.count()
+          val grown = storeSig.unionByName(sig).persist()
+          grown.count() // absorb the batch BEFORE the next merge
+          storeSig.unpersist()
+          storeSig = grown
+        }
+        ()
+      }.start()
+    try {
+      incoming.grouped((incoming.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val merged = labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(merged == expected)
+    } finally { q.stop(); storeSig.unpersist() }
+  }
+
+  test("IncrementalClusters: a bridge doc merges two clusters; untouched clusters keep their labels") {
+    import spark.implicits._
+    import graft.operators.Clustering
+
+    // unit face of the bounded-relabel contract: one new doc bridging
+    // two existing components relabels exactly those components' rows;
+    // a third component never enters the contracted graph.
+    val store = Seq((100L, 100L), (101L, 100L), (102L, 102L), (103L, 102L),
+      (200L, 200L), (201L, 200L)).toDF("id", "label")
+    val edges = Seq((5L, 101L), (5L, 103L)).toDF("a", "b")
+    val merged = Clustering.mergeEdgesIntoLabels(edges, store)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(merged == Seq((5L, 5L), (100L, 5L), (101L, 5L), (102L, 5L),
+      (103L, 5L), (200L, 200L), (201L, 200L)))
+  }
+
+  test("IncrementalClusters: cross-batch incoming near-dups and a relabeling join resolve like from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Clustering, Dedup}
+
+    // plants the cases the sf-corpus split can't guarantee: an incoming
+    // doc duplicating an EARLIER BATCH's doc (3 ≡ 1 across the
+    // boundary), incoming docs joining existing clusters and becoming
+    // their new min labels (2 and 4), and a doc (1) that is a singleton
+    // until its duplicate arrives.
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "pack my box with five dozen liquor jugs before the night falls"
+    val tC = "large scale training corpora require careful deduplication before any model sees them"
+    val corpus = Seq((100L, tA), (101L, tA), (102L, tB), (103L, tB))
+    val batch1 = Seq((1L, tC), (2L, tB))
+    val batch2 = Seq((3L, tC), (4L, tA))
+
+    var storeSig = Dedup.signatureFrame(corpus.toDF("doc_id", "text")).persist()
+    storeSig.count()
+    var labels = Clustering.connectedComponents(
+      Dedup.edgesOf(storeSig, storeSig.limit(0)))
+    assert(labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted ==
+      Seq((100L, 100L), (101L, 100L), (102L, 102L), (103L, 102L)))
+
+    Seq(batch1, batch2).foreach { b =>
+      val sig = Dedup.signatureFrame(b.toDF("doc_id", "text")).persist()
+      sig.count()
+      labels = Clustering.mergeIncrementalLabels(sig, storeSig, labels).persist()
+      labels.count()
+      val grown = storeSig.unionByName(sig).persist()
+      grown.count()
+      storeSig.unpersist()
+      storeSig = grown
+    }
+    val merged = labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    // from-scratch over all 8 docs: {4,100,101}→4, {2,102,103}→2, {1,3}→1
+    assert(merged == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 4L),
+      (100L, 4L), (101L, 4L), (102L, 2L), (103L, 2L)))
+    storeSig.unpersist()
+  }
 }
