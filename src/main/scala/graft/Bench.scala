@@ -27,6 +27,7 @@ object Bench {
     graft.operators.Clustering.invalidateIncrementalStore()
     graft.operators.Corpus.invalidateContamCache()
     graft.operators.Multimodal.invalidateModalCache()
+    graft.operators.Multimodal.invalidateIncModalStore()
     // Pre-materialize the SHARED persisted stores at the target SF so
     // per-query timings are order-independent: without this, whichever
     // query touches a store first absorbs its whole build cost
@@ -45,6 +46,7 @@ object Bench {
       graft.operators.Clustering.vecStore(spark, sfDir).count()
       graft.operators.Clustering.incrementalStore(spark, sfDir).corpusLabels.count()
       graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
+      graft.operators.Multimodal.incModalStore(spark, sfDir).corpusLabels.count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

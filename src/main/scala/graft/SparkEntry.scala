@@ -201,6 +201,7 @@ object SparkEntry {
     "q_video_neardup"     -> (Multimodal.qVideoNeardup(_, _)),
     "q_modal_dedup"       -> (Multimodal.qModalDedup(_, _)),
     "q_incremental_phash" -> (Multimodal.qIncrementalPhash(_, _)),
+    "q_incremental_modal" -> (Multimodal.qIncrementalModal(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
     // replay uses a single position family, so the whole FSM is
     // re-runnable in SQL as a recursive CTE — full value oracle below
@@ -438,6 +439,7 @@ object SparkEntry {
     "q_video_neardup"      -> Multimodal.sqlVideoNeardup,
     "q_modal_dedup"        -> Multimodal.sqlModalDedup,
     "q_incremental_phash"  -> Multimodal.sqlIncrementalPhash,
+    "q_incremental_modal"  -> Multimodal.sqlIncrementalModal,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,

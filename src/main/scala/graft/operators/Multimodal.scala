@@ -484,4 +484,223 @@ object Multimodal {
        |FROM documents d LEFT JOIN labels l USING (doc_id)
        |  LEFT JOIN via v USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental cross-modal dedup (X126) — X125's production merge
+  // applied to the CROSS-MODAL label store (X118): per incoming batch,
+  // generate only the batch-touching near-dup edges in each modality
+  // and merge them into the persisted modal labels via
+  // [[Clustering.mergeEdgesIntoLabels]]; the corpus is never re-closed.
+  // Text (LSH+Jaccard) and image (phash pigeonhole) evidence are
+  // PAIRWISE properties, so their touching-pair sets compose exactly
+  // with the stored corpus-within pairs (the X125 decomposition).
+  // Video evidence is NOT pairwise — the boilerplate-frame guard
+  // (frames in > MaxFrameDocs docs are excluded) depends on the whole
+  // index — so the merge judges video pairs with the frame index AS OF
+  // MERGE TIME (corpus ∪ this batch): monotone merge semantics, i.e. a
+  // frame that later crosses the cap stops forming NEW pairs but never
+  // retracts clusters it already merged — exactly how a production
+  // union-find dedup store behaves. The oracle replays those exact
+  // semantics through an independent DuckDB computation (exact
+  // all-pairs faces, split rarity bases); the monotonicity itself is
+  // spec-pinned with a synthetic cap-crossing frame in MultimodalSpec.
+  // Scale shape per batch: three hash-keyed probe joins (band keys,
+  // phash chunks, frame hashes), one slim (fhash) count aggregate for
+  // the index refresh (standing in for an incremental count-merge —
+  // identical output), and a contracted closure bounded by the batch's
+  // touch set.
+  // ------------------------------------------------------------------
+
+  /** Phash near-dup pairs TOUCHING the batch (batch×corpus ∪
+    * batch×batch), hamming ≤ 3 via the 4×15-bit chunk pigeonhole —
+    * [[Dedup.chunkBucketPairs]] decomposed the way [[Dedup.edgesOf]]
+    * decomposes the LSH pairs. Canonical (least, greatest) output. */
+  private[operators] def phashPairsTouching(batchPh: DataFrame,
+      corpusPh: DataFrame): DataFrame = {
+    def ck(df: DataFrame, id: String) = Dedup.chunkKeys(df, "phash")
+      .select($"doc_id".as(id), $"_h".as(s"${id}_h"), $"chunk", $"ckey")
+    val cross = ck(batchPh, "a").join(ck(corpusPh, "b"), Seq("chunk", "ckey"))
+    val within = ck(batchPh, "a").join(ck(batchPh, "b"), Seq("chunk", "ckey"))
+      .filter($"a" < $"b")
+    cross.select($"a", $"b", $"a_h", $"b_h")
+      .unionByName(within.select($"a", $"b", $"a_h", $"b_h"))
+      .select(least($"a", $"b").as("doc_a"), greatest($"a", $"b").as("doc_b"),
+        bit_count($"a_h".bitwiseXOR($"b_h")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** Shared-frame pairs TOUCHING the batch, rarity judged over `allF`
+    * (the merge-time index). `cap` parameterized for the spec's
+    * cap-crossing scenario. Canonical (least, greatest) output. */
+  private[operators] def videoPairsTouching(batchF: DataFrame, allF: DataFrame,
+      cap: Int = MaxFrameDocs): DataFrame = {
+    val rare = allF.groupBy($"fhash").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= cap).select($"fhash")
+    val keptAll = allF.join(rare, Seq("fhash"))
+    val keptB = batchF.join(rare, Seq("fhash"))
+    keptB.as("a")
+      .join(keptAll.as("b"), col("a.fhash") === col("b.fhash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"), col("a.fhash"))
+      .distinct() // one row per (pair, frame); batch-batch seen twice
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("sf"))
+      .filter($"sf" >= VideoMinShared)
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** Persisted pre-batch modal state: the phash store, the distinct
+    * frame postings, the tagged corpus-within pair families, and their
+    * closure — what a production multimodal pipeline holds between
+    * batches (the [[Clustering.incrementalStore]] stance; Bench
+    * prewarms it so the gate pays the merge, not the store build).
+    * Text/image corpus pairs reuse the already-warm full-pair stores
+    * filtered to corpus endpoints (exact, by pairwise decomposition);
+    * video corpus pairs are recomputed with corpus-only rarity. */
+  final case class IncModalStore(ph: DataFrame, fr: DataFrame,
+      corpusTagged: DataFrame, corpusLabels: DataFrame)
+
+  private val incModalCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IncModalStore]
+
+  private def isIncoming(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % Dedup.IncomingMod === lit(Dedup.IncomingRem)
+
+  def incModalStore(spark: SparkSession, dir: String): IncModalStore =
+    incModalCache.getOrElseUpdate((spark, dir), {
+      val ph = phashFrame(payloadTable(spark, dir)).persist()
+      ph.count()
+      val fr = framePhashes(spark, dir).select($"doc_id", $"fhash").distinct()
+        .persist()
+      fr.count()
+      val corpusText = Dedup.minhashLshPairsCore(spark, dir)
+        .filter(!isIncoming($"doc_a") && !isIncoming($"doc_b"))
+        .select($"doc_a", $"doc_b", lit("text").as("m"))
+      val corpusImage = imageNeardupCore(spark, dir)
+        .filter(!isIncoming($"doc_a") && !isIncoming($"doc_b"))
+        .select($"doc_a", $"doc_b", lit("image").as("m"))
+      val frC = fr.filter(!isIncoming($"doc_id"))
+      val corpusVideo = videoPairsTouching(frC, frC)
+        .select($"doc_a", $"doc_b", lit("video").as("m"))
+      val corpusTagged = corpusText.unionByName(corpusImage)
+        .unionByName(corpusVideo).persist()
+      corpusTagged.count()
+      val corpusLabels = Clustering.connectedComponents(
+        corpusTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),
+        maxRounds = 64)
+      IncModalStore(ph, fr, corpusTagged, corpusLabels)
+    })
+
+  def invalidateIncModalStore(): Unit = {
+    incModalCache.values.foreach { s =>
+      s.ph.unpersist(); s.fr.unpersist()
+      s.corpusTagged.unpersist(); s.corpusLabels.unpersist()
+    }
+    incModalCache.clear()
+  }
+
+  // ------------------------------------------------------------------
+  // Gate: merge the incoming batch's cross-modal evidence into the
+  // persisted store; emit the full per-doc verdict (cluster, keeper,
+  // per-modality incidence, origin) — the same face as q_modal_dedup,
+  // produced WITHOUT re-closing the corpus.
+  // ------------------------------------------------------------------
+  def qIncrementalModal(spark: SparkSession, dir: String): DataFrame = {
+    val st = incModalStore(spark, dir)
+    val textSt = Clustering.incrementalStore(spark, dir)
+    val newText = Dedup.edgesOf(textSt.batchSig, textSt.corpusSig)
+      .select(least($"a", $"b").as("doc_a"), greatest($"a", $"b").as("doc_b"),
+        lit("text").as("m"))
+    val newImage = phashPairsTouching(
+        st.ph.filter(isIncoming($"doc_id")), st.ph.filter(!isIncoming($"doc_id")))
+      .select($"doc_a", $"doc_b", lit("image").as("m"))
+    val newVideo = videoPairsTouching(st.fr.filter(isIncoming($"doc_id")), st.fr)
+      .select($"doc_a", $"doc_b", lit("video").as("m"))
+    val newTagged = newText.unionByName(newImage).unionByName(newVideo)
+    val labels = Clustering.mergeEdgesIntoLabels(
+      newTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),
+      st.corpusLabels)
+    val tagged = st.corpusTagged.unionByName(newTagged)
+    val via = tagged
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id"), $"m")
+      .groupBy($"doc_id")
+      .agg((sum(when($"m" === "text", 1).otherwise(0)) > 0).as("via_text"),
+        (sum(when($"m" === "image", 1).otherwise(0)) > 0).as("via_image"),
+        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"))
+    Tables.documentsSharded(spark, dir).select($"doc_id")
+      .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
+      .join(via, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"label", $"doc_id").as("cluster_id"),
+        (coalesce($"label", $"doc_id") === $"doc_id").as("kept"),
+        coalesce($"via_text", lit(false)).as("via_text"),
+        coalesce($"via_image", lit(false)).as("via_image"),
+        coalesce($"via_video", lit(false)).as("via_video"),
+        when(isIncoming($"doc_id"), lit("incoming")).otherwise(lit("corpus"))
+          .as("origin"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the merge-time semantics replayed independently — exact
+    * all-pairs text/image faces (their pairwise decomposition makes
+    * corpus-within ∪ touching = all pairs), video pairs with SPLIT
+    * rarity bases (corpus-only for the stored within-corpus family,
+    * full-index for the batch-touching family), one recursive-CTE
+    * closure over the union. */
+  val sqlIncrementalModal: String = {
+    val mod = Dedup.IncomingMod
+    val rem = Dedup.IncomingRem
+    "WITH RECURSIVE " + sqlFramePhashCte.trim.stripPrefix("WITH ") +
+      s""",
+       |f AS (SELECT DISTINCT doc_id, fhash FROM fph),
+       |rc AS (SELECT fhash FROM f WHERE doc_id % $mod <> $rem
+       |  GROUP BY 1 HAVING count(*) <= $MaxFrameDocs),
+       |rf AS (SELECT fhash FROM f GROUP BY 1 HAVING count(*) <= $MaxFrameDocs),
+       |vp_c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM f a JOIN f b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |  JOIN rc ON rc.fhash = a.fhash
+       |  WHERE a.doc_id % $mod <> $rem AND b.doc_id % $mod <> $rem
+       |  GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared),
+       |vp_t AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM f a JOIN f b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |  JOIN rf ON rf.fhash = a.fhash
+       |  WHERE a.doc_id % $mod = $rem OR b.doc_id % $mod = $rem
+       |  GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared),
+       |tp AS (${Dedup.sqlMinhashLshPairs}),
+       |ip AS ($sqlImageNeardupPairs),
+       |tag AS (
+       |  SELECT doc_a, doc_b, 'text' AS m FROM tp
+       |  UNION ALL SELECT doc_a, doc_b, 'image' AS m FROM ip
+       |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp_c
+       |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp_t),
+       |edges AS (
+       |  SELECT DISTINCT doc_a AS src, doc_b AS dst FROM tag
+       |  UNION SELECT DISTINCT doc_b AS src, doc_a AS dst FROM tag),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+       |via AS (SELECT doc_id,
+       |    bool_or(m = 'text') AS via_text,
+       |    bool_or(m = 'image') AS via_image,
+       |    bool_or(m = 'video') AS via_video
+       |  FROM (SELECT doc_a AS doc_id, m FROM tag
+       |        UNION ALL SELECT doc_b AS doc_id, m FROM tag)
+       |  GROUP BY 1)
+       |SELECT docs.doc_id,
+       |  coalesce(l.label, docs.doc_id)::BIGINT AS cluster_id,
+       |  coalesce(l.label, docs.doc_id) = docs.doc_id AS kept,
+       |  coalesce(v.via_text, false) AS via_text,
+       |  coalesce(v.via_image, false) AS via_image,
+       |  coalesce(v.via_video, false) AS via_video,
+       |  CASE WHEN docs.doc_id % $mod = $rem THEN 'incoming' ELSE 'corpus' END AS origin
+       |FROM (SELECT doc_id FROM documents) docs
+       |LEFT JOIN labels l ON l.doc_id = docs.doc_id
+       |LEFT JOIN via v ON v.doc_id = docs.doc_id
+       |ORDER BY docs.doc_id""".stripMargin
+  }
 }

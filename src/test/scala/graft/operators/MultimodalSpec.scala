@@ -82,4 +82,33 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(bucketed == exact)
   }
+
+  test("videoPairsTouching: merge-time rarity is monotone — a cap-crossing frame forms no new pairs and retracts nothing") {
+    import spark.implicits._
+    // two shared frames (11, 22), cap = 2 docs per frame
+    val corpus = Seq((100L, 11L), (100L, 22L)).toDF("doc_id", "fhash")
+    val b1 = Seq((1L, 11L), (1L, 22L)).toDF("doc_id", "fhash")
+    val all1 = corpus.unionByName(b1)
+    // merge 1: both frames sit in 2 docs ≤ cap → the pair forms
+    val p1 = Multimodal.videoPairsTouching(b1, all1, cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(p1 == Seq((1L, 100L)))
+    // batch 2 pushes both frames over the cap: no NEW pairs may form —
+    // neither batch-to-corpus nor within-batch, even though docs 2 and
+    // 3 share both frames with everything
+    val b2 = Seq((2L, 11L), (2L, 22L), (3L, 11L), (3L, 22L)).toDF("doc_id", "fhash")
+    val all2 = all1.unionByName(b2)
+    val p2 = Multimodal.videoPairsTouching(b2, all2, cap = 2)
+    assert(p2.isEmpty)
+    // ...and the earlier merge STANDS: merging the (empty) batch-2 edge
+    // set into the store leaves {1,100} clustered. This is the
+    // documented monotone divergence from a from-scratch run over the
+    // final index (which would see the now-common frames and cluster
+    // nothing) — a production union-find dedup store never retracts.
+    val store = Seq((1L, 1L), (100L, 1L)).toDF("id", "label")
+    val after = Clustering.mergeEdgesIntoLabels(
+        p2.select($"doc_a".as("a"), $"doc_b".as("b")), store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after == Seq((1L, 1L), (100L, 1L)))
+  }
 }

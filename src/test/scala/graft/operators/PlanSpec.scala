@@ -36,6 +36,7 @@ class PlanSpec extends SparkSpec {
     Clustering.invalidateIncrementalStore()
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
+    Multimodal.invalidateIncModalStore()
     df.queryExecution.executedPlan.toString
   }
 
@@ -854,6 +855,15 @@ class PlanSpec extends SparkSpec {
     // plan as a materialized row RDD — bounded by the batch's touch
     // set; a corpus-sized band self-join re-appearing here would be
     // the re-closure this operator exists to avoid
+    assert(plan.contains("ExistingRDD"),
+      "contracted-closure labels must be a materialized bounded artifact")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_incremental_modal: merge reads the persisted modal store; closure is a bounded RDD artifact") {
+    Multimodal.incModalStore(spark, Sf0001) // warm, as Bench does
+    val plan = executed(Multimodal.qIncrementalModal(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted stores")
     assert(plan.contains("ExistingRDD"),
       "contracted-closure labels must be a materialized bounded artifact")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))

@@ -180,7 +180,15 @@ object ScalingHarness {
     "salted_join" ->
       (dir => Scale.qSaltedJoin(spark, dir).count()),
     "event_flow" ->
-      (dir => graft.operators.Behavior.qEventFlow(spark, dir).count()))
+      (dir => graft.operators.Behavior.qEventFlow(spark, dir).count()),
+    // the two incremental-maintenance merges: cold single-pipeline cost
+    // includes the persisted store build (signature store + corpus
+    // closure), which in production amortizes across every batch — the
+    // ratio to watch is that store+merge stays linear in corpus size
+    "incremental_clusters" ->
+      (dir => Clustering.qIncrementalClusters(spark, dir).count()),
+    "incremental_modal" ->
+      (dir => Multimodal.qIncrementalModal(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
@@ -190,6 +198,7 @@ object ScalingHarness {
     Clustering.invalidateIncrementalStore()
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
+    Multimodal.invalidateIncModalStore()
   }
 
   def main(args: Array[String]): Unit = {
@@ -201,11 +210,17 @@ object ScalingHarness {
       println(s"[scaling] generating ${Replicas}x replica at $dst")
       generate(spark, src, dst)
     }
+    // optional pipeline-name args restrict the run (iterating on one
+    // pipeline without paying the whole fold)
+    val sel = args.toSet
+    val selected =
+      if (sel.isEmpty) pipelines(spark)
+      else pipelines(spark).filter(p => sel.contains(p._1))
     // JIT/codegen warmup on the small SF so neither scale pays it
-    pipelines(spark).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       resetCaches(spark); fn("/root/testdata/sf0.01")
     }
-    val rows = pipelines(spark).map { case (name, fn) =>
+    val rows = selected.map { case (name, fn) =>
       def timed(dir: String): (Double, Long) = {
         val samples = (1 to 2).map { _ =>
           resetCaches(spark)
