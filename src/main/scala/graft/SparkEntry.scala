@@ -202,6 +202,7 @@ object SparkEntry {
     "q_modal_dedup"       -> (Multimodal.qModalDedup(_, _)),
     "q_incremental_phash" -> (Multimodal.qIncrementalPhash(_, _)),
     "q_incremental_modal" -> (Multimodal.qIncrementalModal(_, _)),
+    "q_incremental_semdedup" -> (Similarity.qIncrementalSemdedup(_, _)),
     // 4-stream position-tracking FSM (J1/T3/T5/T10–T12): the events
     // replay uses a single position family, so the whole FSM is
     // re-runnable in SQL as a recursive CTE — full value oracle below
@@ -440,6 +441,7 @@ object SparkEntry {
     "q_modal_dedup"        -> Multimodal.sqlModalDedup,
     "q_incremental_phash"  -> Multimodal.sqlIncrementalPhash,
     "q_incremental_modal"  -> Multimodal.sqlIncrementalModal,
+    "q_incremental_semdedup" -> Similarity.sqlIncrementalSemdedup,
     "q_wire_ingest"        -> WireIngest.sqlWireIngest,
     "q_wire_books"         -> WireIngest.sqlWireBooks,
     "q_position_events"    -> PositionTracker.sqlPositionEvents,

@@ -481,6 +481,104 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Incremental embedding dedup (X127) — the embedding-pillar member
+  // of the incremental-probe family (X56 text, X124 phash, X125/X126
+  // label merges): an incoming vector batch probes the PERSISTED
+  // corpus cell assignment (frozen [[IvfGateCentroids]] cells — the
+  // SemDeDup index a production pipeline holds between batches) and
+  // each incoming vector gets a new/dup verdict with its best
+  // same-cell corpus match (max cosine ≥ [[SemDedupThreshold]], ties
+  // to the smaller vec_id). Cell assignment is per-row against frozen
+  // literals and the verdict depends only on (vec, corpus), so the
+  // probe commutes with micro-batching (spec-pinned). Scale shape:
+  // assignment is a broadcast of K centroids riding the scan; the
+  // probe shuffles on cell id only; exact cosines touch same-cell
+  // candidates alone.
+  // ------------------------------------------------------------------
+
+  /** Probe incoming assigned vectors against the corpus assignment
+    * store (both: vec_id, v, nv, cell, ccos). */
+  def semdedupProbe(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val wBest = Window.partitionBy($"i_id").orderBy($"cosine".desc, $"c_id")
+    val best = incoming.as("x").join(corpus.as("y"), col("x.cell") === col("y.cell"))
+      .select(col("x.vec_id").as("i_id"), col("y.vec_id").as("c_id"),
+        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("cosine"))
+      .filter($"cosine" >= SemDedupThreshold)
+      .withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+    incoming.select($"vec_id", $"cell", $"ccos")
+      .join(best.select($"i_id".as("vec_id"), $"c_id", $"cosine"), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"ccos".as("cent_cos"),
+        when($"c_id".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+        coalesce($"c_id", lit(-1L)).cast("long").as("dup_of"),
+        coalesce($"cosine", lit(0.0)).cast("double").as("cosine"))
+  }
+
+  /** The (vec_id, v, nv, cell, ccos) assignment frame the probe and
+    * the store share — identical expressions to [[semanticDedup]]'s
+    * assignment pass, persisted so both probe branches read one
+    * materialization. */
+  def assignedFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val base = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val cents = ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = base.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos")
+      .persist()
+    assigned.count()
+    assigned
+  }
+
+  def qIncrementalSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignedFrame(spark, dir)
+    val incoming = assigned.filter($"vec_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+    val corpus = assigned.filter($"vec_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    semdedupProbe(incoming, corpus).orderBy($"vec_id")
+  }
+
+  /** Oracle: exact same-cell incoming × corpus scan over the identical
+    * frozen-centroid assignment (the [[sqlSemanticDedup]] CTEs with
+    * the incoming/corpus split). */
+  val sqlIncrementalSemdedup: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / ${CentDenom.toLong}.0))"
+    }.mkString(",\n  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT v.vec_id, v.v, c.cent_id,
+       |        ${sqlCosine("v.v", "c.cv")} AS ccos
+       |      FROM v CROSS JOIN c),
+       |r AS (SELECT vec_id, v, cent_id, ccos,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, v, cent_id::BIGINT AS cell, ccos FROM r WHERE rk = 1),
+       |i AS (SELECT * FROM a WHERE vec_id % ${Dedup.IncomingMod} = ${Dedup.IncomingRem}),
+       |cp AS (SELECT * FROM a WHERE vec_id % ${Dedup.IncomingMod} <> ${Dedup.IncomingRem}),
+       |m AS (SELECT i.vec_id AS i_id, cp.vec_id AS c_id,
+       |        ${sqlCosine("i.v", "cp.v")} AS cosine
+       |      FROM i JOIN cp ON cp.cell = i.cell
+       |      WHERE ${sqlCosine("i.v", "cp.v")} >= $SemDedupThreshold),
+       |best AS (SELECT i_id, c_id, cosine FROM (
+       |  SELECT i_id, c_id, cosine,
+       |    row_number() OVER (PARTITION BY i_id ORDER BY cosine DESC, c_id) AS rk
+       |  FROM m) WHERE rk = 1)
+       |SELECT i.vec_id, i.cell, i.ccos AS cent_cos,
+       |  CASE WHEN best.c_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+       |  coalesce(best.c_id, -1)::BIGINT AS dup_of,
+       |  coalesce(best.cosine, 0.0)::DOUBLE AS cosine
+       |FROM i LEFT JOIN best ON best.i_id = i.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Embedding near-dup pairs: same-bucket candidates with cosine above
   // threshold — the "near-dup by embedding" dedup operator, bucketed
   // so it scales like the MinHash LSH join.

@@ -869,6 +869,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_incremental_semdedup: probe reads one materialized assignment store; candidates join on cell") {
+    val plan = executed(Similarity.qIncrementalSemdedup(spark, Sf0001))
+    // the corpus × 8-centroid assignment materializes once; both the
+    // incoming and corpus probe branches must read the cache
+    assert(plan.contains("InMemoryTableScan"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ------------------------------------------------------------------
   // Single-partition-window contract: Spark warns "No Partition
   // Defined for Window" whenever a window has no partitionBy — fatal

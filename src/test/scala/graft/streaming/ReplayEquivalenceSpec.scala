@@ -662,6 +662,32 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally { q.stop(); base.unpersist() }
   }
 
+  test("IncrementalSemdedup: incoming batches probed separately equal the one-shot probe") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+
+    // the embedding-pillar probe commutes with micro-batching: cell
+    // assignment is per-row against frozen centroid literals and the
+    // verdict depends only on (vec, corpus)
+    val dir = graft.SparkSpec.Sf0001
+    val expected = Similarity.qIncrementalSemdedup(spark, dir)
+      .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(expected.nonEmpty)
+    assert(expected.exists(_(3) == "dup") && expected.exists(_(3) == "new"))
+
+    val assigned = Similarity.assignedFrame(spark, dir)
+    val corpus = assigned.filter($"vec_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    val inc = assigned.filter($"vec_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+    val ids = inc.select($"vec_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val streamed = (Similarity.semdedupProbe(inc.filter($"vec_id" <= cut), corpus)
+        .collect().toSeq ++
+      Similarity.semdedupProbe(inc.filter($"vec_id" > cut), corpus)
+        .collect().toSeq)
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed == expected)
+  }
+
   test("IncrementalClusters: merging the incoming docs in 3 batches equals the from-scratch closure") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
