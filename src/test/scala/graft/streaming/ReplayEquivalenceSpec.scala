@@ -609,6 +609,55 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EventFlow: MemoryStream replay transitions equal the batch lead() rows and matrix") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import SequenceTracker.SeqEvent
+    import EventFlowTracker.Transition
+
+    val dir = graft.SparkSpec.Sf0001
+    val events = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .as[SeqEvent].collect().toSeq.sortBy(e => (e.ts_s, e.event_id))
+
+    // batch truth at the TRANSITION granularity: the same lead() window
+    // the matrix face aggregates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val expected = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .select($"user_id", $"event_type".as("from_type"), $"to_type", $"ts_s")
+      .as[Transition].collect().toSeq.sortBy(t => (t.user_id, t.ts_s, t.from_type, t.to_type))
+    assert(expected.nonEmpty)
+
+    val input = MemoryStream[SeqEvent]
+    val q = EventFlowTracker.trackStream(input.toDS())
+      .writeStream.format("memory").queryName("flow_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[SeqEvent](events, _.ts_s, 4).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("flow_replay")
+        .as[Transition].collect().toSeq.sortBy(t => (t.user_id, t.ts_s, t.from_type, t.to_type))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+      // ...and the aggregated matrix equals the gate face
+      val matrix = spark.table("flow_replay")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", $"n".cast("double") /
+          sum($"n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"from_type")).cast("double"))
+        .collect().toSeq.map(_.toSeq).sortBy(_.take(2).mkString(","))
+      val gate = graft.operators.Behavior.qEventFlow(spark, dir)
+        .collect().toSeq.map(_.toSeq).sortBy(_.take(2).mkString(","))
+      assert(matrix == gate)
+    } finally q.stop()
+  }
+
   test("IncrementalPhash: micro-batched incoming payloads probed per-batch equal the one-shot probe") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
