@@ -96,6 +96,7 @@ object SparkEntry {
     "q_ngram_jaccard"     -> (Dedup.qNgramJaccard(_, _)),
     "q_dup_clusters"      -> (Clustering.qDupClusters(_, _)),
     "q_incremental_clusters" -> (Clustering.qIncrementalClusters(_, _)),
+    "q_retract_doc"       -> (Clustering.qRetractDoc(_, _)),
     "q_dedup_decision"    -> (Clustering.qDedupDecision(_, _)),
     "q_kmeans"            -> (Clustering.qKmeans(_, _)),
     // corpus preparation: chunking, repetition filters, segment dedup,
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_range_join"         -> Temporal.sqlRangeJoin,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
     "q_incremental_clusters" -> Clustering.sqlIncrementalClusters,
+    "q_retract_doc"        -> Clustering.sqlRetractDoc,
     "q_dedup_decision"     -> Clustering.sqlDedupDecision,
     "q_kmeans"             -> Clustering.sqlKmeans,
     "q_chunk_docs"         -> Corpus.sqlChunkDocs,

@@ -391,6 +391,90 @@ object Clustering {
   }
 
   // ------------------------------------------------------------------
+  // Deletion-safe cluster maintenance (X128) — the retraction half of
+  // the incremental story (X125 adds, this removes): dropping a
+  // document from the corpus (takedown, opt-out, license expiry) may
+  // SPLIT its near-dup cluster — the removed doc could be the only
+  // bridge between two sub-families — so labels cannot just delete the
+  // row. Because near-dup pairs are PAIRWISE (the X125 decomposition),
+  // every component NOT containing the doc is untouched by its
+  // removal; the correct maintenance is a bounded re-closure of ONLY
+  // the affected component: re-pair its surviving members (one banded
+  // join over |component| signatures fetched by id from the persisted
+  // store) and splice the sub-closure back. Oracle: from-scratch
+  // closure over the corpus WITHOUT the doc. The cluster-dissolving
+  // split case is unit-pinned on explicit survivor pairs.
+  // ------------------------------------------------------------------
+
+  /** Splice a re-closed component back into a label store: keep every
+    * other component, re-close the survivors of `r`'s component from
+    * their `survivorPairs` (cols a, b; pairs among survivors only).
+    * Survivors left with no pair become singletons and drop out —
+    * including the whole-cluster dissolve when the retracted doc was
+    * the only bridge. `r` must be its component's label (the
+    * representative); retracting a non-representative never changes
+    * labels outside the component either, and callers reduce to this
+    * face by passing the member pairs the same way. */
+  def retractFromLabels(labels: DataFrame, r: Long,
+      survivorPairs: DataFrame): DataFrame = {
+    val untouched = labels.filter($"label" =!= lit(r))
+    if (survivorPairs.isEmpty) untouched
+    else untouched.unionByName(
+      connectedComponents(survivorPairs).select($"id", $"label"))
+  }
+
+  // ------------------------------------------------------------------
+  // Gate: retract the minimum clustered doc_id (deterministically the
+  // representative of the first cluster — its removal forces at least
+  // a relabel, and a split whenever it was load-bearing), emit the
+  // post-retraction (doc_id, cluster_id, cluster_size) inventory.
+  // ------------------------------------------------------------------
+  def qRetractDoc(spark: SparkSession, dir: String): DataFrame = {
+    val st = incrementalStore(spark, dir)
+    val labels = dupLabels(spark, dir) // (id, label), persisted store
+    // the retracted doc: min clustered id — a 1-row bounded model read
+    // (the kmeans read-back stance), identical to the oracle's
+    // min(doc_a) over the pair set
+    val r = labels.agg(min($"id")).head.getLong(0)
+    val members = labels.filter($"label" === lit(r) && $"id" =!= lit(r))
+    // bounded re-pairing: |component| signatures fetched by id from the
+    // persisted store, one banded self-join among them
+    val memberSigs = st.base.join(
+      members.select($"id".as("doc_id")), Seq("doc_id"))
+    val merged = retractFromLabels(labels, r,
+      Dedup.edgesOf(memberSigs, memberSigs.limit(0)))
+    merged.select($"id".as("doc_id"), $"label".as("cluster_id"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"label")).as("cluster_size"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: from-scratch closure with the retracted doc filtered out
+    * of the pair set — removal must be indistinguishable from the doc
+    * never having existed. */
+  val sqlRetractDoc: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |rdoc AS (SELECT min(doc_a) AS rid FROM pairs),
+       |p2 AS (SELECT doc_a, doc_b FROM pairs, rdoc
+       |       WHERE doc_a <> rid AND doc_b <> rid),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p2
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM p2),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM labels l
+       |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1) s
+       |  USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Dedup savings report — the dataset-card numbers: per source, how
   // many documents and tokens survive near-dup deduplication when
   // each cluster keeps only its representative (min doc_id, the

@@ -802,6 +802,27 @@ class ReplayEquivalenceSpec extends SparkSpec {
       (103L, 5L), (200L, 200L), (201L, 200L)))
   }
 
+  test("RetractDoc: removing the only bridge dissolves its cluster; other components untouched") {
+    import spark.implicits._
+    import graft.operators.Clustering
+
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (200L, 200L), (201L, 200L))
+      .toDF("id", "label")
+    // component {1,2,3} was held together solely by edges (1,2),(1,3):
+    // retracting doc 1 leaves survivors 2 and 3 with no pair — the
+    // cluster dissolves entirely (both become singletons and drop out)
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val dissolved = Clustering.retractFromLabels(labels, 1L, noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(dissolved == Seq((200L, 200L), (201L, 200L)))
+    // ...while a surviving pair re-closes the remainder under its new
+    // min representative
+    val pair = Seq((2L, 3L)).toDF("a", "b")
+    val relabeled = Clustering.retractFromLabels(labels, 1L, pair)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(relabeled == Seq((2L, 2L), (3L, 2L), (200L, 200L), (201L, 200L)))
+  }
+
   test("IncrementalClusters: cross-batch incoming near-dups and a relabeling join resolve like from-scratch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
