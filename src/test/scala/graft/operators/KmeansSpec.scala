@@ -32,4 +32,24 @@ class KmeansSpec extends SparkSpec {
     val b = Clustering.qKmeans(spark, Sf0001).collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("vecStore: a ragged or null-element embedding fails loudly with the offending vec_id") {
+    import spark.implicits._
+    // malformed corpora must fail at store-build time with a pointed
+    // error — not NPE downstream in the kmeans column-sums read-back
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badvec").toString
+    val good = Array.fill(graft.operators.Similarity.Dims)(0.5f)
+    Seq((1L, good), (2L, good.take(10)), (3L, good))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[Exception] {
+      Clustering.vecStore(spark, tmp).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("malformed embedding") && m.contains("vec_id=2")),
+      s"unexpected error chain: ${messages(e).mkString(" | ")}")
+    Clustering.invalidateVecCache() // drop the poisoned memo entry
+  }
 }

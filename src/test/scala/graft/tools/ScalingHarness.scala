@@ -188,7 +188,11 @@ object ScalingHarness {
     "incremental_clusters" ->
       (dir => Clustering.qIncrementalClusters(spark, dir).count()),
     "incremental_modal" ->
-      (dir => Multimodal.qIncrementalModal(spark, dir).count()))
+      (dir => Multimodal.qIncrementalModal(spark, dir).count()),
+    "incremental_semdedup" ->
+      (dir => Similarity.qIncrementalSemdedup(spark, dir).count()),
+    "retract_doc" ->
+      (dir => Clustering.qRetractDoc(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
