@@ -272,7 +272,20 @@ object Clustering {
     * frames here are bounded by the store (slim) and the batch's edge
     * set; the corpus itself is never touched. */
   def mergeEdgesIntoLabels(edges: DataFrame, corpusLabels: DataFrame): DataFrame = {
-    if (edges.isEmpty) return corpusLabels
+    // Materialize the batch edge set ONCE: it is read by the emptiness
+    // check, the contraction, and the closure's own persist — without
+    // this the (often probe-join-heavy) edge plan executes three times
+    // per merge. Slim (long, long) rows; released before returning
+    // (the result's lineage runs through the materialized closure
+    // labels, not these blocks — eviction only costs a recompute on
+    // the recovery path).
+    val e = edges.select($"a", $"b").persist(StorageLevel.MEMORY_AND_DISK)
+    try mergeEdgesImpl(e, corpusLabels)
+    finally e.unpersist()
+  }
+
+  private def mergeEdgesImpl(edges: DataFrame, corpusLabels: DataFrame): DataFrame = {
+    if (edges.count() == 0) return corpusLabels
     val lab = corpusLabels.select($"id", $"label")
     // contract endpoints to their current component labels: stored
     // members → their label; everything else (incoming docs, corpus

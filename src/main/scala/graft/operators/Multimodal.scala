@@ -619,7 +619,11 @@ object Multimodal {
       .select($"doc_a", $"doc_b", lit("image").as("m"))
     val newVideo = videoPairsTouching(st.fr.filter(isIncoming($"doc_id")), st.fr)
       .select($"doc_a", $"doc_b", lit("video").as("m"))
-    val newTagged = newText.unionByName(newImage).unionByName(newVideo)
+    // materialize the batch's three probe-join families ONCE: the edge
+    // merge and the incidence aggregate below both read them (plan is
+    // deterministic, so per-session re-runs hit the same cache entry)
+    val newTagged = newText.unionByName(newImage).unionByName(newVideo).persist()
+    newTagged.count()
     val labels = Clustering.mergeEdgesIntoLabels(
       newTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),
       st.corpusLabels)
