@@ -83,6 +83,21 @@ class MultimodalSpec extends SparkSpec {
     assert(bucketed == exact)
   }
 
+  test("incremental modal merge coincides with the from-scratch verdict on the gate corpus") {
+    // the monotone merge-time semantics only diverge from from-scratch
+    // when a frame crosses the boilerplate cap between the corpus-only
+    // and full indices; the gate corpora plant no such frame, so the
+    // merge must reproduce q_modal_dedup EXACTLY — cluster ids, keeper
+    // election, and all three modality-incidence flags. (The synthetic
+    // cap-crossing test below documents the deliberate divergence.)
+    val inc = Multimodal.qIncrementalModal(spark, Sf0001)
+      .drop("origin").collect().map(_.toSeq).toSeq
+    val scratch = Multimodal.qModalDedup(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == scratch)
+  }
+
   test("videoPairsTouching: merge-time rarity is monotone — a cap-crossing frame forms no new pairs and retracts nothing") {
     import spark.implicits._
     // two shared frames (11, 22), cap = 2 docs per frame
