@@ -752,38 +752,24 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(expected.nonEmpty)
 
     val docs = Tables.documentsSharded(spark, dir).select($"doc_id", $"text")
-    var storeSig = Dedup.signatureFrame(
-      docs.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)).persist()
-    storeSig.count()
-    var labels = Clustering.connectedComponents(
-      Dedup.edgesOf(storeSig, storeSig.limit(0)))
+    // the PRODUCTION wiring — the tested path IS the shipped path
+    val lm = new LabelMaintenance(
+      docs.filter($"doc_id" % Dedup.IncomingMod =!= Dedup.IncomingRem))
     val incoming = docs.filter($"doc_id" % Dedup.IncomingMod === Dedup.IncomingRem)
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
 
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text")
-      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        this.synchronized {
-          val sig = Dedup.signatureFrame(batch).persist()
-          sig.count()
-          labels = Clustering.mergeIncrementalLabels(sig, storeSig, labels)
-            .persist()
-          labels.count()
-          val grown = storeSig.unionByName(sig).persist()
-          grown.count() // absorb the batch BEFORE the next merge
-          storeSig.unpersist()
-          storeSig = grown
-        }
-        ()
-      }.start()
+      .writeStream.foreachBatch(lm.sink).start()
     try {
       incoming.grouped((incoming.length + 2) / 3).foreach { chunk =>
         input.addData(chunk)
         q.processAllAvailable()
       }
-      val merged = labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+      val merged = lm.labels.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(merged == expected)
-    } finally { q.stop(); storeSig.unpersist() }
+    } finally { q.stop(); lm.close() }
   }
 
   test("IncrementalClusters: a bridge doc merges two clusters; untouched clusters keep their labels") {
@@ -840,27 +826,15 @@ class ReplayEquivalenceSpec extends SparkSpec {
     val batch1 = Seq((1L, tC), (2L, tB))
     val batch2 = Seq((3L, tC), (4L, tA))
 
-    var storeSig = Dedup.signatureFrame(corpus.toDF("doc_id", "text")).persist()
-    storeSig.count()
-    var labels = Clustering.connectedComponents(
-      Dedup.edgesOf(storeSig, storeSig.limit(0)))
-    assert(labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted ==
+    val lm = new LabelMaintenance(corpus.toDF("doc_id", "text"))
+    assert(lm.labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted ==
       Seq((100L, 100L), (101L, 100L), (102L, 102L), (103L, 102L)))
 
-    Seq(batch1, batch2).foreach { b =>
-      val sig = Dedup.signatureFrame(b.toDF("doc_id", "text")).persist()
-      sig.count()
-      labels = Clustering.mergeIncrementalLabels(sig, storeSig, labels).persist()
-      labels.count()
-      val grown = storeSig.unionByName(sig).persist()
-      grown.count()
-      storeSig.unpersist()
-      storeSig = grown
-    }
-    val merged = labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    Seq(batch1, batch2).foreach(b => lm.absorb(b.toDF("doc_id", "text")))
+    val merged = lm.labels.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
     // from-scratch over all 8 docs: {4,100,101}→4, {2,102,103}→2, {1,3}→1
     assert(merged == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 4L),
       (100L, 4L), (101L, 4L), (102L, 2L), (103L, 2L)))
-    storeSig.unpersist()
+    lm.close()
   }
 }
