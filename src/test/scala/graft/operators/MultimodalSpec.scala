@@ -98,6 +98,56 @@ class MultimodalSpec extends SparkSpec {
     assert(inc == scratch)
   }
 
+  test("modal maintenance composes across batches when no frame crosses the cap") {
+    import spark.implicits._
+    // pair-level twin of the X125 multi-batch invariance for the modal
+    // store: grow (phash, frame) indices batch by batch, merge each
+    // batch's touching pairs, and land exactly on the from-scratch
+    // closure over the union — valid whenever no frame crosses the
+    // boilerplate cap between merges (the coincidence regime pinned
+    // above; the kernels themselves are pinned by the gate oracles).
+    def pairs(ph: org.apache.spark.sql.DataFrame, phAll: org.apache.spark.sql.DataFrame,
+        fr: org.apache.spark.sql.DataFrame, frAll: org.apache.spark.sql.DataFrame) =
+      Multimodal.phashPairsTouching(ph, phAll)
+        .unionByName(Multimodal.videoPairsTouching(fr, frAll))
+        .select($"doc_a".as("a"), $"doc_b".as("b")).distinct()
+
+    // corpus: 100~101 are phash near-dups; 102~103 share frames {1,2}
+    var phStore = Seq((100L, 5L), (101L, 5L), (102L, 900L), (103L, 800L))
+      .toDF("doc_id", "phash")
+    var frStore = Seq((102L, 1L), (102L, 2L), (103L, 1L), (103L, 2L),
+      (100L, 7L), (101L, 8L)).toDF("doc_id", "fhash")
+    var labels = Clustering.connectedComponents(
+      pairs(phStore, phStore.limit(0), frStore, frStore))
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      Seq((100L, 100L), (101L, 100L), (102L, 102L), (103L, 102L)))
+
+    // batch 1: doc 1 is a phash dup of the {100,101} family
+    val ph1 = Seq((1L, 5L)).toDF("doc_id", "phash")
+    val fr1 = Seq((1L, 9L)).toDF("doc_id", "fhash")
+    labels = Clustering.mergeEdgesIntoLabels(
+      pairs(ph1, phStore, fr1, frStore.unionByName(fr1)), labels)
+    phStore = phStore.unionByName(ph1)
+    frStore = frStore.unionByName(fr1)
+
+    // batch 2: doc 2 shares frames {1,2} with the {102,103} family
+    val ph2 = Seq((2L, 700L)).toDF("doc_id", "phash")
+    val fr2 = Seq((2L, 1L), (2L, 2L)).toDF("doc_id", "fhash")
+    labels = Clustering.mergeEdgesIntoLabels(
+      pairs(ph2, phStore, fr2, frStore.unionByName(fr2)), labels)
+    phStore = phStore.unionByName(ph2)
+    frStore = frStore.unionByName(fr2)
+
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // from-scratch over the final stores must agree
+    val scratch = Clustering.connectedComponents(
+        pairs(phStore, phStore.limit(0), frStore, frStore))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 2L), (100L, 1L), (101L, 1L),
+      (102L, 2L), (103L, 2L)))
+    assert(got == scratch)
+  }
+
   test("videoPairsTouching: merge-time rarity is monotone — a cap-crossing frame forms no new pairs and retracts nothing") {
     import spark.implicits._
     // two shared frames (11, 22), cap = 2 docs per frame
