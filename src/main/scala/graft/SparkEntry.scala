@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Behavior, Clustering, Corpus, Dedup, Embeddings, EventWindows, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Behavior, Clustering, Corpus, Dedup, Embeddings, EventWindows, Graph, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +37,11 @@ object SparkEntry {
     // temporal joins (as-of / bucketed range)
     "q_asof_join"         -> (Temporal.qAsofJoin(_, _)),
     "q_range_join"        -> (Temporal.qRangeJoin(_, _)),
+    "q_gap_fill"          -> (Temporal.qGapFill(_, _)),
+    "q_scd2"              -> (Temporal.qScd2(_, _)),
+    "q_pagerank"          -> (Graph.qPagerank(_, _)),
+    "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
+    "q_k_anonymity"       -> (Analytics.qKAnonymity(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
     "q_sliding_window"    -> (EventWindows.qSlidingWindow(_, _)),
     "q_trailing_baseline" -> (EventWindows.qTrailingBaseline(_, _)),
@@ -291,6 +296,11 @@ object SparkEntry {
     "q_set_ops"            -> Relational.sqlSetOps,
     "q_asof_join"          -> Temporal.sqlAsofJoin,
     "q_range_join"         -> Temporal.sqlRangeJoin,
+    "q_gap_fill"           -> Temporal.sqlGapFill,
+    "q_scd2"               -> Temporal.sqlScd2,
+    "q_pagerank"           -> Graph.sqlPagerank,
+    "q_edit_verify"        -> Dedup.sqlEditVerify,
+    "q_k_anonymity"        -> Analytics.sqlKAnonymity,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,
     "q_incremental_clusters" -> Clustering.sqlIncrementalClusters,
     "q_retract_doc"        -> Clustering.sqlRetractDoc,

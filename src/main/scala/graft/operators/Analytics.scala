@@ -197,4 +197,70 @@ object Analytics {
     (ProfNumCols.map(num) ++ ProfStrCols.map(str))
       .mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
+
+  // ------------------------------------------------------------------
+  // k-anonymity / l-diversity release audit (Sweeney 2002; Machanavajjhala
+  // et al. 2007): before a user-level table ships in a training corpus
+  // or external release, every quasi-identifier group must contain at
+  // least K individuals, and the sensitive attribute must take at
+  // least L distinct values within the group — otherwise the group
+  // generalizes (segment → '*') and the audit re-checks at the coarser
+  // key. This is the privacy gate next to the X23/X99 PII scans: those
+  // find identifiers IN content, this bounds re-identification via
+  // attribute combinations. Scale shape: two grouped aggregates over
+  // slim (nation, segment, balance-bucket) rows — map-side combinable,
+  // no row-level data ever leaves the scan.
+  // ------------------------------------------------------------------
+  val AnonK = 10L
+  val AnonL = 3L
+
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        // sensitive attribute, bucketed: account balance in 1000s
+        // (exact IEEE divide + floor, identical both engines)
+        floor($"c_acctbal" / lit(1000.0)).cast("long").as("bal_bucket"))
+    // Pass 1: group sizes at the fine quasi-identifier key; groups
+    // under K generalize their segment to '*'.
+    val g1 = c.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n1"))
+      .withColumn("release_segment",
+        when($"n1" >= AnonK, $"c_mktsegment").otherwise(lit("*")))
+    // Pass 2: re-audit at the released key — generalized rows pool
+    // into the nation-level '*' group.
+    c.join(g1.select($"c_nationkey", $"c_mktsegment", $"release_segment"),
+        Seq("c_nationkey", "c_mktsegment"))
+      .groupBy($"c_nationkey", $"release_segment")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"c_mktsegment").as("n_source_groups"),
+        countDistinct($"bal_bucket").as("l_diversity"))
+      .select($"c_nationkey", $"release_segment", $"n_rows", $"n_source_groups",
+        $"l_diversity",
+        when($"n_rows" < AnonK || $"l_diversity" < AnonL, 1).otherwise(0)
+          .as("still_at_risk"))
+      .orderBy($"c_nationkey", $"release_segment")
+  }
+
+  /** Oracle: the same two-pass generalization; floor(x/1000.0) is one
+    * IEEE divide + floor in both engines. */
+  val sqlKAnonymity: String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+       |  FROM customer),
+       |g1 AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CASE WHEN count(*) >= $AnonK THEN c_mktsegment ELSE '*' END
+       |      AS release_segment
+       |  FROM c GROUP BY 1, 2)
+       |SELECT c.c_nationkey, g1.release_segment, count(*) AS n_rows,
+       |  count(DISTINCT c.c_mktsegment) AS n_source_groups,
+       |  count(DISTINCT c.bal_bucket) AS l_diversity,
+       |  CASE WHEN count(*) < $AnonK
+       |    OR count(DISTINCT c.bal_bucket) < $AnonL THEN 1 ELSE 0 END
+       |    AS still_at_risk
+       |FROM c JOIN g1 ON c.c_nationkey = g1.c_nationkey
+       |  AND c.c_mktsegment = g1.c_mktsegment
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -753,4 +753,59 @@ object Dedup {
        |FROM i LEFT JOIN best ON i.doc_id = best.i_id
        |ORDER BY i.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Edit-distance verification of the LSH pair set: exact Levenshtein
+  // distance + normalized edit similarity for every shingle-level
+  // near-dup pair — the final adjudication fuzzy dedup runs before
+  // deciding canonical-vs-variant (shingle Jaccard sees bag-of-ngrams
+  // overlap; edit distance sees ORDER, so a shuffled paraphrase scores
+  // high Jaccard but low edit similarity). Scale stance: Levenshtein
+  // is O(len²) per pair, so it runs ONLY on the banded candidate pair
+  // set (keyspace-bounded, never all-pairs) and the text join is two
+  // id-keyed hash joins — the same verify-on-candidates contract as
+  // the exact-Jaccard step. Both engines implement classic
+  // unit-cost Levenshtein natively, making the distance an exact
+  // cross-engine integer.
+  // ------------------------------------------------------------------
+  def qEditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", $"text")
+    minhashLshPairsCore(spark, dir)
+      .select($"doc_a", $"doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").as("edit_dist"),
+        length($"ta").as("len_a"), length($"tb").as("len_b"))
+      .withColumn("edit_sim",
+        lit(1.0) - $"edit_dist" / greatest($"len_a", $"len_b").cast("double"))
+      .withColumn("near_exact", ($"edit_sim" >= 0.8).cast("int"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the exact-Jaccard pair set (the [[sqlMinhashLshPairs]]
+    * equivalence) scored by DuckDB's levenshtein — distance is an
+    * exact integer, the similarity one IEEE divide + subtract, so the
+    * doubles match bit-for-bit. */
+  val sqlEditVerify: String = {
+    val sh = s"list_distinct(${graft.functions.Hashing.sqlShingles(
+      graft.functions.Hashing.sqlTokens("text"), ShingleN)})"
+    s"""WITH s AS (SELECT doc_id, text, $sh AS sh FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.text AS ta, b.text AS tb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |      / len(list_distinct(a.sh || b.sh)) END >= 0.5)
+       |SELECT doc_a, doc_b,
+       |  levenshtein(ta, tb) AS edit_dist,
+       |  length(ta) AS len_a, length(tb) AS len_b,
+       |  1.0 - levenshtein(ta, tb) / CAST(greatest(length(ta), length(tb))
+       |    AS DOUBLE) AS edit_sim,
+       |  CASE WHEN 1.0 - levenshtein(ta, tb)
+       |    / CAST(greatest(length(ta), length(tb)) AS DOUBLE) >= 0.8
+       |    THEN 1 ELSE 0 END AS near_exact
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -140,4 +140,147 @@ object Temporal {
        |  AND e.e_ts >= p.ts_ms - $WindowMs AND e.e_ts < p.ts_ms
        |GROUP BY 1, 2, 3, 4
        |ORDER BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Time-series gap-fill + forward-fill: regularize each user's
+  // irregular purchase stream onto a daily grid, carrying the last
+  // observed value across gap days (the resample().ffill() of time-
+  // series engines, and the step before any fixed-stride model
+  // feature). Scale shape: the textbook encoding (calendar grid LEFT
+  // JOIN observations, then an ignore-nulls window) costs a grid
+  // build, a join, and a second window pass; this one is JOIN-FREE —
+  // each observation explodes its own run of days up to (but not
+  // including) the next observation, so forward-fill is carried by
+  // construction. ONE user-keyed shuffle total, and the explode is
+  // bounded by span-days per user (sequence(), not a calendar-table
+  // join, so no hot date key). Day arithmetic is integer floor-div of
+  // the ms epoch (positive here ⇒ Spark `div` ≡ DuckDB `//`).
+  // ------------------------------------------------------------------
+  val DayMs = 86400000L
+
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id", $"value")
+      .withColumn("day", expr(s"ts_ms div $DayMs"))
+    // Deterministic per-day representative: the day's LAST event,
+    // (ts, event_id)-ordered — the funnel family's total-order rule.
+    // Ordering days ascending with ts DESC inside each day makes the
+    // day's first-seen row its latest event, so one lag() flags it —
+    // same partitioning as every later step.
+    val wOrd = Window.partitionBy($"user_id")
+      .orderBy($"day", $"ts_ms".desc, $"event_id".desc)
+    val obs = p
+      .withColumn("prev_day", lag($"day", 1).over(wOrd))
+      .filter($"prev_day".isNull || $"prev_day" =!= $"day")
+      .select($"user_id", $"day", $"value".as("obs_val"))
+    // Run expansion: [day, next_day) carries this observation.
+    val wNext = Window.partitionBy($"user_id").orderBy($"day")
+    obs.withColumn("next_day", lead($"day", 1).over(wNext))
+      .select($"user_id", $"day".as("obs_day"), $"obs_val",
+        explode(sequence($"day", coalesce($"next_day" - 1, $"day"))).as("day"))
+      .select($"user_id", $"day", $"obs_val".as("val"),
+        when($"day" === $"obs_day", 1).otherwise(0).as("is_obs"))
+      .orderBy($"user_id", $"day")
+  }
+
+  /** Oracle: the INDEPENDENT textbook formulation — calendar grid via
+    * unnest(range(...)), LEFT JOIN, IGNORE NULLS window — so agreement
+    * pins the run-explode encoding algorithmically, not just its
+    * arithmetic. The value column is CARRIED, never summed, so the
+    * doubles compare bit-exactly. */
+  val sqlGapFill: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+       |    epoch_ms(ts) // $DayMs AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |obs AS (
+       |  SELECT user_id, day, value AS obs_val FROM (
+       |    SELECT user_id, day, value,
+       |      row_number() OVER (PARTITION BY user_id, day
+       |        ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |    FROM p) WHERE rn = 1),
+       |grid AS (
+       |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM (
+       |    SELECT user_id, min(day) AS d0, max(day) AS d1
+       |    FROM obs GROUP BY 1)),
+       |j AS (
+       |  SELECT g.user_id, g.day, o.obs_val
+       |  FROM grid g LEFT JOIN obs o
+       |    ON g.user_id = o.user_id AND g.day = o.day)
+       |SELECT user_id, day,
+       |  last_value(obs_val IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+       |  CASE WHEN obs_val IS NULL THEN 0 ELSE 1 END AS is_obs
+       |FROM j ORDER BY user_id, day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD Type-2 interval build: turn each customer's order-priority
+  // change log into validity intervals [valid_from, valid_to) with an
+  // is_current flag — the slowly-changing-dimension construction every
+  // warehouse maintains (Kimball's type-2 dimension). The subtlety the
+  // gate pins is run collapsing: consecutive orders with the SAME
+  // priority extend one interval (gaps-and-islands on the change
+  // flag), they do not open new versions. One customer-keyed shuffle;
+  // the island aggregate and interval chaining run inside the same
+  // partitioning.
+  // ------------------------------------------------------------------
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        // parquet TIMESTAMP_NTZ → TIMESTAMP is an exact relabel under
+        // the session's UTC zone (the Tables.events convention)
+        unix_millis($"o_orderdate".cast("timestamp")).as("d_ms"),
+        $"o_orderpriority".as("prio"))
+    val wSeq = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+    val run = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = o
+      .withColumn("chg",
+        when(lag($"prio", 1).over(wSeq).isNull ||
+          lag($"prio", 1).over(wSeq) =!= $"prio", 1).otherwise(0))
+      .withColumn("island", sum($"chg").over(run))
+    val wNext = Window.partitionBy($"o_custkey").orderBy($"island")
+    islands.groupBy($"o_custkey", $"island")
+      .agg(max($"prio").as("prio"), min($"d_ms").as("valid_from_ms"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to_ms", lead($"valid_from_ms", 1).over(wNext))
+      // the running change-flag sum numbers islands 1..k in change
+      // order, which IS the SCD2 version counter — exposed because
+      // valid_from alone is ambiguous when two versions open on the
+      // same date (ms-resolution change log)
+      .select($"o_custkey".as("c_custkey"), $"island".as("version"), $"prio",
+        $"valid_from_ms", $"valid_to_ms", $"n_orders",
+        when($"valid_to_ms".isNull, 1).otherwise(0).as("is_current"))
+      .orderBy($"c_custkey", $"version")
+  }
+
+  /** Oracle: identical gaps-and-islands construction — priority is
+    * constant within an island so max() is the carry, and the
+    * (date, orderkey) order is total, making islands deterministic. */
+  val sqlScd2: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS d_ms,
+      |    o_orderpriority AS prio
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+      |      OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
+      |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d_ms, o_orderkey)),
+      |islands AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY d_ms, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT o_custkey, island, max(prio) AS prio,
+      |    min(d_ms) AS valid_from_ms, count(*) AS n_orders
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT o_custkey AS c_custkey, island AS version, prio, valid_from_ms,
+      |  lead(valid_from_ms) OVER w AS valid_to_ms, n_orders,
+      |  CASE WHEN lead(valid_from_ms) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS is_current
+      |FROM iv WINDOW w AS (PARTITION BY o_custkey ORDER BY island)
+      |ORDER BY c_custkey, version""".stripMargin
 }
