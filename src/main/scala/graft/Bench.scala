@@ -28,6 +28,8 @@ object Bench {
     graft.operators.Corpus.invalidateContamCache()
     graft.operators.Multimodal.invalidateModalCache()
     graft.operators.Multimodal.invalidateIncModalStore()
+    graft.operators.Graph.invalidateEdgeStore()
+    graft.operators.Clustering.releaseMergeClosures()
     // Pre-materialize the SHARED persisted stores at the target SF so
     // per-query timings are order-independent: without this, whichever
     // query touches a store first absorbs its whole build cost
@@ -47,6 +49,7 @@ object Bench {
       graft.operators.Clustering.incrementalStore(spark, sfDir).corpusLabels.count()
       graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
       graft.operators.Multimodal.incModalStore(spark, sfDir).corpusLabels.count()
+      graft.operators.Graph.transactionEdgeStore(spark, sfDir).fresh().count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

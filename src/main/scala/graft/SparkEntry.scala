@@ -40,6 +40,10 @@ object SparkEntry {
     "q_gap_fill"          -> (Temporal.qGapFill(_, _)),
     "q_scd2"              -> (Temporal.qScd2(_, _)),
     "q_pagerank"          -> (Graph.qPagerank(_, _)),
+    "q_ppr_suppliers"     -> (Graph.qPprSuppliers(_, _)),
+    "q_triangles"         -> (Graph.qTriangles(_, _)),
+    "q_copurchase"        -> (Graph.qCoPurchase(_, _)),
+    "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
     "q_k_anonymity"       -> (Analytics.qKAnonymity(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
@@ -299,6 +303,10 @@ object SparkEntry {
     "q_gap_fill"           -> Temporal.sqlGapFill,
     "q_scd2"               -> Temporal.sqlScd2,
     "q_pagerank"           -> Graph.sqlPagerank,
+    "q_ppr_suppliers"      -> Graph.sqlPprSuppliers,
+    "q_triangles"          -> Graph.sqlTriangles,
+    "q_copurchase"         -> Graph.sqlCoPurchase,
+    "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
     "q_edit_verify"        -> Dedup.sqlEditVerify,
     "q_k_anonymity"        -> Analytics.sqlKAnonymity,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,

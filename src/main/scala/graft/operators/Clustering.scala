@@ -272,6 +272,25 @@ object Clustering {
     * frames here are bounded by the store (slim) and the batch's edge
     * set; the corpus itself is never touched. */
   def mergeEdgesIntoLabels(edges: DataFrame, corpusLabels: DataFrame): DataFrame = {
+    val (merged, release) = mergeEdgesIntoLabelsReleasable(edges, corpusLabels)
+    // The unmanaged face can't know when the caller's last action over
+    // the merged frame runs, so the closure blocks backing it are
+    // registered for deferred release instead of leaking: every cache
+    // invalidation point (Bench post-warmup, PlanSpec executedCold,
+    // ScalingHarness.resetCaches, invalidateIncrementalStore) drains
+    // the registry. Long-running streams use the releasable face
+    // (LabelMaintenance.absorb releases per batch).
+    pendingMergeClosures.add(release)
+    merged
+  }
+
+  /** As [[mergeEdgesIntoLabels]], but hands back the release handle for
+    * the contracted-closure blocks the merged frame reads. Callers
+    * materialize the result (count / flatten / write), then release;
+    * afterwards the frame stays valid — further actions recompute the
+    * contracted closure through RDD lineage on the recovery path. */
+  def mergeEdgesIntoLabelsReleasable(edges: DataFrame,
+      corpusLabels: DataFrame): (DataFrame, () => Unit) = {
     // Materialize the batch edge set ONCE: it is read by the emptiness
     // check, the contraction, and the closure's own persist — without
     // this the (often probe-join-heavy) edge plan executes three times
@@ -284,8 +303,20 @@ object Clustering {
     finally e.unpersist()
   }
 
-  private def mergeEdgesImpl(edges: DataFrame, corpusLabels: DataFrame): DataFrame = {
-    if (edges.count() == 0) return corpusLabels
+  /** Deferred release handles from the unmanaged merge face — drained
+    * at every cache-invalidation point so the closure blocks behind
+    * already-consumed merge results don't accumulate. */
+  private val pendingMergeClosures =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  def releaseMergeClosures(): Unit = {
+    var r = pendingMergeClosures.poll()
+    while (r != null) { r(); r = pendingMergeClosures.poll() }
+  }
+
+  private def mergeEdgesImpl(edges: DataFrame,
+      corpusLabels: DataFrame): (DataFrame, () => Unit) = {
+    if (edges.count() == 0) return (corpusLabels, () => ())
     val lab = corpusLabels.select($"id", $"label")
     // contract endpoints to their current component labels: stored
     // members → their label; everything else (incoming docs, corpus
@@ -295,7 +326,7 @@ object Clustering {
       .join(lab.select($"id".as("b"), $"label".as("lb")), Seq("b"), "left")
       .select(coalesce($"la", $"a").as("a"), coalesce($"lb", $"b").as("b"))
       .filter($"a" =!= $"b")
-    if (contracted.isEmpty) return corpusLabels
+    if (contracted.isEmpty) return (corpusLabels, () => ())
     // closure over the CONTRACTED graph only — its node set is
     // {touched labels} ∪ {newcomers}, bounded by the batch edge count,
     // never the corpus
@@ -312,7 +343,7 @@ object Clustering {
     // incoming docs and previously-singleton corpus docs
     val newcomers = comp.join(oldLabels, Seq("id"), "left_anti")
       .select($"id", $"label")
-    relabeled.unionByName(newcomers)
+    (relabeled.unionByName(newcomers), () => { comp.unpersist(); () })
   }
 
   /** Merge one incoming batch (as a (doc_id, sh, sig) signature frame)
@@ -325,6 +356,13 @@ object Clustering {
   def mergeIncrementalLabels(batchSig: DataFrame, corpusSig: DataFrame,
       corpusLabels: DataFrame): DataFrame =
     mergeEdgesIntoLabels(Dedup.edgesOf(batchSig, corpusSig), corpusLabels)
+
+  /** Releasable twin of [[mergeIncrementalLabels]] for long-running
+    * callers (LabelMaintenance.absorb releases per micro-batch). */
+  def mergeIncrementalLabelsReleasable(batchSig: DataFrame,
+      corpusSig: DataFrame, corpusLabels: DataFrame): (DataFrame, () => Unit) =
+    mergeEdgesIntoLabelsReleasable(Dedup.edgesOf(batchSig, corpusSig),
+      corpusLabels)
 
   /** Persisted pre-batch state for the gate: the corpus-split signature
     * store and its from-scratch label store — what a production
@@ -359,6 +397,7 @@ object Clustering {
   def invalidateIncrementalStore(): Unit = {
     incStoreCache.values.foreach { s => s.base.unpersist(); s.corpusLabels.unpersist() }
     incStoreCache.clear()
+    releaseMergeClosures()
   }
 
   // ------------------------------------------------------------------
@@ -430,10 +469,24 @@ object Clustering {
     * face by passing the member pairs the same way. */
   def retractFromLabels(labels: DataFrame, r: Long,
       survivorPairs: DataFrame): DataFrame = {
+    val (out, release) = retractFromLabelsReleasable(labels, r, survivorPairs)
+    // same deferred-release contract as the unmanaged merge face
+    pendingMergeClosures.add(release)
+    out
+  }
+
+  /** Releasable twin of [[retractFromLabels]] (the merge-face
+    * contract: materialize the result, then release the sub-closure
+    * blocks). */
+  def retractFromLabelsReleasable(labels: DataFrame, r: Long,
+      survivorPairs: DataFrame): (DataFrame, () => Unit) = {
     val untouched = labels.filter($"label" =!= lit(r))
-    if (survivorPairs.isEmpty) untouched
-    else untouched.unionByName(
-      connectedComponents(survivorPairs).select($"id", $"label"))
+    if (survivorPairs.isEmpty) (untouched, () => ())
+    else {
+      val comp = connectedComponents(survivorPairs)
+      (untouched.unionByName(comp.select($"id", $"label")),
+        () => { comp.unpersist(); () })
+    }
   }
 
   // ------------------------------------------------------------------
@@ -447,8 +500,14 @@ object Clustering {
     val labels = dupLabels(spark, dir) // (id, label), persisted store
     // the retracted doc: min clustered id — a 1-row bounded model read
     // (the kmeans read-back stance), identical to the oracle's
-    // min(doc_a) over the pair set
-    val r = labels.agg(min($"id")).head.getLong(0)
+    // min(doc_a) over the pair set. A corpus with no near-dup cluster
+    // has nothing to retract — mirror the oracle's empty pair set
+    // instead of NPE-ing on the NULL aggregate.
+    val minRow = labels.agg(min($"id")).head
+    if (minRow.isNullAt(0))
+      return labels.limit(0).select($"id".as("doc_id"),
+        $"label".as("cluster_id"), lit(0L).as("cluster_size"))
+    val r = minRow.getLong(0)
     val members = labels.filter($"label" === lit(r) && $"id" =!= lit(r))
     // bounded re-pairing: |component| signatures fetched by id from the
     // persisted store, one banded self-join among them

@@ -310,4 +310,64 @@ object Scale {
        |  (max(tb) - min(tb))::BIGINT AS tb_span
        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Rendezvous (highest-random-weight) sharding (X135; Thaler &
+  // Ravishankar 1998): shard(doc) = argmax over shards s of
+  // h(doc, s) — the consistent-assignment scheme a growing ingestion
+  // fleet needs, because growing from N to N+1 shards relocates ONLY
+  // the docs whose new-shard hash wins (≈ 1/(N+1) of them) and every
+  // relocated doc moves TO the new shard; no doc ever moves between
+  // old shards (unlike mod-N, which reshuffles nearly everything).
+  // Pure per-row expression work over the cross-engine h60 — zero
+  // shuffle, codegen'd end to end; the argmax rides array_max over
+  // (hash, shard) structs (lexicographic struct order = max hash,
+  // ties by higher shard — ties are 2⁻⁶⁰ sha collisions).
+  // ------------------------------------------------------------------
+  val HrwShards = 8
+
+  /** HRW shard of an id column over `n` shards. The argmax is an
+    * UNROLLED `greatest` over (hash, shard) structs — n is a plan-time
+    * constant, so this stays inside whole-stage codegen where the
+    * equivalent transform/array_max lambda pair would fall back to
+    * interpreted eval (higher-order functions don't codegen). */
+  def rendezvousShard(id: Column, n: Int): Column =
+    greatest((0 until n).map(s => struct(
+      graft.functions.Hashing.h60(concat_ws(":", lit("hrw"), id, lit(s))).as("h"),
+      lit(s.toLong).as("s"))): _*).getField("s")
+
+  /** Gate: every doc's shard at N and N+1, with the relocation flag —
+    * the audit a shard-growth migration plans from. The rendezvous
+    * property (relocated docs land ONLY on the new shard, ≈ 1/(N+1)
+    * of the corpus) is spec-pinned; the oracle pins the assignment
+    * arithmetic itself. */
+  def qRendezvousShard(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        rendezvousShard($"doc_id", HrwShards).as("shard_n"),
+        rendezvousShard($"doc_id", HrwShards + 1).as("shard_n1"))
+      .select($"doc_id", $"shard_n", $"shard_n1",
+        when($"shard_n" =!= $"shard_n1", 1).otherwise(0).as("moved"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlRendezvousShard: String = {
+    // one candidate row per (doc, shard) for 0..N (covers both sizes);
+    // arg_max picks the winner — ties are 2⁻⁶⁰ sha collisions, so the
+    // pick is deterministic
+    val h = graft.functions.Hashing.sqlH60("'hrw:' || d.doc_id || ':' || c.s")
+    s"""WITH cand AS (
+       |  SELECT d.doc_id, c.s, $h AS h
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(0, ${HrwShards + 1})) AS s) c),
+       |a AS (
+       |  SELECT doc_id,
+       |    arg_max(s, h) FILTER (s < $HrwShards) AS shard_n,
+       |    arg_max(s, h) AS shard_n1
+       |  FROM cand GROUP BY 1)
+       |SELECT doc_id, shard_n, shard_n1,
+       |  CASE WHEN shard_n <> shard_n1 THEN 1 ELSE 0 END AS moved
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
 }

@@ -269,9 +269,14 @@ object Temporal {
       |      OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
       |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d_ms, o_orderkey)),
       |islands AS (
-      |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+      |  -- sum(BIGINT) is HUGEINT in DuckDB (renders as float through
+      |  -- pandas) — cast back so island/version stay BIGINT end to
+      |  -- end, matching Spark's windowed LONG sum (the sqlPagerank
+      |  -- convention).
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
       |    ORDER BY d_ms, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS island
       |  FROM flagged),
       |iv AS (
       |  SELECT o_custkey, island, max(prio) AS prio,

@@ -22,12 +22,25 @@ import SequenceTracker.SeqEvent
  * At scale: one user_id shuffle per micro-batch, O(1) state per user
  * with at least one click (click-less users never materialize state),
  * append-mode emission.
+ *
+ * IN-ORDER-DELIVERY PRECONDITION (SequenceTracker-family contract):
+ * events sort within each micro-batch, but an event arriving in a
+ * LATER batch with an earlier (ts, event_id) than something already
+ * applied cannot be re-ordered — state has advanced past it. The FSM
+ * therefore tracks the last applied (ts, id) and FAILS LOUDLY on a
+ * cross-batch regression instead of silently mis-attributing
+ * (coverage: users whose state exists, i.e. every user with a click;
+ * click-less users carry no state by design, so their regressions are
+ * undetectable — acceptable, since their only output rows are
+ * stateless unattributed purchases).
  */
 object AttributionTracker {
 
   /** Latest click seen for the user; `has` distinguishes "no click
-    * yet" from a real (0, 0) click. */
-  case class AttrState(clickTs: Long, clickId: Long, has: Boolean)
+    * yet" from a real (0, 0) click. `lastTs`/`lastId` track the last
+    * APPLIED event (any type) for the in-order guard. */
+  case class AttrState(clickTs: Long, clickId: Long, has: Boolean,
+      lastTs: Long = 0L, lastId: Long = 0L)
 
   /** One attribution row — the batch face's output schema; None click
     * columns = unattributed purchase. */
@@ -63,11 +76,25 @@ object AttributionTracker {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: Long, events: Iterator[SeqEvent], state: GroupState[AttrState]) =>
           var st = state.getOption.getOrElse(empty)
-          val outs = events.toSeq.sortBy(e => (e.ts_s, e.event_id)).flatMap { e =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          if (state.exists) sorted.headOption
+            .filter(e => e.ts_s < st.lastTs ||
+              (e.ts_s == st.lastTs && e.event_id < st.lastId))
+            .foreach { e =>
+              throw new IllegalStateException(
+                s"out-of-order cross-batch event for user ${e.user_id}: " +
+                  s"(${e.ts_s}, ${e.event_id}) arrived after " +
+                  s"(${st.lastTs}, ${st.lastId}) was applied — " +
+                  "AttributionTracker requires in-order delivery across " +
+                  "micro-batches (the SequenceTracker-family contract)")
+            }
+          val outs = sorted.flatMap { e =>
             val (next, out) = advance(st, e)
             st = next
             out
           }
+          sorted.lastOption.foreach(e =>
+            st = st.copy(lastTs = e.ts_s, lastId = e.event_id))
           // only users who have clicked carry state — at scale, state
           // size is |clickers|, not |users seen|
           if (st.has || state.exists) state.update(st)

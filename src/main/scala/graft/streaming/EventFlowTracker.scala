@@ -20,6 +20,13 @@ import SequenceTracker.SeqEvent
  *
  * At scale: one user_id shuffle per micro-batch, O(1) state per user,
  * append-mode emission of slim (user, from, to, ts) rows.
+ *
+ * IN-ORDER-DELIVERY PRECONDITION (SequenceTracker-family contract):
+ * events sort within each micro-batch; a cross-batch regression (an
+ * event ordering before the last APPLIED one) cannot be re-ordered and
+ * FAILS LOUDLY instead of silently emitting a wrong transition —
+ * FlowState already remembers the last event, so the guard is exact
+ * for every user seen before.
  */
 object EventFlowTracker {
 
@@ -50,7 +57,19 @@ object EventFlowTracker {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: Long, events: Iterator[SeqEvent], state: GroupState[FlowState]) =>
           var st = state.getOption.getOrElse(empty)
-          val outs = events.toSeq.sortBy(e => (e.ts_s, e.event_id)).flatMap { e =>
+          val sorted = events.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          if (st.has) sorted.headOption
+            .filter(e => e.ts_s < st.ts ||
+              (e.ts_s == st.ts && e.event_id < st.id))
+            .foreach { e =>
+              throw new IllegalStateException(
+                s"out-of-order cross-batch event for user ${e.user_id}: " +
+                  s"(${e.ts_s}, ${e.event_id}) arrived after " +
+                  s"(${st.ts}, ${st.id}) was applied — EventFlowTracker " +
+                  "requires in-order delivery across micro-batches " +
+                  "(the SequenceTracker-family contract)")
+            }
+          val outs = sorted.flatMap { e =>
             val (next, out) = advance(st, e)
             st = next
             out

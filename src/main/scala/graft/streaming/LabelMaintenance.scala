@@ -65,8 +65,13 @@ class LabelMaintenance(initialDocs: DataFrame) {
     val sig = Dedup.signatureFrame(batchDocs.select("doc_id", "text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
-    val (mergedFlat, mergedRows) =
-      flatten(Clustering.mergeIncrementalLabels(sig, sigStore, labelStore))
+    val (merged, releaseClosure) =
+      Clustering.mergeIncrementalLabelsReleasable(sig, sigStore, labelStore)
+    val (mergedFlat, mergedRows) = flatten(merged)
+    // flatten() counted the merged rows, so the contracted-closure
+    // blocks behind them are released HERE, per batch — not deferred to
+    // a registry an unbounded stream would never drain.
+    releaseClosure()
     labelRows.unpersist()
     labelStore = mergedFlat
     labelRows = mergedRows
@@ -75,6 +80,43 @@ class LabelMaintenance(initialDocs: DataFrame) {
     sig.unpersist()
     sigStore = grownFlat
     sigRows = grownRows
+    labelStore
+  }
+
+  /** Retract a document (takedown / opt-out / license expiry) from both
+    * stores: its signatures leave the band index, and if it was
+    * CLUSTERED its component is re-closed over the survivors only
+    * ([[Clustering.retractFromLabels]] — the X128 semantics: removal is
+    * indistinguishable from the doc never having existed). Retracting
+    * an unclustered or unseen doc only trims the signature store. */
+  def retract(docId: Long): DataFrame = synchronized {
+    import org.apache.spark.sql.functions.col // not ._ — it shadows flatten()
+    val hit = labelStore.filter(col("id") === docId)
+      .select("label").collect() // ≤1 row: bounded model read
+    if (hit.nonEmpty) {
+      val label = hit.head.getLong(0)
+      // survivors of the doc's component, re-paired from their stored
+      // signatures: one banded self-join over |component| rows
+      val members = labelStore
+        .filter(col("label") === label && col("id") =!= docId)
+        .select(col("id").as("doc_id"))
+      val memberSigs = sigStore.join(members, Seq("doc_id"))
+      val survivorPairs = Dedup.edgesOf(memberSigs, memberSigs.limit(0))
+      // splice: drop the doc's row, replace its component (keyed by the
+      // component label — docId need not be the representative) with
+      // the survivor sub-closure
+      val (relabeled, releaseClosure) = Clustering.retractFromLabelsReleasable(
+        labelStore.filter(col("id") =!= docId), label, survivorPairs)
+      val (flatL, rowsL) = flatten(relabeled)
+      releaseClosure()
+      labelRows.unpersist()
+      labelStore = flatL
+      labelRows = rowsL
+    }
+    val (flatS, rowsS) = flatten(sigStore.filter(col("doc_id") =!= docId))
+    sigRows.unpersist()
+    sigStore = flatS
+    sigRows = rowsS
     labelStore
   }
 

@@ -16,15 +16,14 @@ class GraphSpec extends SparkSpec {
 
   private def ranksOf(edges: Seq[(Long, Long, Long)],
       rounds: Int = Graph.Rounds): Map[Long, Long] = {
-    // fresh frame per call — the factory contract pagerankRanks
-    // documents (reused attribute ids through the ranks lineage trip
-    // Catalyst's union constraint rewrite)
     def mk() = {
       val e = edges.toDF("src", "dst", "w")
       e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
     }
-    Graph.pagerankRanks(() => mk(), rounds)
+    val store = Graph.materializeEdges(() => mk())
+    try Graph.pagerankRanks(store, rounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally store.release()
   }
 
   test("pagerank: star center outranks every leaf, and leaves tie exactly") {
@@ -115,6 +114,97 @@ class GraphSpec extends SparkSpec {
       // agree for at least one pair (order-preserving duplication)
       assert(df.filter($"near_exact" === 1).count() > 0)
     } finally df.unpersist()
+  }
+
+  test("ppr: teleport confines mass — a component with no seed ranks exactly 0 everywhere") {
+    // two disconnected 4-cycles; seeds only in the first
+    def cyc(base: Long) = Seq((base, base + 1, 1L), (base + 1, base + 2, 1L),
+      (base + 2, base + 3, 1L), (base + 3, base, 1L))
+    def mk() = {
+      val e = (cyc(0L) ++ cyc(100L)).toDF("src", "dst", "w")
+      e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+    val edges = Graph.materializeEdges(() => mk())
+    val seeds = Graph.materializeFrame(Seq(0L, 1L).toDF("id"))
+    try {
+      val r = Graph.pprRanks(edges, seeds)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert((100L to 103L).forall(r(_) == 0L), "unseeded component must stay at 0")
+      assert((0L to 3L).forall(r(_) > 0L), "seed component fully reachable in 5 rounds")
+      // teleport pull: seeds outrank the cycle nodes two hops away
+      assert(r(0L) > r(2L) && r(1L) > r(3L))
+      // mass bound: total ≤ Scale (truncation only loses)
+      assert(r.values.sum <= Graph.ScalePpb)
+    } finally { edges.release(); seeds.release() }
+  }
+
+  test("ppr gate: one row per supplier, ordered desc, strictly less total mass than uniform pagerank") {
+    val rows = Graph.qPprSuppliers(spark, Sf0001).collect()
+    val nSupp = graft.sources.Tables.supplier(spark, Sf0001).count()
+    assert(rows.length == nSupp)
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+    assert(ranks.forall(_ >= 0L))
+    assert(ranks.exists(_ > 0L), "suppliers trading with the seed nation must rank")
+  }
+
+  test("triangles: cliques count exactly, paths and stars count zero") {
+    // 4-clique {0,1,2,3}: every node sits in C(3,2) = 3 triangles
+    val clique = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    // plus a path 10-11-12 (no triangle) and a star 20-{21,22,23}
+    val path = Seq((10L, 11L), (11L, 12L))
+    val star = Seq((20L, 21L), (20L, 22L), (20L, 23L))
+    val store = Graph.materializeFrame(
+      (clique ++ path ++ star).toDF("doc_a", "doc_b"))
+    try {
+      val r = Graph.triangleCounts(store)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+      assert((0L to 3L).forall(n => r(n) == (3L, 3L)))
+      assert(r(11L) == (2L, 0L) && r(10L) == (1L, 0L))
+      assert(r(20L) == (3L, 0L) && r(21L) == (1L, 0L))
+    } finally store.release()
+  }
+
+  test("triangles gate: corner mass is divisible by 3 and bounded by deg*(deg-1)/2") {
+    val rows = Graph.qTriangles(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total % 3 == 0, "every triangle contributes exactly 3 corners")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1) * (r.getLong(1) - 1) / 2))
+  }
+
+  test("copurchase: jaccard_ppm bounded, cooc <= min degree, pairs canonical") {
+    val rows = Graph.qCoPurchase(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s1, s2, cooc, d1, d2, ppm) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(s1 < s2)
+      assert(cooc <= math.min(d1, d2))
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(d1 <= graft.sources.Tables.customer(spark, Sf001).count(),
+        "degree bounded by customer count")
+    }
+    val ppms = rows.map(_.getLong(5)).toSeq
+    assert(ppms == ppms.sorted.reverse)
+  }
+
+  test("rendezvous: growth moves docs ONLY to the new shard, at roughly 1/(N+1) rate") {
+    val rows = Scale.qRendezvousShard(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, sn1, moved) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(sn >= 0 && sn < Scale.HrwShards)
+      assert(sn1 >= 0 && sn1 < Scale.HrwShards + 1)
+      // THE rendezvous property: a doc either keeps its shard or moves
+      // to the brand-new one — never between old shards
+      if (moved == 1) assert(sn1 == Scale.HrwShards)
+      else assert(sn1 == sn)
+    }
+    // moved fraction ≈ 1/(N+1) = 1/9 ≈ 11%; generous band for sf0.01's
+    // 500 docs (binomial σ ≈ 1.4%)
+    val frac = rows.count(_.getInt(3) == 1).toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac")
   }
 
   test("k_anonymity: ungeneralized released groups meet K, generalized pool at '*'") {

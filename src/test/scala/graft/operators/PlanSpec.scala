@@ -37,6 +37,8 @@ class PlanSpec extends SparkSpec {
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
     Multimodal.invalidateIncModalStore()
+    Graph.invalidateEdgeStore()
+    Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString
   }
 
@@ -875,6 +877,102 @@ class PlanSpec extends SparkSpec {
     // incoming and corpus probe branches must read the cache
     assert(plan.contains("InMemoryTableScan"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_pagerank: the walk reads the materialized edge store — zero fact re-scans across all K rounds") {
+    // cold: the edge-store memo is dropped, so constructing the gate
+    // re-materializes it (ONE fact-join pass, outside this plan) and
+    // the K-round walk below must read ONLY the persisted edge RDD.
+    // The round-9 factory encoding measured 68 parquet scans /
+    // 103 exchanges here (every round re-ran the lineitem⋈orders edge
+    // build); this pin makes that regression a test failure.
+    val plan = executedCold(Graph.qPagerank(spark, Sf0001))
+    assert(!plan.contains("Scan parquet"),
+      "pagerank rounds must not re-scan the fact tables")
+    assert(plan.contains("Scan ExistingRDD"),
+      "edge store must enter the plan as the materialized RDD")
+    // the only non-equi join allowed is the broadcast CROSS of the
+    // 1-row node-count aggregate (the repo-wide bounded-scalar pattern)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_gap_fill: one user-keyed shuffle carries dedup, run-explosion and fill") {
+    val plan = executedCold(Temporal.qGapFill(spark, Sf0001))
+    // lag-dedup window, lead window and explode all share the
+    // user_id partitioning — exactly one hash exchange (+ the final
+    // presentation sort's range exchange)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"))
+  }
+
+  test("q_scd2: single customer-keyed shuffle; islands aggregate reuses the window partitioning") {
+    val plan = executedCold(Temporal.qScd2(spark, Sf0001))
+    // hashpartitioning(o_custkey) satisfies the (o_custkey, island)
+    // clustering of the island aggregate and the interval-chaining
+    // window — the whole build is one shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+    assert(plan.contains("partial_"), "island aggregate must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_edit_verify: Levenshtein runs on the banded candidate set via id-keyed equi-joins") {
+    val plan = executedCold(Dedup.qEditVerify(spark, Sf0001))
+    // the O(len²) scorer must never see a pair that LSH didn't emit
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_k_anonymity: generalization passes are map-side-combinable group-bys over slim QI rows") {
+    val plan = executedCold(Analytics.qKAnonymity(spark, Sf0001))
+    assert(plan.contains("partial_"), "QI group counts must combine map-side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // only the QI columns reach the customer scan
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(!readSchema.contains("c_comment") && !readSchema.contains("c_address"))
+  }
+
+  test("q_ppr_suppliers: the personalized walk reads only the materialized edge + seed stores") {
+    val plan = executedCold(Graph.qPprSuppliers(spark, Sf0001))
+    // both stores materialize at construction; the K-round walk itself
+    // must touch no parquet (same contract as q_pagerank)
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_triangles: wedge and close joins read the materialized pair store, no cross product") {
+    val plan = executedCold(Graph.qTriangles(spark, Sf0001))
+    // the LSH band join ran once at store build; every reference here
+    // is a fresh wrap over the cached pair RDD
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_copurchase: capped incidence store feeds the self-join; top-100 is a TakeOrdered, not a global sort") {
+    val plan = executedCold(Graph.qCoPurchase(spark, Sf0001))
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit must compile to top-k, not a full sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_rendezvous_shard: pure per-row codegen'd expression work — zero hash exchanges") {
+    val df = Scale.qRendezvousShard(spark, Sf0001)
+    // execute THIS df (count() compiles a different plan) so AQE
+    // finalizes and codegen stages are visible in the plan string
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "HRW assignment must not shuffle")
+    // the unrolled greatest(struct...) argmax stays inside codegen —
+    // the lambda (transform/array_max) encoding would not. Codegen
+    // stages render as "*(n)" markers in the final AQE plan string.
+    assert(plan.contains("*(1) Project"),
+      "HRW projection must sit inside a WholeStageCodegen stage")
+    // column pruning: only doc_id reaches the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"))
   }
 
   // ------------------------------------------------------------------

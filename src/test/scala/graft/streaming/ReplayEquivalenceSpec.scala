@@ -609,6 +609,37 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Attribution/EventFlow: a cross-batch time-traveling event fails loudly, not silently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import SequenceTracker.SeqEvent
+
+    // the in-order-delivery contract: an event arriving in a later
+    // micro-batch BEHIND the last applied (ts, id) cannot be
+    // re-ordered — the FSM must abort the query instead of emitting a
+    // wrong attribution/transition
+    def replayOutOfOrder(mk: org.apache.spark.sql.Dataset[SeqEvent] =>
+        org.apache.spark.sql.Dataset[_], name: String): Unit = {
+      val input = MemoryStream[SeqEvent]
+      val q = mk(input.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        input.addData(Seq(SeqEvent(7L, 10L, 100L, "click")))
+        q.processAllAvailable()
+        input.addData(Seq(SeqEvent(7L, 11L, 50L, "purchase"))) // behind
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def rootMsg(t: Throwable): String =
+          if (t.getCause == null) String.valueOf(t.getMessage)
+          else String.valueOf(t.getMessage) + rootMsg(t.getCause)
+        assert(rootMsg(ex).contains("out-of-order cross-batch event"))
+      } finally q.stop()
+    }
+    replayOutOfOrder(AttributionTracker.trackStream, "attr_ooo")
+    replayOutOfOrder(EventFlowTracker.trackStream, "flow_ooo")
+  }
+
   test("EventFlow: MemoryStream replay transitions equal the batch lead() rows and matrix") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -836,5 +867,46 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(merged == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 4L),
       (100L, 4L), (101L, 4L), (102L, 2L), (103L, 2L)))
     lm.close()
+  }
+
+  test("LabelMaintenance: insert batches interleaved with a retraction equal from-scratch on the survivors") {
+    import spark.implicits._
+
+    // the X128 production path: takedown driven THROUGH the streaming
+    // store pair, between absorbs. Retracting 101 mid-stream must leave
+    // the maintained stores indistinguishable from a pipeline that
+    // never saw doc 101 at all.
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val tB = "pack my box with five dozen liquor jugs before the night falls"
+    val tC = "large scale training corpora require careful deduplication before any model sees them"
+    val corpus = Seq((100L, tA), (101L, tA), (102L, tB), (103L, tB))
+    val batch1 = Seq((1L, tC), (2L, tB))
+    val batch2 = Seq((3L, tC), (4L, tA))
+
+    val lm = new LabelMaintenance(corpus.toDF("doc_id", "text"))
+    lm.absorb(batch1.toDF("doc_id", "text"))
+    // retraction dissolves {100, 101} (survivor 100 has no pair left);
+    // 100 must still re-cluster when its duplicate 4 arrives in batch2,
+    // proving the retraction trimmed LABELS but kept 100's signatures
+    lm.retract(101L)
+    lm.absorb(batch2.toDF("doc_id", "text"))
+    val streamed = lm.labels.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // from-scratch on the SURVIVING doc set, same production class
+    val lm2 = new LabelMaintenance(
+      (corpus.filterNot(_._1 == 101L) ++ batch1 ++ batch2).toDF("doc_id", "text"))
+    val scratch = lm2.labels.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed == scratch)
+    assert(streamed == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 4L),
+      (100L, 4L), (102L, 2L), (103L, 2L)))
+    // retracting an unclustered doc is a signature-only trim: labels
+    // unchanged, and re-adding an exact dup of a REMAINING doc still
+    // works afterwards
+    lm.retract(999L)
+    assert(lm.labels.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted == streamed)
+    lm.close(); lm2.close()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Analytics, Clustering, Corpus, EventWindows, Multimodal, Scale, Similarity}
+import graft.operators.{Analytics, Clustering, Corpus, Dedup, EventWindows, Graph, Multimodal, Scale, Similarity, Temporal}
 import graft.sources.Tables
 import graft.streaming.PositionTracker
 
@@ -192,7 +192,41 @@ object ScalingHarness {
     "incremental_semdedup" ->
       (dir => Similarity.qIncrementalSemdedup(spark, dir).count()),
     "retract_doc" ->
-      (dir => Clustering.qRetractDoc(spark, dir).count()))
+      (dir => Clustering.qRetractDoc(spark, dir).count()),
+    // Round-9/10 additions. pagerank pays the edge store cold each run
+    // (resetCaches drops the memo): one fact join + K cached-RDD
+    // equi-join rounds — the ratio measures edge build + walk together.
+    // gap_fill is ONE user-keyed shuffle; its explode is bounded by
+    // span-days per user (fixed event horizon ⇒ flat-ish rows-out
+    // growth). scd2 and k_anonymity are single-shuffle window/group
+    // shapes over slim projections. edit_verify is O(len²) work
+    // confined to the banded candidate set (pair count grows with
+    // planted dups, not quadratically).
+    "pagerank" ->
+      (dir => Graph.qPagerank(spark, dir).count()),
+    "gap_fill" ->
+      (dir => Temporal.qGapFill(spark, dir).count()),
+    "scd2" ->
+      (dir => Temporal.qScd2(spark, dir).count()),
+    "edit_verify" ->
+      (dir => Dedup.qEditVerify(spark, dir).count()),
+    "k_anonymity" ->
+      (dir => Analytics.qKAnonymity(spark, dir).count()),
+    // Round-10 graph/shard family. triangles pays the pair store cold
+    // (band join over the corpus) + the orientation joins over slim
+    // cached pairs. ppr pays edge store + seed store cold, then the
+    // K-round cached walk (same accounting as pagerank). copurchase is
+    // the capped projection: distinct + cap + CoCap²-bounded self-join.
+    // rendezvous is the zero-shuffle exemplar (9 shas per row, pure
+    // scan).
+    "triangles" ->
+      (dir => Graph.qTriangles(spark, dir).count()),
+    "ppr_suppliers" ->
+      (dir => Graph.qPprSuppliers(spark, dir).count()),
+    "copurchase" ->
+      (dir => Graph.qCoPurchase(spark, dir).count()),
+    "rendezvous_shard" ->
+      (dir => Scale.qRendezvousShard(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
@@ -203,6 +237,8 @@ object ScalingHarness {
     Corpus.invalidateContamCache()
     Multimodal.invalidateModalCache()
     Multimodal.invalidateIncModalStore()
+    Graph.invalidateEdgeStore()
+    Clustering.releaseMergeClosures()
   }
 
   def main(args: Array[String]): Unit = {

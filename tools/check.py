@@ -36,6 +36,10 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = 0
+    # optional committed artifact (CORRECTNESS_SELF.json): per-gate
+    # status, so every round carries its own correctness record even
+    # when the driver's artifact comes back empty
+    results = {}
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -62,9 +66,19 @@ def main(sf_dir, out_dir):
                     break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems)); n_fail += 1
+            results[name] = {"status": "fail", "rows": len(got),
+                             "problems": problems}
         else:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            results[name] = {"status": "pass", "rows": len(got)}
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"pass": n_pass, "fail": n_fail, "total": len(names),
+                       "sf_dir": sf_dir, "gates": results}, f, indent=1,
+                      sort_keys=True)
+            f.write("\n")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
