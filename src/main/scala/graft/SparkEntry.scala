@@ -44,6 +44,8 @@ object SparkEntry {
     "q_triangles"         -> (Graph.qTriangles(_, _)),
     "q_copurchase"        -> (Graph.qCoPurchase(_, _)),
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
+    "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
+    "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
     "q_k_anonymity"       -> (Analytics.qKAnonymity(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
@@ -307,6 +309,8 @@ object SparkEntry {
     "q_triangles"          -> Graph.sqlTriangles,
     "q_copurchase"         -> Graph.sqlCoPurchase,
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
+    "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
+    "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_edit_verify"        -> Dedup.sqlEditVerify,
     "q_k_anonymity"        -> Analytics.sqlKAnonymity,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,

@@ -263,4 +263,73 @@ object Analytics {
        |  AND c.c_mktsegment = g1.c_mktsegment
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Cross-source quantile normalization (X139): map each source's
+  // length distribution onto the GLOBAL distribution by rank — the
+  // rank-based calibration that makes heterogeneous sources' scores
+  // comparable before any threshold is applied to them jointly (the
+  // quantile-normalization step of cross-dataset score fusion;
+  // cf. microarray quantile normalization, Bolstad 2003). Doc d with
+  // in-source rank r of n maps to the global value at position
+  // p = (r-1)·(N-1) div (n-1) (median for singleton sources) — exact
+  // integer arithmetic end to end.
+  //
+  // Scale shape — the naive encoding ranks the corpus with ONE
+  // UNPARTITIONED window (a single reducer sorting 100 TB: fatal).
+  // Here the only global structure is the VALUE-LEVEL CDF: group by
+  // n_chars (bounded histogram — |distinct lengths| is independent of
+  // corpus size), one cumulative window over those histogram rows,
+  // giving each value its global position range [lo, hi]; per-doc
+  // positions then find their value via a BROADCAST range join against
+  // that bounded table. Per-source ranks are ordinary partitioned
+  // windows. Nothing global ever touches corpus-sized data.
+  // ------------------------------------------------------------------
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val wSrc = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val ranked = docs
+      .withColumn("r", row_number().over(wSrc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    // value-level global CDF: one row per distinct length (bounded),
+    // cumulative count = the value's global position range
+    val cdf = docs.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum($"cnt").over(
+        Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .select($"v", ($"hi" - $"cnt" + 1).as("lo"), $"hi")
+    val withPos = ranked
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+      .select($"doc_id", $"source", $"n_chars",
+        when($"n" === 1, expr("(nn - 1) div 2"))
+          .otherwise(expr("((r - 1) * (nn - 1)) div (n - 1)")).as("p"))
+    withPos.join(broadcast(cdf), $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"doc_id", $"source", $"n_chars", $"v".as("norm_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val sqlQuantileNorm: String =
+    """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM docs),
+      |nn AS (SELECT count(*) AS nn FROM docs),
+      |cdf AS (
+      |  SELECT v, hi - cnt + 1 AS lo, hi FROM (
+      |    SELECT n_chars AS v, count(*) AS cnt,
+      |      CAST(sum(count(*)) OVER (ORDER BY n_chars
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        - 1 AS hi
+      |    FROM docs GROUP BY n_chars)),
+      |pos AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN n = 1 THEN (nn.nn - 1) // 2
+      |         ELSE ((r - 1) * (nn.nn - 1)) // (n - 1) END AS p
+      |  FROM ranked CROSS JOIN nn)
+      |SELECT doc_id, source, n_chars, c.v AS norm_chars
+      |FROM pos JOIN cdf c ON p >= c.lo AND p <= c.hi
+      |ORDER BY doc_id""".stripMargin
 }

@@ -205,6 +205,52 @@ object Clustering {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // Quality-canonical dedup decision (X138): keep the LONGEST document
+  // of each near-dup cluster (n_chars desc, doc_id asc tie-break)
+  // instead of the min-id representative — the "keep best, not first"
+  // policy real training pipelines prefer (a truncated mirror of a page
+  // should lose to the full page). Same label store and join shape as
+  // [[qDedupDecision]]; the pick is one row_number over the cluster
+  // key, so the added cost is a single cluster-keyed window inside the
+  // partitioning the join already established.
+  // ------------------------------------------------------------------
+  def qCanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(spark, dir)
+      .select($"id".as("doc_id"), $"label")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars", coalesce($"label", $"doc_id").as("cluster_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"n_chars", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val sqlCanonicalPick: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id AS doc_id, min(r) AS label FROM reach GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |    coalesce(l.label, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l USING (doc_id))
+       |SELECT doc_id, cluster_id, n_chars,
+       |  row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_chars DESC, doc_id) = 1 AS kept
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   val sqlDedupDecision: String = {
     val pairsSql = Dedup.sqlMinhashLshPairs
     s"""WITH RECURSIVE pairs AS ($pairsSql),

@@ -207,6 +207,51 @@ class GraphSpec extends SparkSpec {
     assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac")
   }
 
+  test("canonical_pick: exactly one kept per cluster, and it is the longest member") {
+    val df = Clustering.qCanonicalPick(spark, Sf001).cache()
+    try {
+      // one keeper per cluster
+      assert(df.filter($"kept").groupBy($"cluster_id")
+        .count().filter($"count" =!= 1).isEmpty)
+      // the keeper dominates its cluster on (n_chars, -doc_id)
+      val best = df.groupBy($"cluster_id".as("cid"))
+        .agg(max(struct($"n_chars", -$"doc_id")).as("b"))
+      assert(df.filter($"kept").join(best, $"cluster_id" === $"cid")
+        .filter(struct($"n_chars", -$"doc_id") =!= $"b").isEmpty)
+      // every document appears exactly once
+      assert(df.count() ==
+        graft.sources.Tables.documents(spark, Sf001).count())
+      // the policy differs from keep-min-id somewhere (otherwise this
+      // gate would be X-dedup-decision restated)
+      assert(df.filter($"kept" && $"doc_id" =!= $"cluster_id").count() > 0)
+    } finally df.unpersist()
+  }
+
+  test("quantile_norm: normalized values come from the global multiset, monotone per source, endpoints exact") {
+    val df = Analytics.qQuantileNorm(spark, Sf001).cache()
+    try {
+      val docs = graft.sources.Tables.documents(spark, Sf001)
+        .select($"n_chars")
+      val bounds = docs.agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+        .head
+      val (gLo, gHi) = (bounds.getLong(0), bounds.getLong(1))
+      // norm values exist in the global distribution
+      assert(df.join(docs.select($"n_chars".as("norm_chars")).distinct(),
+        Seq("norm_chars"), "left_anti").isEmpty)
+      // monotone within source: higher raw rank never maps lower
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      assert(df.withColumn("prev", lag($"norm_chars", 1).over(w))
+        .filter($"prev".isNotNull && $"norm_chars" < $"prev").isEmpty)
+      // endpoints: each multi-doc source's extremes hit the global extremes
+      val ends = df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+        .filter($"n" > 1)
+      assert(ends.filter($"rk" === 1 && $"norm_chars" =!= gLo).isEmpty)
+      assert(ends.filter($"rk" === $"n" && $"norm_chars" =!= gHi).isEmpty)
+    } finally df.unpersist()
+  }
+
   test("k_anonymity: ungeneralized released groups meet K, generalized pool at '*'") {
     val df = Analytics.qKAnonymity(spark, Sf001).cache()
     try {

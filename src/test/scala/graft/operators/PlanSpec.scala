@@ -975,6 +975,28 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"))
   }
 
+  test("q_canonical_pick: label store read warm; the pick is one cluster-keyed window, no cross product") {
+    Clustering.dupLabels(spark, Sf0001) // warm, as Bench does
+    val plan = executed(Clustering.qCanonicalPick(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted label store")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // only doc_id + n_chars reach the documents scan
+    val readSchema = plan.linesIterator.filter(_.contains("documents.parquet"))
+      .mkString("\n")
+    assert(!readSchema.contains("text"))
+  }
+
+  test("q_quantile_norm: the only global structure is the broadcast value-level CDF — no corpus-sized global sort") {
+    val plan = executedCold(Analytics.qQuantileNorm(spark, Sf0001))
+    // the position→value range join must be a BROADCAST of the bounded
+    // histogram, never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // text never leaves the scan
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("text"))
+  }
+
   // ------------------------------------------------------------------
   // Single-partition-window contract: Spark warns "No Partition
   // Defined for Window" whenever a window has no partitionBy — fatal
@@ -993,7 +1015,8 @@ class PlanSpec extends SparkSpec {
       "q_novelty_curve",  // cumulative novelty over the per-bucket rollup (|ingest buckets| rows)
       "q_unimax_alloc",   // round-robin budget allocation over the per-source table (|sources| rows)
       "q_budget_select",  // threshold pick over histogram-bucket boundaries (fixed bucket grid)
-      "q_vocab_coverage"  // cumulative coverage over the top-K vocab cut (K rows)
+      "q_vocab_coverage", // cumulative coverage over the top-K vocab cut (K rows)
+      "q_quantile_norm"   // value-level CDF over the distinct-length histogram (|distinct lengths| rows, corpus-independent)
     )
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val actual = scala.collection.mutable.Set.empty[String]

@@ -10,9 +10,9 @@ import graft.streaming.IdempotentDedup.SignalRow
   * to run. In this sandbox the RocksDB provider stalls the first
   * micro-batch, so the default run cancels rather than hangs; re-try
   * each round — a green run is the signal to migrate T5. Retried
-  * rounds 4, 5, 6, 7, 8, 9: still stalls (rounds 7-9: 300-420 s
+  * rounds 4, 5, 6, 7, 8, 9, 10: still stalls (rounds 7-10: 300-480 s
   * timeout, flag on, first micro-batch never completes; last retried
-  * 2026-08-14, round 9). */
+  * 2026-08-14, round 10, 480 s). */
 class NativeTtlDedupSpec extends SparkSpec {
 
   test("native transformWithState TTL dedup: first-seen wins within the TTL") {

@@ -226,7 +226,14 @@ object ScalingHarness {
     "copurchase" ->
       (dir => Graph.qCoPurchase(spark, dir).count()),
     "rendezvous_shard" ->
-      (dir => Scale.qRendezvousShard(spark, dir).count()))
+      (dir => Scale.qRendezvousShard(spark, dir).count()),
+    // canonical_pick pays the label store cold + one cluster-keyed
+    // window. quantile_norm is two source-keyed windows + the bounded
+    // value-level CDF broadcast — nothing global touches corpus rows.
+    "canonical_pick" ->
+      (dir => Clustering.qCanonicalPick(spark, dir).count()),
+    "quantile_norm" ->
+      (dir => Analytics.qQuantileNorm(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
