@@ -75,6 +75,14 @@ object ScalingHarness {
     replicated(li) { (d, i) =>
       d.withColumn("l_orderkey", $"l_orderkey" + lit(i.toLong * 100000000L))
     }.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // round-10: ppr (seed cohort) and k_anonymity (QI groups) read the
+    // customer dim — custkeys shift in lockstep with orders so the
+    // fact join and the nation-7 seed set both scale 10×
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    replicated(cust) { (d, i) =>
+      d.withColumn("c_custkey", $"c_custkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
   }
 
   private def annCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -253,7 +261,9 @@ object ScalingHarness {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = "target/scaling_sf1"
-    if (!new java.io.File(s"$dst/events.parquet").exists()) {
+    // customer.parquet is the newest replica table — its absence means
+    // an older-round replica needs regenerating
+    if (!new java.io.File(s"$dst/customer.parquet").exists()) {
       println(s"[scaling] generating ${Replicas}x replica at $dst")
       generate(spark, src, dst)
     }
