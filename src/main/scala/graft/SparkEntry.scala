@@ -46,6 +46,9 @@ object SparkEntry {
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
+    "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
+    "q_edge_support"      -> (Graph.qEdgeSupport(_, _)),
+    "q_top_paths"         -> (Behavior.qTopPaths(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
     "q_k_anonymity"       -> (Analytics.qKAnonymity(_, _)),
     // event-time windows (SURVEY §2.7 W1–W3 + sessionization)
@@ -311,6 +314,9 @@ object SparkEntry {
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
+    "q_cdc_chunks"         -> Corpus.sqlCdcChunks,
+    "q_edge_support"       -> Graph.sqlEdgeSupport,
+    "q_top_paths"          -> Behavior.sqlTopPaths,
     "q_edit_verify"        -> Dedup.sqlEditVerify,
     "q_k_anonymity"        -> Analytics.sqlKAnonymity,
     "q_dup_clusters"       -> Clustering.sqlDupClusters,

@@ -262,4 +262,68 @@ object Behavior {
        |  ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1)::DOUBLE AS chi2
        |FROM rows_ ORDER BY event_type""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Top session paths (X142): the product-analytics artifact the
+  // transition matrix (X119) can't give — WHOLE journeys, not pairwise
+  // hops. Sessions split on the 30-min inactivity gap (the exact
+  // qSessionize convention), each session becomes its ordered
+  // event-type path truncated at PathLen steps (the standard
+  // path-explosion bound: |types|^PathLen distinct paths max,
+  // corpus-independent), and the gate emits the PathTopK most frequent
+  // paths. Ordering inside a session rides sort_array over collected
+  // (ts, id, type) structs — deterministic under the funnel family's
+  // total order; the rollup is a map-side-combinable count over
+  // bounded-length strings.
+  // ------------------------------------------------------------------
+  val PathGapS = 1800L
+  val PathLen = 8
+  val PathTopK = 20
+
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val run = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"), $"event_type")
+      .withColumn("gap", $"ts_s" - lag($"ts_s", 1).over(byTs))
+      .withColumn("new_session",
+        when($"gap".isNull || $"gap" > PathGapS, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"new_session").over(run))
+      .groupBy($"user_id", $"session_idx")
+      .agg(sort_array(collect_list(struct($"ts_s", $"event_id", $"event_type")))
+        .as("evs"))
+      .select(array_join(
+        slice(transform($"evs", e => e.getField("event_type")), 1, PathLen),
+        ">").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(PathTopK)
+  }
+
+  val sqlTopPaths: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s, event_type,
+       |    CASE WHEN (epoch_ms(ts) // 1000)
+       |        - lag((epoch_ms(ts) // 1000)) OVER w IS NULL
+       |      OR (epoch_ms(ts) // 1000)
+       |        - lag((epoch_ms(ts) // 1000)) OVER w > $PathGapS
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts_s, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_idx
+       |  FROM g),
+       |paths AS (
+       |  SELECT array_to_string(
+       |    (list(event_type ORDER BY ts_s, event_id))[1:$PathLen], '>') AS path
+       |  FROM s GROUP BY user_id, session_idx)
+       |SELECT path, count(*) AS n_sessions
+       |FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path
+       |LIMIT $PathTopK""".stripMargin
 }

@@ -1161,4 +1161,77 @@ object Corpus {
        |  (sum(shift_num) OVER ())::DOUBLE / (2.0 * (na * nb)::DOUBLE) AS tv_total
        |FROM j ORDER BY shift_num DESC, w LIMIT $ShiftTopK""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (X140; Rabin-style CDC, cf. LBFS —
+  // Muthitacharoen 2001): chunk boundaries fall AFTER any token whose
+  // hash ≡ 0 (mod CdcDiv), so boundaries are a function of CONTENT,
+  // not position — inserting or deleting a prefix re-chunks only up to
+  // the first surviving boundary, and every later chunk hash is
+  // unchanged (the property that makes chunk-level dedup robust to
+  // edits, where [[qChunkDocs]]'s fixed windows shift everything).
+  // Expected chunk length = CdcDiv tokens. Pure per-row expression
+  // work over the shared h60 — zero shuffle before the explode; both
+  // engines carve identical boundaries from the same sha arithmetic.
+  // ------------------------------------------------------------------
+  val CdcDiv = 16
+
+  /** (doc_id, chunk_idx, n_tokens, chunk_hash) rows for a (doc_id,
+    * text) frame — one pass, chunk hash carved in place. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val toks = Hashing.tokens($"text")
+    // boundary positions (1-based): tokens whose h60 ≡ 0 mod CdcDiv.
+    // Empty docs short-circuit (sequence(1, 0) would descend).
+    val cuts = when(size($"toks") === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size($"toks")),
+        i => pmod(Hashing.h60(element_at($"toks", i)), lit(CdcDiv)) === 0))
+    val bounds = concat(array(lit(0)), $"cuts", array(size($"toks")))
+    // consecutive bound pairs with positive width = the chunks
+    val spans = filter(
+      transform(sequence(lit(1), size($"bounds") - 1),
+        j => struct(element_at($"bounds", j).as("s"),
+          element_at($"bounds", j + 1).as("e"))),
+      c => c.getField("e") > c.getField("s"))
+    docs
+      .withColumn("toks", when(size(toks) === 0,
+        array().cast("array<string>")).otherwise(toks))
+      .withColumn("cuts", cuts)
+      .withColumn("bounds", bounds)
+      .select($"doc_id", $"toks", posexplode(spans).as(Seq("chunk_idx", "c")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        ($"c.e" - $"c.s").cast("long").as("n_tokens"),
+        Hashing.h60(array_join(
+          slice($"toks", $"c.s" + 1, $"c.e" - $"c.s"), " ")).as("chunk_hash"))
+  }
+
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  val sqlCdcChunks: String = {
+    val toks = Hashing.sqlTokens("text")
+    val h = Hashing.sqlH60("t.toks[CAST(i AS INTEGER)]")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |b AS (
+       |  SELECT doc_id, toks,
+       |    list_concat(list_concat([0],
+       |      list_filter(range(1, len(toks) + 1),
+       |        i -> $h % $CdcDiv = 0)), [len(toks)]) AS bounds
+       |  FROM t),
+       |u AS (
+       |  SELECT doc_id, toks, bounds,
+       |    unnest(range(1, len(bounds))) AS j
+       |  FROM b),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    bounds[CAST(j AS INTEGER)] AS s,
+       |    bounds[CAST(j + 1 AS INTEGER)] AS e
+       |  FROM u
+       |  WHERE bounds[CAST(j + 1 AS INTEGER)] > bounds[CAST(j AS INTEGER)])
+       |SELECT doc_id,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+       |  e - s AS n_tokens,
+       |  ${Hashing.sqlH60("array_to_string(toks[CAST(s + 1 AS INTEGER):CAST(e AS INTEGER)], ' ')")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

@@ -362,9 +362,9 @@ object Graph {
     cachedFrame(spark, dir, "dup_pairs")(materializeFrame(
       Dedup.minhashLshPairsCore(spark, dir).select($"doc_a", $"doc_b")))
 
-  /** (id, deg, n_tri) for every node of an undirected simple graph
-    * given as a (doc_a, doc_b) pair store (doc_a < doc_b, no dups). */
-  def triangleCounts(pairs: FrameStore): DataFrame = {
+  /** The (x, y, z) triangle corners (π-ordered) of an undirected
+    * simple graph given as a (doc_a, doc_b) pair store. */
+  def triangleFrame(pairs: FrameStore): DataFrame = {
     def p(): DataFrame = pairs.fresh()
     def deg(): DataFrame = p().select($"doc_a".as("id"))
       .unionByName(p().select($"doc_b".as("id")))
@@ -388,13 +388,92 @@ object Graph {
     val wedges = a.join(b, $"u" === $"u2" &&
         ($"dy" < $"dz" || ($"dy" === $"dz" && $"y" < $"z")))
       .select($"u".as("x"), $"y", $"z")
-    val tri = wedges.join(ev().select($"u".as("y"), $"v".as("z")), Seq("y", "z"))
+    wedges.join(ev().select($"u".as("y"), $"v".as("z")), Seq("y", "z"))
+      .select($"x", $"y", $"z")
+  }
+
+  /** (id, deg, n_tri) for every node of an undirected simple graph
+    * given as a (doc_a, doc_b) pair store (doc_a < doc_b, no dups). */
+  def triangleCounts(pairs: FrameStore): DataFrame = {
+    def p(): DataFrame = pairs.fresh()
+    val deg = p().select($"doc_a".as("id"))
+      .unionByName(p().select($"doc_b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    val tri = triangleFrame(pairs)
     val corners = tri.select($"x".as("id"))
       .unionByName(tri.select($"y".as("id")))
       .unionByName(tri.select($"z".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("n_tri"))
-    deg().join(corners, Seq("id"), "left")
+    deg.join(corners, Seq("id"), "left")
       .select($"id", $"deg", coalesce($"n_tri", lit(0L)).as("n_tri"))
+  }
+
+  // ------------------------------------------------------------------
+  // Edge support / corroborated pairs (X141; the k-truss support
+  // measure, Cohen 2008): support(a,b) = number of triangles
+  // containing the edge = number of common near-dup neighbors. An LSH
+  // pair CORROBORATED by a third document (support ≥ 1) is far less
+  // likely a banding false positive than an isolated pair — this is
+  // the triangulation-confidence signal a dedup pipeline uses to rank
+  // which pairs get expensive exact verification first. Same
+  // materialized pair store and oriented-wedge machinery as X134; the
+  // per-edge rollup explodes each triangle into its three canonical
+  // (min,max) edges and counts.
+  // ------------------------------------------------------------------
+  def qEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
+    val ps = dupPairStore(spark, dir)
+    val tri = triangleFrame(ps)
+    def side(c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =
+      tri.select(least(c1, c2).as("doc_a"), greatest(c1, c2).as("doc_b"))
+    val support = side($"x", $"y")
+      .unionByName(side($"x", $"z"))
+      .unionByName(side($"y", $"z"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("support"))
+    ps.fresh().join(support, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        coalesce($"support", lit(0L)).as("support"),
+        when(coalesce($"support", lit(0L)) >= 1, 1).otherwise(0)
+          .as("corroborated"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle: the identical orientation + per-edge triangle rollup. */
+  val sqlEdgeSupport: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH p0 AS ($pairsSql),
+       |pairs AS (SELECT doc_a, doc_b FROM p0),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT doc_a AS id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+       |ev AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |         THEN p.doc_a ELSE p.doc_b END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |         THEN p.doc_b ELSE p.doc_a END AS v,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |         THEN db.deg ELSE da.deg END AS dv
+       |  FROM pairs p
+       |  JOIN deg da ON p.doc_a = da.id
+       |  JOIN deg db ON p.doc_b = db.id),
+       |tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM ev a JOIN ev b
+       |    ON a.u = b.u AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))
+       |  JOIN ev c ON c.u = a.v AND c.v = b.v),
+       |sup AS (
+       |  SELECT doc_a, doc_b, count(*) AS support FROM (
+       |    SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b FROM tri
+       |    UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+       |    UNION ALL SELECT least(y, z), greatest(y, z) FROM tri)
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b,
+       |  coalesce(s.support, 0) AS support,
+       |  CASE WHEN coalesce(s.support, 0) >= 1 THEN 1 ELSE 0 END
+       |    AS corroborated
+       |FROM pairs p LEFT JOIN sup s USING (doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   def qTriangles(spark: SparkSession, dir: String): DataFrame =

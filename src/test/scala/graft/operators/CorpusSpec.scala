@@ -130,4 +130,40 @@ class CorpusSpec extends SparkSpec {
       .as[(Int, Double)].collect().toMap
     manual.foreach { case (l, m) => assert(math.abs(c(l) - m) < 1e-6) }
   }
+
+  test("cdc_chunks: boundaries are content-defined — a prefix edit leaves every later chunk hash unchanged") {
+    val base = (0 until 240).map(i => s"w$i").mkString(" ")
+    val edited = "inserted prefix tokens " + base
+    val chunks = Corpus.cdcChunks(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val h1 = chunks.filter(_._1 == 1L).map(_._2).toSeq
+    val h2 = chunks.filter(_._1 == 2L).map(_._2).toSeq
+    assert(h1.size > 2, "240 tokens at expected length 16 must cut several chunks")
+    // the fixed-window encoding (qChunkDocs) shifts EVERY chunk under a
+    // prefix edit; CDC must preserve everything after the first
+    // surviving boundary: doc1's tail is a suffix of doc2's hashes
+    val tail1 = h1.drop(1)
+    assert(h2.takeRight(tail1.size) == tail1,
+      "all chunks after the first boundary must be byte-identical")
+    // mass conservation: chunk token counts sum to the token count
+    val sums = Corpus.cdcChunks(Seq((1L, base)).toDF("doc_id", "text"))
+      .agg(sum($"n_tokens")).head.getLong(0)
+    assert(sums == 240L)
+  }
+
+  test("cdc_chunks gate: per-doc indices dense from 0, n_tokens positive, hash deterministic") {
+    val df = Corpus.qCdcChunks(spark, Sf0001).cache()
+    try {
+      assert(df.filter($"n_tokens" <= 0).isEmpty)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"doc_id").orderBy($"chunk_idx")
+      assert(df.withColumn("rk", row_number().over(w) - 1)
+        .filter($"rk" =!= $"chunk_idx").isEmpty)
+      // identical runs produce identical hashes (pure content function)
+      val again = Corpus.qCdcChunks(spark, Sf0001)
+      assert(df.exceptAll(again).isEmpty)
+    } finally df.unpersist()
+  }
 }

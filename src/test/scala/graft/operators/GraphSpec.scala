@@ -252,6 +252,50 @@ class GraphSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("edge_support: clique edges are corroborated, bridge edges are not; corner mass consistent") {
+    // K4 clique: every edge sits in exactly 2 triangles; a pendant
+    // bridge edge sits in none
+    val clique = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val bridge = Seq((3L, 10L))
+    val store = Graph.materializeFrame((clique ++ bridge).toDF("doc_a", "doc_b"))
+    try {
+      def side(c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =
+        Graph.triangleFrame(store)
+          .select(least(c1, c2).as("a"), greatest(c1, c2).as("b"))
+      val sup = side($"x", $"y").unionByName(side($"x", $"z"))
+        .unionByName(side($"y", $"z"))
+        .groupBy($"a", $"b").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      clique.foreach(e => assert(sup(e) == 2L, s"K4 edge $e"))
+      assert(!sup.contains((3L, 10L)), "bridge edge must have support 0")
+    } finally store.release()
+  }
+
+  test("edge_support gate: support mass = 3x triangle count; flag consistent") {
+    val edges = Graph.qEdgeSupport(spark, Sf001).cache()
+    try {
+      assert(edges.filter(($"support" >= 1) =!= ($"corroborated" === 1)).isEmpty)
+      val supportMass = edges.agg(sum($"support")).head.getLong(0)
+      val triMass = Graph.qTriangles(spark, Sf001).agg(sum($"n_tri")).head.getLong(0)
+      // every triangle contributes 3 corner counts and 3 edge supports
+      assert(supportMass == triMass)
+    } finally edges.unpersist()
+  }
+
+  test("top_paths: bounded path length, descending counts, deterministic cut") {
+    val rows = Behavior.qTopPaths(spark, Sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Behavior.PathTopK)
+    rows.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.nonEmpty && steps.length <= Behavior.PathLen)
+      assert(steps.forall(_.nonEmpty))
+    }
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse)
+    // deterministic: identical reruns produce the identical cut
+    assert(Behavior.qTopPaths(spark, Sf001).collect().toSeq == rows.toSeq)
+  }
+
   test("k_anonymity: ungeneralized released groups meet K, generalized pool at '*'") {
     val df = Analytics.qKAnonymity(spark, Sf001).cache()
     try {

@@ -997,6 +997,32 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"))
   }
 
+  test("q_cdc_chunks: per-row carving, zero hash exchanges, text-pruned projection after explode") {
+    val plan = executedCold(Corpus.qCdcChunks(spark, Sf0001))
+    // tokenize → cut → explode are all in-row; the only exchange is the
+    // presentation sort's range partitioning
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "CDC chunking must not shuffle")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q_edge_support: per-edge rollup reads the materialized pair store, no cross product") {
+    val plan = executedCold(Graph.qEdgeSupport(spark, Sf0001))
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_top_paths: session split + path rollup in two keyed shuffles; top-k is a TakeOrdered") {
+    val plan = executedCold(Behavior.qTopPaths(spark, Sf0001))
+    // one user-keyed exchange (session windows reuse it) + one
+    // path-keyed count exchange
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must not compile to a global sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ------------------------------------------------------------------
   // Single-partition-window contract: Spark warns "No Partition
   // Defined for Window" whenever a window has no partitionBy — fatal

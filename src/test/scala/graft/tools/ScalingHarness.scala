@@ -241,7 +241,16 @@ object ScalingHarness {
     "canonical_pick" ->
       (dir => Clustering.qCanonicalPick(spark, dir).count()),
     "quantile_norm" ->
-      (dir => Analytics.qQuantileNorm(spark, dir).count()))
+      (dir => Analytics.qQuantileNorm(spark, dir).count()),
+    // cdc_chunks is in-row carving + explode (zero shuffle).
+    // edge_support pays the pair store cold + the wedge joins.
+    // top_paths is the sessionize shuffle + a bounded path count.
+    "cdc_chunks" ->
+      (dir => Corpus.qCdcChunks(spark, dir).count()),
+    "edge_support" ->
+      (dir => Graph.qEdgeSupport(spark, dir).count()),
+    "top_paths" ->
+      (dir => graft.operators.Behavior.qTopPaths(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
