@@ -609,6 +609,61 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IntervalJoin: the watermarked stream-stream join equals the batch interval join row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = graft.SparkSpec.Sf0001
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_seconds($"ts").as("ts_s"),
+        $"value", $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts_s", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._3)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_s", $"value")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._3)
+
+    // batch truth: an INDEPENDENT plain inequality join (fine at sf0.001)
+    val cB = clicks.toDF("user_id", "click_id", "c_ts", "click_value")
+    val pB = purchases.toDF("p_user", "purchase_id", "p_ts", "purchase_value")
+    val expected = cB.join(pB, $"user_id" === $"p_user" &&
+        $"c_ts" >= $"p_ts" - IntervalJoin.WindowS && $"c_ts" <= $"p_ts")
+      .select($"user_id", $"purchase_id", $"p_ts", $"click_id", $"c_ts",
+        $"click_value")
+      .collect().toSeq.map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long]))
+    assert(expected.nonEmpty)
+
+    val cIn = MemoryStream[(Long, Long, Long, Double)]
+    val pIn = MemoryStream[(Long, Long, Long, Double)]
+    val q = IntervalJoin.clicksBeforePurchases(
+        cIn.toDF().toDF("user_id", "event_id", "ts_s", "value"),
+        pIn.toDF().toDF("user_id", "event_id", "ts_s", "value"))
+      .writeStream.format("memory").queryName("ij_replay")
+      .outputMode("append").start()
+    try {
+      // time-aligned chunks: both sides advance their watermarks together
+      val cutTs = purchases.map(_._3).sorted
+      val cuts = Seq(cutTs(cutTs.length / 3), cutTs(2 * cutTs.length / 3), Long.MaxValue)
+      var (cRest, pRest) = (clicks, purchases)
+      cuts.foreach { cut =>
+        val (cNow, cLater) = cRest.partition(_._3 <= cut)
+        val (pNow, pLater) = pRest.partition(_._3 <= cut)
+        cRest = cLater; pRest = pLater
+        if (cNow.nonEmpty) cIn.addData(cNow)
+        if (pNow.nonEmpty) pIn.addData(pNow)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ij_replay").collect().toSeq.map(_.toSeq)
+        .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+          r(3).asInstanceOf[Long]))
+      assert(streamed.size == expected.size)
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("Attribution/EventFlow: a cross-batch time-traveling event fails loudly, not silently") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
