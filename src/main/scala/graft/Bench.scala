@@ -50,6 +50,9 @@ object Bench {
       graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
       graft.operators.Multimodal.incModalStore(spark, sfDir).corpusLabels.count()
       graft.operators.Graph.transactionEdgeStore(spark, sfDir).fresh().count()
+      graft.operators.Graph.seedStore(spark, sfDir).fresh().count()
+      graft.operators.Graph.dupPairStore(spark, sfDir).fresh().count()
+      graft.operators.Graph.coIncidenceStore(spark, sfDir).fresh().count()
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

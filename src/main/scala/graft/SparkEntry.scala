@@ -47,6 +47,7 @@ object SparkEntry {
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
+    "q_cluster_stats"     -> (Clustering.qClusterStats(_, _)),
     "q_edge_support"      -> (Graph.qEdgeSupport(_, _)),
     "q_top_paths"         -> (Behavior.qTopPaths(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
@@ -315,6 +316,7 @@ object SparkEntry {
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,
+    "q_cluster_stats"      -> Clustering.sqlClusterStats,
     "q_edge_support"       -> Graph.sqlEdgeSupport,
     "q_top_paths"          -> Behavior.sqlTopPaths,
     "q_edit_verify"        -> Dedup.sqlEditVerify,

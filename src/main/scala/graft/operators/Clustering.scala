@@ -251,6 +251,56 @@ object Clustering {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Cluster morphology stats (X145): per near-dup cluster, member
+  // count, internal edge count and density (2e·10⁶ div n(n−1), exact
+  // ppm) — the family-shape report that separates verbatim-mirror
+  // CLIQUES (density = 10⁶: every pair detected) from chain/star
+  // families (paraphrase drift, hub templates), which canonical-pick
+  // and split tooling treat differently. Both inputs are persisted
+  // stores (label store + materialized pair store); every pair lies
+  // within one cluster by construction (clusters ARE the pair
+  // closure), so one endpoint-label join keys the edge rollup.
+  // ------------------------------------------------------------------
+  def qClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupLabels(spark, dir).select($"id", $"label")
+    val sizes = labels.groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val edges = Graph.dupPairStore(spark, dir).fresh()
+      .join(labels.select($"id".as("doc_a"), $"label".as("cluster_id")),
+        Seq("doc_a"))
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster_id"))
+      .select($"cluster_id", $"n_docs", $"n_edges",
+        expr("(n_edges * 2000000L) div (n_docs * (n_docs - 1))")
+          .as("density_ppm"))
+      .orderBy($"cluster_id")
+  }
+
+  val sqlClusterStats: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY 1),
+       |sizes AS (SELECT label AS cluster_id, count(*) AS n_docs
+       |          FROM labels GROUP BY 1),
+       |ec AS (
+       |  SELECT l.label AS cluster_id, count(*) AS n_edges
+       |  FROM pairs p JOIN labels l ON p.doc_a = l.id GROUP BY 1)
+       |SELECT s.cluster_id, s.n_docs, ec.n_edges,
+       |  (ec.n_edges * 2000000) // (s.n_docs * (s.n_docs - 1))
+       |    AS density_ppm
+       |FROM sizes s JOIN ec USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   val sqlDedupDecision: String = {
     val pairsSql = Dedup.sqlMinhashLshPairs
     s"""WITH RECURSIVE pairs AS ($pairsSql),

@@ -254,27 +254,31 @@ object Graph {
     * nation (TPC-H nationkey 7 = GERMANY). */
   val SeedNation = 7
 
+  /** Per-node seed flags (id, is_seed) for EVERY graph node,
+    * materialized once — the walk then never re-joins nodes against
+    * the cohort: each round reads this flat store directly (one fewer
+    * shuffle join per round than deriving flags in the loop). */
   def seedStore(spark: SparkSession, dir: String): FrameStore =
     cachedFrame(spark, dir, "ppr_seeds") {
       val cust = Tables.customer(spark, dir)
         .filter($"c_nationkey" === SeedNation)
-        .select(($"c_custkey" * 2).as("id"))
+        .select(($"c_custkey" * 2).as("id"), lit(1).as("seed_hit"))
       materializeFrame(
         transactionEdgeStore(spark, dir).fresh()
           .select($"src".as("id")).distinct()
-          .join(cust, Seq("id"))) // seeds must exist in the graph
+          .join(cust, Seq("id"), "left")
+          .select($"id", coalesce($"seed_hit", lit(0)).as("is_seed")))
     }
 
-  def pprRanks(edges: EdgeStore, seeds: FrameStore,
+  /** `seedFlags`: (id, is_seed) over all graph nodes ([[seedStore]]). */
+  def pprRanks(edges: EdgeStore, seedFlags: FrameStore,
       rounds: Int = Rounds): DataFrame = {
     def e(): DataFrame = edges.fresh()
-    def nodes(): DataFrame = e().select($"src".as("id")).distinct()
-    def seed(): DataFrame = seeds.fresh().withColumn("is_seed", lit(1))
-    def sfr(): DataFrame = seeds.fresh().agg(count(lit(1)).as("ns"))
+    def nodesBase(): DataFrame = seedFlags.fresh()
+    def sfr(): DataFrame = nodesBase().filter($"is_seed" === 1)
+      .agg(count(lit(1)).as("ns"))
     def withBase(scalePart: Long, contrib: Option[DataFrame]): DataFrame = {
-      val base = nodes()
-        .join(seed(), Seq("id"), "left")
-        .crossJoin(broadcast(sfr()))
+      val base = nodesBase().crossJoin(broadcast(sfr()))
       val b = when($"is_seed" === 1, expr(s"${scalePart}L div ns")).otherwise(0L)
       contrib match {
         case None => base.select($"id", b.as("r"))

@@ -125,7 +125,9 @@ class GraphSpec extends SparkSpec {
       e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
     }
     val edges = Graph.materializeEdges(() => mk())
-    val seeds = Graph.materializeFrame(Seq(0L, 1L).toDF("id"))
+    val seeds = Graph.materializeFrame(
+      ((0L to 3L) ++ (100L to 103L)).map(n => (n, if (n <= 1L) 1 else 0))
+        .toDF("id", "is_seed"))
     try {
       val r = Graph.pprRanks(edges, seeds)
         .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
@@ -294,6 +296,23 @@ class GraphSpec extends SparkSpec {
     assert(counts == counts.sorted.reverse)
     // deterministic: identical reruns produce the identical cut
     assert(Behavior.qTopPaths(spark, Sf001).collect().toSeq == rows.toSeq)
+  }
+
+  test("cluster_stats: connectivity bounds, exact pair-cluster density, cluster census matches labels") {
+    val df = Clustering.qClusterStats(spark, Sf001).cache()
+    try {
+      // every cluster is connected (n_edges >= n-1) and simple
+      // (n_edges <= n(n-1)/2); density capped at exactly 1e6
+      assert(df.filter($"n_edges" < $"n_docs" - 1).isEmpty)
+      assert(df.filter($"n_edges" > $"n_docs" * ($"n_docs" - 1) / 2).isEmpty)
+      assert(df.filter($"density_ppm" > 1000000L).isEmpty)
+      // a 2-doc cluster is definitionally a clique
+      assert(df.filter($"n_docs" === 2 && $"density_ppm" =!= 1000000L).isEmpty)
+      // census agrees with the label store
+      val fromLabels = Clustering.qDupClusters(spark, Sf001)
+        .select($"cluster_id").distinct().count()
+      assert(df.count() == fromLabels)
+    } finally df.unpersist()
   }
 
   test("k_anonymity: ungeneralized released groups meet K, generalized pool at '*'") {

@@ -975,6 +975,15 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"))
   }
 
+  test("q_cluster_stats: both persisted stores read warm, slim keyed rollups, no cross product") {
+    Clustering.dupLabels(spark, Sf0001)
+    Graph.dupPairStore(spark, Sf0001)
+    val plan = executed(Clustering.qClusterStats(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted label store")
+    assert(plan.contains("Scan ExistingRDD"), "must read the materialized pair store")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_canonical_pick: label store read warm; the pick is one cluster-keyed window, no cross product") {
     Clustering.dupLabels(spark, Sf0001) // warm, as Bench does
     val plan = executed(Clustering.qCanonicalPick(spark, Sf0001))

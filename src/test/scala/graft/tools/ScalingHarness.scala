@@ -250,7 +250,11 @@ object ScalingHarness {
     "edge_support" ->
       (dir => Graph.qEdgeSupport(spark, dir).count()),
     "top_paths" ->
-      (dir => graft.operators.Behavior.qTopPaths(spark, dir).count()))
+      (dir => graft.operators.Behavior.qTopPaths(spark, dir).count()),
+    // cluster_stats pays both dedup stores cold, then two slim keyed
+    // rollups over cluster ids.
+    "cluster_stats" ->
+      (dir => Clustering.qClusterStats(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
