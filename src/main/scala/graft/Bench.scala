@@ -49,6 +49,7 @@ object Bench {
       graft.operators.Clustering.incrementalStore(spark, sfDir).corpusLabels.count()
       graft.operators.Multimodal.modalEvidence(spark, sfDir)._2.count()
       graft.operators.Multimodal.incModalStore(spark, sfDir).corpusLabels.count()
+      graft.operators.Corpus.sourceShingleStore(spark, sfDir).count()
       graft.operators.Graph.transactionEdgeStore(spark, sfDir).fresh().count()
       graft.operators.Graph.seedStore(spark, sfDir).fresh().count()
       graft.operators.Graph.dupPairStore(spark, sfDir).fresh().count()

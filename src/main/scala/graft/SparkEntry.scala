@@ -48,6 +48,8 @@ object SparkEntry {
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
     "q_cluster_stats"     -> (Clustering.qClusterStats(_, _)),
+    "q_session_window"    -> (EventWindows.qSessionWindow(_, _)),
+    "q_source_overlap"    -> (Corpus.qSourceOverlap(_, _)),
     "q_edge_support"      -> (Graph.qEdgeSupport(_, _)),
     "q_top_paths"         -> (Behavior.qTopPaths(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
@@ -317,6 +319,8 @@ object SparkEntry {
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,
     "q_cluster_stats"      -> Clustering.sqlClusterStats,
+    "q_session_window"     -> EventWindows.sqlSessionWindow,
+    "q_source_overlap"     -> Corpus.sqlSourceOverlap,
     "q_edge_support"       -> Graph.sqlEdgeSupport,
     "q_top_paths"          -> Behavior.sqlTopPaths,
     "q_edit_verify"        -> Dedup.sqlEditVerify,

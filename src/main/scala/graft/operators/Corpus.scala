@@ -554,6 +554,8 @@ object Corpus {
     contamCache.clear()
     shingleCache.values.foreach(_.unpersist())
     shingleCache.clear()
+    srcShingleCache.values.foreach(_.unpersist())
+    srcShingleCache.clear()
     sideCountCache.values.foreach(_.unpersist())
     sideCountCache.clear()
   }
@@ -1160,6 +1162,71 @@ object Corpus {
        |  shift_num::DOUBLE / (na * nb)::DOUBLE AS contribution,
        |  (sum(shift_num) OVER ())::DOUBLE / (2.0 * (na * nb)::DOUBLE) AS tv_total
        |FROM j ORDER BY shift_num DESC, w LIMIT $ShiftTopK""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Pairwise source-overlap matrix (X147): exact shingle-set Jaccard
+  // for every source pair — the redundancy map that tells a curation
+  // pipeline which sources are mirrors/scrapes of each other BEFORE
+  // committing mixture weights (the source-level generalization of the
+  // X-corpus-pair overlap sketch). Scale shape: the per-source shingle
+  // SETS never materialize as arrays — a slim distinct (source, h60)
+  // frame feeds both the size aggregate and the intersection self-join,
+  // and per-shingle pair fan-out is bounded by C(|sources present|, 2)
+  // with |sources| a catalog-bounded dimension (tens-to-thousands),
+  // never the corpus. Similarity is exact integer ppm, hash-exact
+  // cross-engine. (For an UNBOUNDED source universe the sketch form
+  // X64 applies; this exact face is for the catalog-sized case.)
+  // ------------------------------------------------------------------
+  private val srcShingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Distinct (source, h) shingle-hash incidence, persisted — shares
+    * the shingle store's parse; invalidated with the other Corpus
+    * memos. */
+  def sourceShingleStore(spark: SparkSession, dir: String): DataFrame =
+    srcShingleCache.getOrElseUpdate((spark, dir), {
+      val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+      val store = shingleStore(spark, dir)
+        .join(src, Seq("doc_id"))
+        .select($"source", explode($"sh").as("s"))
+        .select($"source", Hashing.h60($"s").as("h"))
+        .distinct()
+        .persist()
+      store.count()
+      store
+    })
+
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = sourceShingleStore(spark, dir)
+    val sizes = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    ss.select($"source".as("src_a"), $"h")
+      .join(ss.select($"source".as("src_b"), $"h"), Seq("h"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"source".as("src_a"), $"n".as("n_a")), Seq("src_a"))
+      .join(sizes.select($"source".as("src_b"), $"n".as("n_b")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b",
+        expr("(inter * 1000000L) div (n_a + n_b - inter)").as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val sqlSourceOverlap: String = {
+    val sh = Hashing.sqlShingles(Hashing.sqlTokens("text"), Dedup.ShingleN)
+    s"""WITH t AS (
+       |  SELECT source, unnest($sh) AS s FROM documents),
+       |ss AS (SELECT DISTINCT source, ${Hashing.sqlH60("s")} AS h FROM t),
+       |sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.src_a, i.src_b, i.inter, sa.n AS n_a, sb.n AS n_b,
+       |  (i.inter * 1000000) // (sa.n + sb.n - i.inter) AS jaccard_ppm
+       |FROM inter i
+       |JOIN sizes sa ON i.src_a = sa.source
+       |JOIN sizes sb ON i.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
   }
 
   // ------------------------------------------------------------------

@@ -195,6 +195,58 @@ object EventWindows {
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Native session windows (X146): the SAME 30-min-gap sessionization
+  // as [[qSessionize]], but expressed through Spark's built-in
+  // `session_window` aggregation instead of the hand-rolled
+  // gaps-and-islands windows — the declarative form that also runs
+  // UNCHANGED as a streaming aggregation (session_window is Structured
+  // Streaming's native merging session state, with watermark-driven
+  // eviction). Full event table, no user cap: the session_window
+  // aggregate is one user-keyed shuffle with merging partial sessions
+  // — no lag/sum window pair, no second pass. The ORACLE is the
+  // independent gaps-and-islands encoding (strict `gap >= 1800` opens
+  // a session, matching session_window's half-open [start, last+gap)
+  // merge rule), so agreement pins the built-in's semantics against
+  // the textbook construction. Window end = last event + gap, the
+  // session_window contract.
+  // ------------------------------------------------------------------
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"value")
+      .groupBy($"user_id", session_window($"ts", "1800 seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DEC)).cast("double").as("session_value"))
+      // event timestamps carry sub-second parts — everything stays at
+      // exact microsecond resolution so the two encodings can't
+      // diverge on a truncated gap
+      .select($"user_id",
+        unix_micros($"w.start").as("session_start_us"),
+        unix_micros($"w.end").as("session_end_us"),
+        $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start_us")
+
+  val sqlSessionWindow: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 1800000000
+      |         OR lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+      |         THEN 1::BIGINT ELSE 0::BIGINT END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS session_idx
+      |  FROM g)
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ------------------------------------------------------------------
   // Ordered conversion funnel (view → click → purchase): per user, the
   // FIRST view, the first click strictly after it, and the first
   // purchase strictly after that click AND within FunnelWindowSecs of

@@ -315,6 +315,38 @@ class GraphSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("session_window: native sessions are disjoint, gap-separated, and conserve event mass") {
+    val df = EventWindows.qSessionWindow(spark, Sf001).cache()
+    try {
+      // windows span at least the gap (end = last event + 30 min)
+      assert(df.filter($"session_end_us" - $"session_start_us" < 1800000000L).isEmpty)
+      // per user, consecutive sessions never overlap: the next session
+      // starts at-or-after the previous end (that's WHY it's a new one)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"session_start_us")
+      assert(df.withColumn("prev_end", lag($"session_end_us", 1).over(w))
+        .filter($"prev_end".isNotNull && $"session_start_us" < $"prev_end").isEmpty)
+      // event mass conserved
+      val total = df.agg(sum($"n_events")).head.getLong(0)
+      assert(total == graft.sources.Tables.events(spark, Sf001).count())
+    } finally df.unpersist()
+  }
+
+  test("source_overlap: canonical pairs, intersection bounded by set sizes, ppm exact range") {
+    val rows = Corpus.qSourceOverlap(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val nSources = graft.sources.Tables.documents(spark, Sf001)
+      .select($"source").distinct().count()
+    assert(rows.length <= nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (a, b, inter, na, nb, ppm) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b)
+      assert(inter >= 1 && inter <= math.min(na, nb))
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+  }
+
   test("k_anonymity: ungeneralized released groups meet K, generalized pool at '*'") {
     val df = Analytics.qKAnonymity(spark, Sf001).cache()
     try {

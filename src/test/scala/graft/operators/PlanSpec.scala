@@ -975,6 +975,23 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"))
   }
 
+  test("q_session_window: native session aggregation on one user-keyed shuffle, no window-pair encoding") {
+    val plan = executedCold(EventWindows.qSessionWindow(spark, Sf0001))
+    // the built-in merges sessions inside the aggregate — no lag/sum
+    // window pass, no second shuffle beyond the session aggregate
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.toLowerCase.contains("windowexec") ||
+      !plan.contains("lag("), "must use session_window, not the lag encoding")
+  }
+
+  test("q_source_overlap: incidence store read warm; intersection joins on the shingle hash only") {
+    Corpus.sourceShingleStore(spark, Sf0001) // warm, as Bench does
+    val plan = executed(Corpus.qSourceOverlap(spark, Sf0001))
+    assert(plan.contains("InMemoryTableScan"), "must read the persisted incidence store")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_cluster_stats: both persisted stores read warm, slim keyed rollups, no cross product") {
     Clustering.dupLabels(spark, Sf0001)
     Graph.dupPairStore(spark, Sf0001)

@@ -254,7 +254,14 @@ object ScalingHarness {
     // cluster_stats pays both dedup stores cold, then two slim keyed
     // rollups over cluster ids.
     "cluster_stats" ->
-      (dir => Clustering.qClusterStats(spark, dir).count()))
+      (dir => Clustering.qClusterStats(spark, dir).count()),
+    // session_window is the native one-shuffle session aggregate over
+    // the full event table. source_overlap pays the (source, h)
+    // incidence store cold, then |sources|-bounded pair rollups.
+    "session_window" ->
+      (dir => EventWindows.qSessionWindow(spark, dir).count()),
+    "source_overlap" ->
+      (dir => Corpus.qSourceOverlap(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
