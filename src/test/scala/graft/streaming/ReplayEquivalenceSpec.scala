@@ -664,6 +664,49 @@ class ReplayEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IntervalJoin left-outer: unmatched purchases null-complete once the watermark proves no click can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val w = IntervalJoin.WindowS
+    // user 1: click then in-window purchase (matches)
+    // user 2: purchase with NO click (must null-complete)
+    // user 3: click OUTSIDE the window before the purchase (must null-complete)
+    val clicks = Seq((1L, 10L, 1000L, 0.5), (3L, 30L, 1000L, 0.7))
+    val purchases = Seq((1L, 11L, 2000L, 9.9), (2L, 21L, 2500L, 5.0),
+      (3L, 31L, 1000L + w + 10L, 7.0))
+
+    val cIn = MemoryStream[(Long, Long, Long, Double)]
+    val pIn = MemoryStream[(Long, Long, Long, Double)]
+    val q = IntervalJoin.purchasesWithClicks(
+        cIn.toDF().toDF("user_id", "event_id", "ts_s", "value"),
+        pIn.toDF().toDF("user_id", "event_id", "ts_s", "value"))
+      .writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks); pIn.addData(purchases)
+      q.processAllAvailable()
+      // matched row can emit eagerly; the null-completions CANNOT —
+      // the watermark hasn't passed the purchases' eviction bound yet
+      val early = spark.table("ij_outer").collect()
+      assert(!early.exists(r => r.getLong(1) != 11L && !r.isNullAt(3)),
+        "only user 1's purchase has a matching click")
+      // advance both watermarks far past every purchase + interval
+      val far = 1000L + 10L * w
+      cIn.addData(Seq((99L, 990L, far, 0.0)))
+      pIn.addData(Seq((99L, 991L, far, 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ij_outer").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      // 11 matched to click 10; 21 and 31 null-completed
+      assert(rows.contains((11L, 10L)))
+      assert(rows.contains((21L, -1L)), "click-less purchase must null-complete")
+      assert(rows.contains((31L, -1L)), "out-of-window click must not match")
+      assert(!rows.contains((31L, 30L)))
+    } finally q.stop()
+  }
+
   test("Attribution/EventFlow: a cross-batch time-traveling event fails loudly, not silently") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
