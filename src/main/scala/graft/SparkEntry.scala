@@ -41,6 +41,7 @@ object SparkEntry {
     "q_scd2"              -> (Temporal.qScd2(_, _)),
     "q_pagerank"          -> (Graph.qPagerank(_, _)),
     "q_ppr_suppliers"     -> (Graph.qPprSuppliers(_, _)),
+    "q_khop_suppliers"    -> (Graph.qKhopSuppliers(_, _)),
     "q_triangles"         -> (Graph.qTriangles(_, _)),
     "q_copurchase"        -> (Graph.qCoPurchase(_, _)),
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "q_scd2"               -> Temporal.sqlScd2,
     "q_pagerank"           -> Graph.sqlPagerank,
     "q_ppr_suppliers"      -> Graph.sqlPprSuppliers,
+    "q_khop_suppliers"     -> Graph.sqlKhopSuppliers,
     "q_triangles"          -> Graph.sqlTriangles,
     "q_copurchase"         -> Graph.sqlCoPurchase,
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,

@@ -571,6 +571,83 @@ object Graph {
       .limit(100)
   }
 
+  // ------------------------------------------------------------------
+  // k-hop BFS distances from a seed cohort (X148): min-plus message
+  // passing over the SAME materialized transaction edge store as
+  // X129/X137 — the influence-radius / reachability-tier audit a
+  // curation pipeline runs around a trusted nucleus (how many hops
+  // from verified sources is this entity?). Same Pregel shape as the
+  // rank walks but on the (min, +1) semiring:
+  //   d_{k+1}(v) = 0 if v ∈ S else min_{u→v} (d_k(u) + 1)
+  // which references the previous frontier exactly ONCE per round (the
+  // straight-line-plan discipline; the self-carrying
+  // min(prev, relaxed) encoding would reference prev twice and double
+  // the plan per round). d_k is exactly "distance if ≤ k else NULL" —
+  // monotone convergent, all-BIGINT, hash-exact cross-engine. The
+  // ORACLE is the algorithmically INDEPENDENT formulation: DuckDB's
+  // WITH RECURSIVE walk under set-semantics UNION (state bounded by
+  // nodes × K distinct (id, d) rows — never the walk-count explosion
+  // of UNION ALL), min-aggregated at the end. Agreement pins the
+  // round-unrolled min-plus encoding against textbook recursive BFS.
+  // ------------------------------------------------------------------
+  val MaxHops = 4
+
+  /** (id, d) for every node of the edge store; d = min hop count from
+    * the seed set if ≤ maxHops, else NULL. */
+  def khopDistances(edges: EdgeStore, seedFlags: FrameStore,
+      maxHops: Int = MaxHops): DataFrame = {
+    def e(): DataFrame = edges.fresh()
+    def base(): DataFrame = seedFlags.fresh()
+    var dist = base().select($"id",
+      when($"is_seed" === 1, 0L).otherwise(lit(null).cast("long")).as("d"))
+    for (_ <- 1 to maxHops) {
+      val relax = e()
+        .join(dist.filter($"d".isNotNull).select($"id".as("rid"), $"d"),
+          $"src" === $"rid")
+        .groupBy($"dst").agg((min($"d") + 1L).as("nd"))
+      dist = base().join(relax, $"id" === $"dst", "left")
+        .select($"id", when($"is_seed" === 1, 0L).otherwise($"nd").as("d"))
+    }
+    dist
+  }
+
+  /** Gate: hop distance from the seed nation's customer cohort to each
+    * supplier (−1 = unreachable within [[MaxHops]]). On the bipartite
+    * transaction graph suppliers sit at odd hops: 1 = serves a seed
+    * customer directly, 3 = reachable through one intermediary
+    * customer–supplier pair. */
+  def qKhopSuppliers(spark: SparkSession, dir: String): DataFrame =
+    khopDistances(transactionEdgeStore(spark, dir), seedStore(spark, dir))
+      .filter($"id" % 2 === 1)
+      .select(expr("id div 2").as("s_suppkey"),
+        coalesce($"d", lit(-1L)).as("hops"))
+      .orderBy($"s_suppkey")
+
+  val sqlKhopSuppliers: String =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |seeds AS (
+       |  SELECT DISTINCT n.id FROM nodes n
+       |  JOIN customer c ON n.id = c.c_custkey * 2
+       |  WHERE c.c_nationkey = $SeedNation),
+       |r AS (
+       |  SELECT id, CAST(0 AS BIGINT) AS d FROM seeds
+       |  UNION
+       |  SELECT e.dst AS id, r.d + 1 AS d
+       |  FROM r JOIN e ON e.src = r.id
+       |  WHERE r.d < $MaxHops),
+       |m AS (SELECT id, CAST(min(d) AS BIGINT) AS d FROM r GROUP BY 1)
+       |SELECT n.id // 2 AS s_suppkey, coalesce(m.d, -1) AS hops
+       |FROM nodes n LEFT JOIN m ON n.id = m.id
+       |WHERE n.id % 2 = 1
+       |ORDER BY s_suppkey""".stripMargin
+
   val sqlCoPurchase: String =
     s"""WITH inc0 AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -150,6 +150,59 @@ class GraphSpec extends SparkSpec {
     assert(ranks.exists(_ > 0L), "suppliers trading with the seed nation must rank")
   }
 
+  // X148 — k-hop BFS distances (min-plus walk over the edge store)
+  private def khopOf(pairs: Seq[(Long, Long)], seedIds: Set[Long],
+      maxHops: Int = Graph.MaxHops): Map[Long, Option[Long]] = {
+    def mk() = {
+      val e = pairs.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+      e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+    val edges = Graph.materializeEdges(() => mk())
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val seeds = Graph.materializeFrame(
+      nodes.map(n => (n, if (seedIds(n)) 1 else 0)).toDF("id", "is_seed"))
+    try Graph.khopDistances(edges, seeds, maxHops).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    finally { edges.release(); seeds.release() }
+  }
+
+  test("khop: chain distances are exact and the horizon cuts at maxHops") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val d = khopOf(chain, Set(1L))
+    assert((1L to 5L).forall(n => d(n) == Some(n - 1)),
+      "chain node n sits exactly n-1 hops from the seed")
+    assert(d(6L).isEmpty, "beyond the 4-hop horizon must be NULL, not a guess")
+  }
+
+  test("khop: an unseeded component is unreachable; seeds pin at 0 even with closer paths absent") {
+    val d = khopOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Set(1L, 3L))
+    assert(d(1L) == Some(0L) && d(3L) == Some(0L))
+    assert(d(2L) == Some(1L), "middle node takes the min over both seeds")
+    assert(d(10L).isEmpty && d(11L).isEmpty)
+  }
+
+  test("khop: distance is 1-Lipschitz along edges (relaxation fixpoint reached)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val d = khopOf(pairs, Set(2L))
+    pairs.foreach { case (a, b) =>
+      (d(a), d(b)) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) <= 1L, s"edge ($a,$b)")
+        case _ => fail("all nodes reachable within 4 hops here")
+      }
+    }
+  }
+
+  test("khop gate: one row per supplier, suppliers sit at odd hops, direct trade partners at 1") {
+    val rows = Graph.qKhopSuppliers(spark, Sf0001).collect()
+    val nSupp = graft.sources.Tables.supplier(spark, Sf0001).count()
+    assert(rows.length == nSupp)
+    val hops = rows.map(_.getLong(1))
+    assert(hops.forall(h => h == -1L || (h % 2 == 1 && h <= Graph.MaxHops)),
+      "bipartite parity: suppliers are reachable only at odd hops")
+    assert(hops.contains(1L), "some supplier serves a seed-nation customer")
+  }
+
   test("triangles: cliques count exactly, paths and stars count zero") {
     // 4-clique {0,1,2,3}: every node sits in C(3,2) = 3 triangles
     val clique = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)

@@ -940,6 +940,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_khop_suppliers: the min-plus walk reads only the materialized edge + seed stores") {
+    val plan = executedCold(Graph.qKhopSuppliers(spark, Sf0001))
+    // same contract as the rank walks: stores materialize at
+    // construction, the K relaxation rounds touch no parquet
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_triangles: wedge and close joins read the materialized pair store, no cross product") {
     val plan = executedCold(Graph.qTriangles(spark, Sf0001))
     // the LSH band join ran once at store build; every reference here

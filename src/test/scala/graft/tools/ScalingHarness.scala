@@ -231,6 +231,11 @@ object ScalingHarness {
       (dir => Graph.qTriangles(spark, dir).count()),
     "ppr_suppliers" ->
       (dir => Graph.qPprSuppliers(spark, dir).count()),
+    // khop pays the same cold stores as ppr, then K min-plus rounds
+    // over cached edge blocks — the cheapest of the three walks (no
+    // per-round broadcast aggregate, frontier rows only shrink).
+    "khop_suppliers" ->
+      (dir => Graph.qKhopSuppliers(spark, dir).count()),
     "copurchase" ->
       (dir => Graph.qCoPurchase(spark, dir).count()),
     "rendezvous_shard" ->
