@@ -29,6 +29,7 @@ object Bench {
     graft.operators.Multimodal.invalidateModalCache()
     graft.operators.Multimodal.invalidateIncModalStore()
     graft.operators.Graph.invalidateEdgeStore()
+    graft.operators.Scale.invalidateBucketed()
     graft.operators.Clustering.releaseMergeClosures()
     // Pre-materialize the SHARED persisted stores at the target SF so
     // per-query timings are order-independent: without this, whichever
@@ -54,6 +55,7 @@ object Bench {
       graft.operators.Graph.seedStore(spark, sfDir).fresh().count()
       graft.operators.Graph.dupPairStore(spark, sfDir).fresh().count()
       graft.operators.Graph.coIncidenceStore(spark, sfDir).fresh().count()
+      graft.operators.Scale.bucketedTables(spark, sfDir)
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

@@ -45,6 +45,7 @@ object SparkEntry {
     "q_triangles"         -> (Graph.qTriangles(_, _)),
     "q_copurchase"        -> (Graph.qCoPurchase(_, _)),
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
+    "q_bucketed_join"     -> (Scale.qBucketedJoin(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
@@ -317,6 +318,7 @@ object SparkEntry {
     "q_triangles"          -> Graph.sqlTriangles,
     "q_copurchase"         -> Graph.sqlCoPurchase,
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
+    "q_bucketed_join"      -> Scale.sqlBucketedJoin,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,

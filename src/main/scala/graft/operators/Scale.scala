@@ -370,4 +370,94 @@ object Scale {
        |  CASE WHEN shard_n <> shard_n1 THEN 1 ELSE 0 END AS moved
        |FROM a ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed co-located fact-fact join (X149) — the storage-layout
+  // lever this object's header promises: when the SAME fact-fact join
+  // key recurs across a workload (lineitem⋈orders here; doc⋈chunk,
+  // event⋈session in a data pipeline), pay the shuffle ONCE at write
+  // time by bucketing both tables on the key. Every subsequent join
+  // reads bucket i against bucket i with ZERO exchange on either side
+  // — at 100 TB that converts the dominant repeated shuffle into a
+  // one-time layout cost, exactly what Hive/Spark bucketing and
+  // warehouse clustering keys exist for. Mechanics that make it work:
+  //  - both sides bucketed with the SAME bucket count on the join key
+  //    (mismatched counts re-shuffle one side);
+  //  - `repartition(N, key)` before the write aligns task→bucket, so
+  //    each task emits ONE bucket file instead of N (the many-small-
+  //    files failure mode of naive bucketed writes);
+  //  - `sortBy(key)` within buckets lets the SMJ skip its sort.
+  // The twin tables are built once per (session, dir) and memoized
+  // (Bench prewarms them; the warehouse write is the one-time cost a
+  // deployed pipeline pays at ingest). The ORACLE reads the ORIGINAL
+  // parquet — agreement also pins that the bucketed twin's content is
+  // a faithful copy of the source.
+  // ------------------------------------------------------------------
+  val NumBuckets = 16
+
+  private val bucketCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  /** Drop a stale twin: the catalog entry if this session has one, AND
+    * the warehouse directory a PREVIOUS JVM may have left behind — a
+    * fresh in-memory catalog + existing managed location makes
+    * saveAsTable fail with LOCATION_ALREADY_EXISTS otherwise. */
+  private def dropStale(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Ensure the bucketed twin tables for `dir` exist; returns their
+    * (lineitem, orders) catalog names. */
+  def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketCache.getOrElseUpdate((spark, dir), {
+      import graft.sources.Tables
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"g_bkt_lineitem$tag"
+      val ord = s"g_bkt_orders$tag"
+      dropStale(spark, li)
+      dropStale(spark, ord)
+      Tables.lineitem(spark, dir)
+        .repartition(NumBuckets, $"l_orderkey")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li)
+      Tables.orders(spark, dir)
+        .repartition(NumBuckets, $"o_orderkey")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ord)
+      (li, ord)
+    })
+
+  /** Drop the bucketed-table memo (files stay in the warehouse; a
+    * rebuild overwrites them). Same contract as the FrameStore
+    * invalidators: Bench and ScalingHarness reset through here. */
+  def invalidateBucketed(): Unit = bucketCache.clear()
+
+  /** Gate: order-priority revenue rollup over the co-located join.
+    * The join itself plans with zero exchanges (PlanSpec pin); the
+    * only shuffle left is the 5-group priority aggregate. */
+  def qBucketedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, dir)
+    spark.table(li)
+      .join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Relational.dsum($"l_quantity").as("sum_qty"),
+        Relational.drevenue($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val sqlBucketedJoin: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -38,6 +38,7 @@ class PlanSpec extends SparkSpec {
     Multimodal.invalidateModalCache()
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
+    Scale.invalidateBucketed()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString
   }
@@ -938,6 +939,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"))
     assert(plan.contains("Scan ExistingRDD"))
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_bucketed_join: co-located SMJ — zero exchanges on either fact side") {
+    // broadcast would also avoid the shuffle at this SF and mask the
+    // layout property; disable it so the pin is the bucketed SMJ a
+    // 100 TB fact-fact join would compile to
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedCold(Scale.qBucketedJoin(spark, Sf0001))
+      assert(plan.contains("SortMergeJoin"))
+      // the only hash exchange is the 5-group priority aggregate AFTER
+      // the join; both bucketed scans feed the SMJ shuffle-free
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+        "bucketed sides must not re-shuffle:\n" + plan)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        "join sides must read the bucketed tables")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q_khop_suppliers: the min-plus walk reads only the materialized edge + seed stores") {

@@ -150,4 +150,34 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucketed twin tables are faithful copies with aligned one-file-per-bucket layout") {
+    import spark.implicits._
+    val (liT, ordT) = Scale.bucketedTables(spark, Sf0001)
+    val li = spark.table(liT)
+    // content fidelity: same row count and same per-key mass as source
+    assert(li.count() == Tables.lineitem(spark, Sf0001).count())
+    val srcAgg = Tables.lineitem(spark, Sf0001)
+      .agg(sum($"l_quantity".cast("decimal(18,6)"))).head.getDecimal(0)
+    assert(li.agg(sum($"l_quantity".cast("decimal(18,6)"))).head.getDecimal(0)
+      == srcAgg)
+    // layout: the repartition-aligned write emits one file per bucket,
+    // not numShufflePartitions x buckets small files
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $liT")
+      .filter($"col_name" === "Location").head.getString(1)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length == Scale.NumBuckets,
+      s"expected ${Scale.NumBuckets} bucket files, found ${files.length}")
+    // co-location end to end: bucketed join result equals the plain join
+    val bucketed = Scale.qBucketedJoin(spark, Sf0001).collect().toSeq
+    val plain = Tables.lineitem(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Relational.dsum($"l_quantity").as("sum_qty"),
+        Relational.drevenue($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    assert(bucketed == plain)
+  }
 }

@@ -240,6 +240,12 @@ object ScalingHarness {
       (dir => Graph.qCoPurchase(spark, dir).count()),
     "rendezvous_shard" ->
       (dir => Scale.qRendezvousShard(spark, dir).count()),
+    // bucketed_join pays the twin-table warehouse write cold each run
+    // (the one-time layout cost), then the zero-exchange SMJ + 5-group
+    // agg — the ratio measures write+join; in deploy the write is
+    // ingest-time and the join is the flat part.
+    "bucketed_join" ->
+      (dir => Scale.qBucketedJoin(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
@@ -278,6 +284,7 @@ object ScalingHarness {
     Multimodal.invalidateModalCache()
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
+    Scale.invalidateBucketed()
     Clustering.releaseMergeClosures()
   }
 
