@@ -206,4 +206,35 @@ object Packing {
        |    (n_docs * bucket_len)::DOUBLE AS waste_frac
        |FROM b ORDER BY bucket_len""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Provenance index over the packed sequences (X150): for every
+  // (shard, bin) training sequence, the token-offset span each source
+  // document occupies — the lineage artifact that answers "which
+  // documents fed token range [a, b) of sequence S" (takedown/audit
+  // direction) and "where did doc D land" (attribution direction)
+  // without re-running the pack. The spans fall OUT of the next-fit
+  // fold for free: a doc's span is [bin_fill − n_tokens, bin_fill), so
+  // the index is the pack output + one arithmetic projection + one
+  // doc-keyed equi-join to attach the source label; no new shuffle
+  // structure beyond the pack's own shard fold. Per-bin spans tile
+  // [0, bin_tokens) contiguously by construction (PackingSpec-pinned),
+  // which is exactly the invariant a dataloader needs to map a token
+  // position to its document with one binary search.
+  // ------------------------------------------------------------------
+  def qProvenance(spark: SparkSession, dir: String): DataFrame =
+    qSequencePackWide(spark, dir)
+      .join(Tables.documentsSharded(spark, dir).select($"doc_id", $"source"),
+        "doc_id")
+      .select($"shard", $"bin", $"doc_id", $"source",
+        ($"bin_fill" - $"n_tokens").as("tok_start"),
+        $"bin_fill".as("tok_end"))
+      .orderBy($"shard", $"bin", $"tok_start", $"doc_id")
+
+  val sqlProvenance: String =
+    s"""${sqlWalk(s"doc_id // $DocsPerShard")}
+       |SELECT w.shard, w.bin, w.doc_id AS doc_id, d2.source,
+       |  w.bin_fill - w.n_tokens AS tok_start, w.bin_fill AS tok_end
+       |FROM walk w JOIN documents d2 ON w.doc_id = d2.doc_id
+       |ORDER BY shard, bin, tok_start, w.doc_id""".stripMargin
 }

@@ -72,4 +72,28 @@ class PackingSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("provenance: spans tile each bin contiguously from 0 and cover every doc once") {
+    import spark.implicits._
+    val rows = Packing.qProvenance(spark, SparkSpec.Sf0001)
+      .select($"shard", $"bin", $"doc_id", $"tok_start", $"tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // each doc lands exactly once
+    val ids = rows.map(_._3)
+    assert(ids.distinct.length == ids.length)
+    assert(ids.length ==
+      graft.sources.Tables.documents(spark, SparkSpec.Sf0001).count())
+    // within a bin, sorted spans start at 0 and tile without gaps
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, b), spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"bin ($sh,$b) must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, c) =>
+          assert(a._5 == c._4, s"gap/overlap in bin ($sh,$b) at doc ${c._3}")
+        case _ => ()
+      }
+      assert(sorted.forall(x => x._5 >= x._4), "spans are non-negative")
+    }
+  }
 }

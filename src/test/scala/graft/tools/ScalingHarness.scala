@@ -246,6 +246,10 @@ object ScalingHarness {
     // ingest-time and the join is the flat part.
     "bucketed_join" ->
       (dir => Scale.qBucketedJoin(spark, dir).count()),
+    // provenance is the wide pack (one shard-keyed fold) + one
+    // doc-keyed equi-join for the source label — rows-out = corpus.
+    "provenance" ->
+      (dir => graft.operators.Packing.qProvenance(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
