@@ -47,6 +47,7 @@ object SparkEntry {
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
     "q_bucketed_join"     -> (Scale.qBucketedJoin(_, _)),
     "q_provenance"        -> (Packing.qProvenance(_, _)),
+    "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
     "q_bucketed_join"      -> Scale.sqlBucketedJoin,
     "q_provenance"         -> Packing.sqlProvenance,
+    "q_trend_slope"        -> Analytics.sqlTrendSlope,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,

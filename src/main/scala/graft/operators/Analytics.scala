@@ -332,4 +332,84 @@ object Analytics {
       |SELECT doc_id, source, n_chars, c.v AS norm_chars
       |FROM pos JOIN cdf c ON p >= c.lo AND p <= c.hi
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Per-entity trend slope (X151): the OLS regression slope of each
+  // supplier's daily price level over time — the per-entity "trend
+  // feature" a feature-engineering pipeline materializes next to flat
+  // aggregates (is this entity's metric rising or falling, and how
+  // fast). EXACT integer arithmetic end to end so the gate is
+  // hash-exact cross-engine (both engines' integer division truncates
+  // toward zero — verified including negatives, which slopes produce):
+  //
+  //   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), reported as
+  //   slope_ppm = (10⁶ · num) div den   (ppm cents per day)
+  //
+  // Scale shape + int64 headroom: raw rows first collapse to ONE row
+  // per (supplier, day) carrying the TRUNCATED mean price in cents —
+  // a map-side-combinable pre-aggregation that bounds every Σ by the
+  // DAY-SPAN, not the corpus: x ≤ 3·10³ (days, re-based to the
+  // supplier's first day), y ≤ 10⁷ (cents), n ≤ 3·10³ ⇒
+  // n·Σxy ≤ 1.6·10¹⁷ and Σx·Σy ≤ 1.6·10¹⁷, both ≪ 2⁶³ REGARDLESS of
+  // corpus size. Only the final ppm scaling would overflow int64
+  // (10⁶·num ~ 10²³), so that one product runs in DECIMAL(38,0) /
+  // HUGEINT. Two slim shuffles: (supplier, day) pre-agg, then the
+  // supplier window + aggregate share hashpartitioning(suppkey).
+  // ------------------------------------------------------------------
+
+  /** Exact OLS slope over (key, x, y) BIGINT rows: one row per key
+    * with n, num, den and slope_ppm; keys with n < 2 are dropped
+    * (den > 0 is then guaranteed — x values are distinct per key). */
+  def trendSlope(pts: DataFrame): DataFrame =
+    pts.groupBy($"key")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .filter($"n" >= 2)
+      .select($"key", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("den"))
+      .select($"key", $"n", $"num", $"den",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))" +
+          " div CAST(den AS DECIMAL(38,0))").cast("long").as("slope_ppm"))
+
+  /** Gate: per-supplier daily-price trend. y = truncated mean price
+    * in exact cents per (supplier, day); x = days since the
+    * supplier's first shipment. */
+  def qTrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+    val day = datediff($"l_shipdate".cast("date"), lit("1970-01-01"))
+      .cast("long")
+    val daily = Tables.lineitem(spark, dir)
+      .select($"l_suppkey".as("key"), day.as("day"), cents.as("c"))
+      .groupBy($"key", $"day")
+      .agg(expr("sum(c) div count(c)").as("y"))
+    val wk = Window.partitionBy($"key")
+    val pts = daily
+      .withColumn("x", $"day" - min($"day").over(wk))
+      .select($"key", $"x", $"y")
+    trendSlope(pts)
+      .select($"key".as("suppkey"), $"n".as("n_days"), $"slope_ppm")
+      .orderBy($"suppkey")
+  }
+
+  val sqlTrendSlope: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey AS key,
+      |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))::BIGINT AS day,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      // count(*) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT key, day - min(day) OVER (PARTITION BY key) AS x, y FROM daily),
+      |agg AS (
+      |  SELECT key, count(*)::BIGINT AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY 1),
+      |fit AS (
+      |  SELECT key, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM agg WHERE n >= 2)
+      |SELECT key AS suppkey, n AS n_days,
+      |  CAST((CAST(1000000 AS HUGEINT) * num) // den AS BIGINT) AS slope_ppm
+      |FROM fit ORDER BY suppkey""".stripMargin
 }

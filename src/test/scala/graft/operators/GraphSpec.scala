@@ -203,6 +203,40 @@ class GraphSpec extends SparkSpec {
     assert(hops.contains(1L), "some supplier serves a seed-nation customer")
   }
 
+  // X151 — exact integer OLS trend slope
+  private def slopeOf(pts: Seq[(Long, Long, Long)]): Map[Long, Long] =
+    Analytics.trendSlope(pts.toDF("key", "x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("slope_ppm")).toMap
+
+  test("trend slope: perfect lines recover their slope exactly in ppm, including negative") {
+    val up = (0L to 9L).map(x => (1L, x, 3 * x + 7))
+    val down = (0L to 9L).map(x => (2L, x, 100 - 2 * x))
+    val flat = (0L to 9L).map(x => (3L, x, 42L))
+    val s = slopeOf(up ++ down ++ flat)
+    assert(s(1L) == 3000000L && s(2L) == -2000000L && s(3L) == 0L)
+  }
+
+  test("trend slope: fractional slope truncates toward zero like both engines' div") {
+    // slope exactly 1/3 -> 333333 ppm (truncated), and -1/3 -> -333333
+    val third = Seq((1L, 0L, 0L), (1L, 3L, 1L), (1L, 6L, 2L))
+    val negThird = Seq((2L, 0L, 2L), (2L, 3L, 1L), (2L, 6L, 0L))
+    val s = slopeOf(third ++ negThird)
+    assert(s(1L) == 333333L && s(2L) == -333333L)
+  }
+
+  test("trend slope: single-observation keys are dropped, never a div-by-zero") {
+    val s = slopeOf(Seq((1L, 5L, 10L), (2L, 0L, 1L), (2L, 1L, 2L)))
+    assert(!s.contains(1L) && s(2L) == 1000000L)
+  }
+
+  test("trend slope gate: one row per qualifying supplier, day spans plausible") {
+    val rows = Analytics.qTrendSlope(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall(_.getLong(1) >= 2L), "n_days >= 2 by construction")
+  }
+
   test("triangles: cliques count exactly, paths and stars count zero") {
     // 4-clique {0,1,2,3}: every node sits in C(3,2) = 3 triangles
     val clique = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)

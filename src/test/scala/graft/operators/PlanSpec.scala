@@ -941,6 +941,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_trend_slope: two slim shuffles — (key,day) pre-agg, then the supplier window+agg share one partitioning") {
+    val plan = executedCold(Analytics.qTrendSlope(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "window and final aggregate must reuse hashpartitioning(key):\n" + plan)
+    assert(plan.contains("partial_"), "daily pre-agg must combine map-side")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"))
+  }
+
   test("q_bucketed_join: co-located SMJ — zero exchanges on either fact side") {
     // broadcast would also avoid the shuffle at this SF and mask the
     // layout property; disable it so the pin is the bucketed SMJ a

@@ -250,6 +250,10 @@ object ScalingHarness {
     // doc-keyed equi-join for the source label — rows-out = corpus.
     "provenance" ->
       (dir => graft.operators.Packing.qProvenance(spark, dir).count()),
+    // trend_slope collapses facts to (supplier, day) rows map-side;
+    // everything after is bounded by suppliers x day-span, not corpus.
+    "trend_slope" ->
+      (dir => Analytics.qTrendSlope(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
