@@ -48,6 +48,7 @@ object SparkEntry {
     "q_bucketed_join"     -> (Scale.qBucketedJoin(_, _)),
     "q_provenance"        -> (Packing.qProvenance(_, _)),
     "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
+    "q_token_efficiency"  -> (TextOps.qTokenEfficiency(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
@@ -323,6 +324,7 @@ object SparkEntry {
     "q_bucketed_join"      -> Scale.sqlBucketedJoin,
     "q_provenance"         -> Packing.sqlProvenance,
     "q_trend_slope"        -> Analytics.sqlTrendSlope,
+    "q_token_efficiency"   -> TextOps.sqlTokenEfficiency,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,

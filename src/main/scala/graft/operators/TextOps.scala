@@ -1100,4 +1100,51 @@ object TextOps {
        |       ELSE list_reduce(sel, (a, x) -> xor(a, x))::BIGINT END AS fp_xor
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Per-language tokenizer efficiency audit (X152): bytes-per-token by
+  // language — the fairness audit that catches a tokenizer under-
+  // serving a script/language BEFORE mixture weights commit (a
+  // language whose bytes/token runs far above the corpus mean pays
+  // more context budget per byte of content; cf. the byte-premium
+  // findings around multilingual BPE vocabularies). One scan, one
+  // map-side-combinable groupBy over |languages| rows; byte length is
+  // the UTF-8 octet length (== chars on this ASCII synthetic corpus,
+  // diverges on real multi-byte scripts), tokens are the shared
+  // BPE-ish regex (so the count itself is value-gated by X12). Ratio
+  // in exact integer ppm: (10⁶·bytes) div tokens, div-by-zero guarded
+  // through NULLIF on both engines (DuckDB // 0 errors, Spark nulls).
+  // int64 headroom: per-language bytes reach ~10¹³ at 100 TB, so the
+  // 10⁶ ppm product runs in DECIMAL(38,0)/HUGEINT (the X151 stance).
+  // ------------------------------------------------------------------
+  def qTokenEfficiency(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select($"lang",
+        octet_length($"text").cast("long").as("bytes"),
+        size(regexp_extract_all($"text", lit(BpeIshPattern), lit(0)))
+          .cast("long").as("toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bytes").as("total_bytes"),
+        sum($"toks").as("total_tokens"))
+      .select($"lang", $"n_docs", $"total_bytes", $"total_tokens",
+        expr("CAST(1000000 AS DECIMAL(38,0)) * CAST(total_bytes AS DECIMAL(38,0))" +
+          " div CAST(nullif(total_tokens, 0) AS DECIMAL(38,0))")
+          .cast("long").as("bytes_per_token_ppm"))
+      .orderBy($"lang")
+
+  val sqlTokenEfficiency: String =
+    s"""WITH d AS (
+       |  SELECT lang, octet_length(encode(text))::BIGINT AS bytes,
+       |    len(regexp_extract_all(text, '$BpeIshPattern'))::BIGINT AS toks
+       |  FROM documents),
+       |a AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       |    CAST(sum(toks) AS BIGINT) AS total_tokens
+       |  FROM d GROUP BY 1)
+       |SELECT lang, n_docs, total_bytes, total_tokens,
+       |  CAST((CAST(1000000 AS HUGEINT) * total_bytes)
+       |    // NULLIF(total_tokens, 0) AS BIGINT) AS bytes_per_token_ppm
+       |FROM a ORDER BY lang""".stripMargin
 }

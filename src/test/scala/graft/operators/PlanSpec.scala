@@ -941,6 +941,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_token_efficiency: one scan, map-side partial agg into |languages| rows") {
+    val plan = executedCold(TextOps.qTokenEfficiency(spark, Sf0001))
+    assert(plan.contains("partial_"), "per-lang sums must combine map-side")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+    assert(!plan.contains("Join"))
+  }
+
   test("q_trend_slope: two slim shuffles — (key,day) pre-agg, then the supplier window+agg share one partitioning") {
     val plan = executedCold(Analytics.qTrendSlope(spark, Sf0001))
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,

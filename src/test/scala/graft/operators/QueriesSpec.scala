@@ -71,6 +71,23 @@ class QueriesSpec extends SparkSpec {
     assert(df.filter($"chars_per_token" <= 0).isEmpty)
   }
 
+  test("token efficiency: per-lang partition of the corpus, every token costs at least one byte") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.qTokenEfficiency(spark, Sf0001).collect()
+    val langs = rows.map(_.getString(0))
+    assert(langs.distinct.length == langs.length && langs.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.sources.Tables.documents(spark, Sf0001).count(),
+      "language groups must partition the corpus")
+    rows.foreach { r =>
+      val (bytes, toks, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(toks <= bytes, "a BPE-ish token spans at least one byte")
+      assert(ppm >= 1000000L, "so bytes/token is at least 1.0")
+      assert(ppm == 1000000L * bytes / toks, "ppm is the exact truncated ratio")
+    }
+  }
+
   test("word count total equals token count of the corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

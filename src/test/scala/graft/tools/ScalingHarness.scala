@@ -254,6 +254,9 @@ object ScalingHarness {
     // everything after is bounded by suppliers x day-span, not corpus.
     "trend_slope" ->
       (dir => Analytics.qTrendSlope(spark, dir).count()),
+    // token_efficiency is one scan folding to |languages| rows.
+    "token_efficiency" ->
+      (dir => graft.operators.TextOps.qTokenEfficiency(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
