@@ -49,6 +49,7 @@ object SparkEntry {
     "q_provenance"        -> (Packing.qProvenance(_, _)),
     "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
     "q_token_efficiency"  -> (TextOps.qTokenEfficiency(_, _)),
+    "q_fd_audit"          -> (Analytics.qFdAudit(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
@@ -325,6 +326,7 @@ object SparkEntry {
     "q_provenance"         -> Packing.sqlProvenance,
     "q_trend_slope"        -> Analytics.sqlTrendSlope,
     "q_token_efficiency"   -> TextOps.sqlTokenEfficiency,
+    "q_fd_audit"           -> Analytics.sqlFdAudit,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,

@@ -392,6 +392,69 @@ object Analytics {
       .orderBy($"suppkey")
   }
 
+  // ------------------------------------------------------------------
+  // Functional-dependency violation audit (X153): for each DECLARED
+  // candidate dependency A → B, how many determinant groups carry more
+  // than one dependent value — the schema-quality profile that
+  // validates assumed invariants before a pipeline keys on them
+  // (dedup canonical-pick keyed on "source determines lang", dimension
+  // modeling on "brand determines type", …). Complements X34's
+  // single-column profile with CROSS-column structure. Per FD: one
+  // map-side-combinable (A, B) distinct-pair aggregate, then a
+  // determinant rollup — slim two-phase shuffles whose row counts are
+  // bounded by group cardinality, never the fact count; the final
+  // report is |FD list| rows. violation_ppm is exact integer
+  // (group counts ≤ 10⁹ at 100 TB ⇒ 10⁶ product ≤ 10¹⁵ ≪ 2⁶³).
+  // ------------------------------------------------------------------
+
+  /** One audit row for candidate FD det → dep over df. Contract:
+    * `dep` is non-null (the audit counts (det, dep) groups; a NULL
+    * dependent would count as a value here but is skipped by SQL
+    * COUNT(DISTINCT) — declared FDs audit non-null columns). */
+  def fdAudit(df: DataFrame, fd: String, det: Column, dep: Column): DataFrame =
+    df.select(det.as("a"), dep.as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("_n"))
+      .groupBy($"a").agg(count(lit(1)).as("card"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"card" > 1, 1L).otherwise(0L)).as("n_violating"),
+        max($"card").as("max_card"))
+      .select(lit(fd).as("fd"), $"n_groups", $"n_violating", $"max_card",
+        expr("(1000000 * n_violating) div n_groups").as("violation_ppm"))
+
+  /** Gate: the declared-FD checklist over the warehouse — one holding
+    * dependency (nation.key → region) plus four that real data
+    * violates, so the audit's both verdicts are value-gated. */
+  def qFdAudit(spark: SparkSession, dir: String): DataFrame =
+    fdAudit(Tables.nation(spark, dir), "nation.nationkey->regionkey",
+        $"n_nationkey", $"n_regionkey")
+      .unionByName(fdAudit(Tables.customer(spark, dir),
+        "customer.nationkey->mktsegment", $"c_nationkey", $"c_mktsegment"))
+      .unionByName(fdAudit(Tables.orders(spark, dir),
+        "orders.custkey->orderpriority", $"o_custkey", $"o_orderpriority"))
+      .unionByName(fdAudit(Tables.documents(spark, dir),
+        "documents.source->lang", $"source", $"lang"))
+      .unionByName(fdAudit(Tables.part(spark, dir),
+        "part.brand->type", $"p_brand", $"p_type"))
+      .orderBy($"fd")
+
+  val sqlFdAudit: String = {
+    def leg(fd: String, table: String, det: String, dep: String): String =
+      s"""SELECT '$fd' AS fd, count(*)::BIGINT AS n_groups,
+         |  CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |  CAST(max(card) AS BIGINT) AS max_card,
+         |  (1000000 * CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // count(*) AS violation_ppm
+         |FROM (SELECT $det, count(DISTINCT $dep)::BIGINT AS card
+         |      FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      leg("nation.nationkey->regionkey", "nation", "n_nationkey", "n_regionkey"),
+      leg("customer.nationkey->mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+      leg("orders.custkey->orderpriority", "orders", "o_custkey", "o_orderpriority"),
+      leg("documents.source->lang", "documents", "source", "lang"),
+      leg("part.brand->type", "part", "p_brand", "p_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   val sqlTrendSlope: String =
     """WITH daily AS (
       |  SELECT l_suppkey AS key,

@@ -237,6 +237,30 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 2L), "n_days >= 2 by construction")
   }
 
+  // X153 — functional-dependency audit
+  test("fd audit: a holding FD reports zero violations; a broken one counts groups and max card exactly") {
+    val df = Seq((1L, "x", "p"), (1L, "x", "q"), (1L, "x", "q"),
+      (2L, "y", "r"), (3L, "y", "r"), (3L, "y", "s"))
+      .toDF("det", "dep_ok", "dep_bad")
+    // det -> dep_ok holds (each det maps to one dep_ok value)
+    val ok = Analytics.fdAudit(df, "ok", $"det", $"dep_ok").collect().head
+    assert(ok.getLong(1) == 3L && ok.getLong(2) == 0L &&
+      ok.getLong(3) == 1L && ok.getLong(4) == 0L)
+    // det -> dep_bad: det 1 has {p,q}, det 3 has {r,s} -> 2 of 3 violate
+    val bad = Analytics.fdAudit(df, "bad", $"det", $"dep_bad").collect().head
+    assert(bad.getLong(1) == 3L && bad.getLong(2) == 2L && bad.getLong(3) == 2L)
+    assert(bad.getLong(4) == 1000000L * 2 / 3)
+  }
+
+  test("fd audit gate: the nation FD holds, the behavioral ones are violated") {
+    val rows = Analytics.qFdAudit(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows("nation.nationkey->regionkey") == 0L,
+      "the genuine dimension FD must audit clean")
+    assert(rows("customer.nationkey->mktsegment") > 0L)
+    assert(rows.size == 5)
+  }
+
   test("triangles: cliques count exactly, paths and stars count zero") {
     // 4-clique {0,1,2,3}: every node sits in C(3,2) = 3 triangles
     val clique = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)

@@ -941,6 +941,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_fd_audit: per-FD two-phase distinct aggregates, map-side combined, no joins") {
+    val plan = executedCold(Analytics.qFdAudit(spark, Sf0001))
+    assert(plan.contains("partial_"), "(det, dep) pair counts must combine map-side")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"))
+  }
+
   test("q_token_efficiency: one scan, map-side partial agg into |languages| rows") {
     val plan = executedCold(TextOps.qTokenEfficiency(spark, Sf0001))
     assert(plan.contains("partial_"), "per-lang sums must combine map-side")

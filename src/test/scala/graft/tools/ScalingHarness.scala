@@ -257,6 +257,10 @@ object ScalingHarness {
     // token_efficiency is one scan folding to |languages| rows.
     "token_efficiency" ->
       (dir => graft.operators.TextOps.qTokenEfficiency(spark, dir).count()),
+    // fd_audit is five independent two-phase group-bys over slim
+    // (det, dep) pairs; output fixed at |FD list| rows.
+    "fd_audit" ->
+      (dir => Analytics.qFdAudit(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
