@@ -56,6 +56,7 @@ object Bench {
       graft.operators.Graph.dupPairStore(spark, sfDir).fresh().count()
       graft.operators.Graph.coIncidenceStore(spark, sfDir).fresh().count()
       graft.operators.Scale.bucketedTables(spark, sfDir)
+      graft.operators.Scale.bucketedAppendTables(spark, sfDir)
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

@@ -46,6 +46,7 @@ object SparkEntry {
     "q_copurchase"        -> (Graph.qCoPurchase(_, _)),
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
     "q_bucketed_join"     -> (Scale.qBucketedJoin(_, _)),
+    "q_bucketed_append"   -> (Scale.qBucketedAppend(_, _)),
     "q_provenance"        -> (Packing.qProvenance(_, _)),
     "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
     "q_token_efficiency"  -> (TextOps.qTokenEfficiency(_, _)),
@@ -56,6 +57,8 @@ object SparkEntry {
     "q_cluster_stats"     -> (Clustering.qClusterStats(_, _)),
     "q_session_window"    -> (EventWindows.qSessionWindow(_, _)),
     "q_source_overlap"    -> (Corpus.qSourceOverlap(_, _)),
+    "q_source_copying"    -> (Graph.qSourceCopying(_, _)),
+    "q_shard_digest"      -> (Ingestion.qShardDigest(_, _)),
     "q_edge_support"      -> (Graph.qEdgeSupport(_, _)),
     "q_top_paths"         -> (Behavior.qTopPaths(_, _)),
     "q_edit_verify"       -> (Dedup.qEditVerify(_, _)),
@@ -323,6 +326,7 @@ object SparkEntry {
     "q_copurchase"         -> Graph.sqlCoPurchase,
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
     "q_bucketed_join"      -> Scale.sqlBucketedJoin,
+    "q_bucketed_append"    -> Scale.sqlBucketedJoin,
     "q_provenance"         -> Packing.sqlProvenance,
     "q_trend_slope"        -> Analytics.sqlTrendSlope,
     "q_token_efficiency"   -> TextOps.sqlTokenEfficiency,
@@ -333,6 +337,8 @@ object SparkEntry {
     "q_cluster_stats"      -> Clustering.sqlClusterStats,
     "q_session_window"     -> EventWindows.sqlSessionWindow,
     "q_source_overlap"     -> Corpus.sqlSourceOverlap,
+    "q_source_copying"     -> Graph.sqlSourceCopying,
+    "q_shard_digest"       -> Ingestion.sqlShardDigest,
     "q_edge_support"       -> Graph.sqlEdgeSupport,
     "q_top_paths"          -> Behavior.sqlTopPaths,
     "q_edit_verify"        -> Dedup.sqlEditVerify,

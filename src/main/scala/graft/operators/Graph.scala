@@ -648,6 +648,49 @@ object Graph {
        |WHERE n.id % 2 = 1
        |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Source-copying matrix (X155): which sources share near-dup
+  // DOCUMENTS with which — the directional mirror/scrape report at
+  // CLUSTER granularity, complementing X147's shingle-set overlap
+  // (X147 asks "how similar is the raw text mass"; this asks "how many
+  // detected duplicate pairs cross this source boundary", which is the
+  // number dedup actually deletes by). Reuses the materialized LSH
+  // pair store + one slim (doc_id, source) projection joined twice;
+  // output is |source|²-bounded. within = 0 marks cross-source rows —
+  // the copying signal; within = 1 rows are the source's internal
+  // redundancy baseline.
+  // ------------------------------------------------------------------
+  def qSourceCopying(spark: SparkSession, dir: String): DataFrame = {
+    val ps = dupPairStore(spark, dir)
+    val src = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+    ps.fresh()
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_x"),
+        greatest($"sa", $"sb").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"source_x", $"source_y", $"n_pairs",
+        when($"source_x" === $"source_y", 1).otherwise(0).as("within"))
+      .orderBy($"n_pairs".desc, $"source_x", $"source_y")
+  }
+
+  val sqlSourceCopying: String = {
+    val pairsSql = Dedup.sqlMinhashLshPairs
+    s"""WITH p0 AS ($pairsSql),
+       |j AS (
+       |  SELECT least(da.source, db.source) AS source_x,
+       |    greatest(da.source, db.source) AS source_y
+       |  FROM p0
+       |  JOIN documents da ON p0.doc_a = da.doc_id
+       |  JOIN documents db ON p0.doc_b = db.doc_id)
+       |SELECT source_x, source_y, count(*)::BIGINT AS n_pairs,
+       |  CASE WHEN source_x = source_y THEN 1 ELSE 0 END AS within
+       |FROM j GROUP BY 1, 2
+       |ORDER BY n_pairs DESC, source_x, source_y""".stripMargin
+  }
+
   val sqlCoPurchase: String =
     s"""WITH inc0 AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

@@ -311,6 +311,76 @@ object Ingestion {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // Merkle-style shard digests (X156): the O(|shards|) snapshot
+  // comparison that makes X78's row-level diff affordable at 100 TB —
+  // each 64-doc block folds to ONE commutative xor digest of
+  // h60('dig:' || doc_id || ':' || text) (order-free, so partitioning
+  // can't change it; membership AND content changes both flip it,
+  // masking odds 2⁻⁶⁰ per shard), and two snapshots compare digest
+  // lists instead of re-reading text: only shards flagged `changed`
+  // proceed to the row-level X78 diff. Same synthetic next-crawl
+  // construction (Removed/Changed/Added mods) so the two ops describe
+  // the SAME delta at their two granularities. Shard counts ride
+  // along, catching pure add/remove without relying on the digest.
+  // ------------------------------------------------------------------
+  val DigestShardDocs = 64L
+
+  def qShardDigest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsSharded(spark, dir).select($"doc_id", $"text")
+    val next = docs
+      .filter($"doc_id" % RemovedMod =!= RemovedRem)
+      .withColumn("text",
+        when($"doc_id" % ChangedMod === ChangedRem,
+          concat(lit("rev2 "), $"text")).otherwise($"text"))
+      .unionByName(docs.filter($"doc_id" % AddedMod === AddedRem)
+        .select(($"doc_id" + AddedIdShift).as("doc_id"), $"text"))
+    def dig(df: DataFrame, tag: String) = df
+      .select(expr(s"doc_id div $DigestShardDocs").as("shard"),
+        graft.functions.Hashing.h60(
+          concat(lit("dig:"), $"doc_id", lit(":"), $"text")).as("h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as(s"n_$tag"), expr("bit_xor(h)").as(s"d_$tag"))
+    dig(docs, "a").join(dig(next, "b"), Seq("shard"), "full_outer")
+      .select($"shard",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"),
+        coalesce($"d_a", lit(0L)).as("digest_a"),
+        coalesce($"d_b", lit(0L)).as("digest_b"))
+      .withColumn("changed",
+        when($"n_a" =!= $"n_b" || $"digest_a" =!= $"digest_b", 1).otherwise(0))
+      .orderBy($"shard")
+  }
+
+  val sqlShardDigest: String = {
+    val h = graft.functions.Hashing.sqlH60("'dig:' || doc_id || ':' || text")
+    s"""WITH a0 AS (SELECT doc_id, text FROM documents),
+       |b0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $ChangedMod = $ChangedRem
+       |      THEN 'rev2 ' || text ELSE text END AS text
+       |  FROM a0 WHERE doc_id % $RemovedMod != $RemovedRem
+       |  UNION ALL
+       |  SELECT doc_id + $AddedIdShift, text FROM a0
+       |  WHERE doc_id % $AddedMod = $AddedRem),
+       |da AS (
+       |  SELECT doc_id // $DigestShardDocs AS shard, count(*)::BIGINT AS n_a,
+       |    bit_xor($h) AS d_a
+       |  FROM a0 GROUP BY 1),
+       |db AS (
+       |  SELECT doc_id // $DigestShardDocs AS shard, count(*)::BIGINT AS n_b,
+       |    bit_xor($h) AS d_b
+       |  FROM b0 GROUP BY 1)
+       |SELECT coalesce(da.shard, db.shard) AS shard,
+       |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+       |  coalesce(d_a, 0) AS digest_a, coalesce(d_b, 0) AS digest_b,
+       |  CASE WHEN coalesce(n_a, 0) != coalesce(n_b, 0)
+       |         OR coalesce(d_a, 0) != coalesce(d_b, 0)
+       |       THEN 1 ELSE 0 END AS changed
+       |FROM da FULL OUTER JOIN db ON da.shard = db.shard
+       |ORDER BY shard""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Date/time catalog (F7–F10) over orders: component extraction,
   // truncation, interval arithmetic, epoch conversion.
   // ------------------------------------------------------------------

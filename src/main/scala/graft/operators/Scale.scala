@@ -435,16 +435,72 @@ object Scale {
       (li, ord)
     })
 
-  /** Drop the bucketed-table memo (files stay in the warehouse; a
+  /** Drop the bucketed-table memos (files stay in the warehouse; a
     * rebuild overwrites them). Same contract as the FrameStore
     * invalidators: Bench and ScalingHarness reset through here. */
-  def invalidateBucketed(): Unit = bucketCache.clear()
+  def invalidateBucketed(): Unit = { bucketCache.clear(); bucketIncCache.clear() }
 
   /** Gate: order-priority revenue rollup over the co-located join.
     * The join itself plans with zero exchanges (PlanSpec pin); the
     * only shuffle left is the 5-group priority aggregate. */
   def qBucketedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val (li, ord) = bucketedTables(spark, dir)
+    spark.table(li)
+      .join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Relational.dsum($"l_quantity").as("sum_qty"),
+        Relational.drevenue($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental bucketed append (X154 — the ingest-batch half of the
+  // X149 layout story): a bucketed layout is only worth its write cost
+  // if arriving batches can JOIN it without breaking co-location.
+  // Appending with the SAME bucket spec (count + key + sort) adds one
+  // file per bucket per batch — bucket i stays the complete, exclusive
+  // home of its keys, so the join still plans with zero exchanges
+  // (PlanSpec pin) and file count grows as batches·buckets, compacted
+  // on the X38 path when it matters. The gate builds the twins from a
+  // 90% base slice, appends the deterministic 10% slice
+  // (orderkey % 10 = 7) as a second write, and runs the X149 rollup;
+  // the oracle reads the ORIGINAL full parquet — agreement proves the
+  // append lost/duplicated nothing AND landed in the right buckets
+  // (a misbucketed append would still pass a content diff, but the
+  // co-location plan pin would catch it).
+  // ------------------------------------------------------------------
+  private val bucketIncCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  /** Base-slice twins + appended increment; returns catalog names. */
+  def bucketedAppendTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    bucketIncCache.getOrElseUpdate((spark, dir), {
+      import graft.sources.Tables
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"g_bki_lineitem$tag"
+      val ord = s"g_bki_orders$tag"
+      dropStale(spark, li)
+      dropStale(spark, ord)
+      def write(df: DataFrame, key: String, mode: String, table: String): Unit =
+        df.repartition(NumBuckets, col(key))
+          .write.mode(mode).format("parquet")
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .saveAsTable(table)
+      val liAll = Tables.lineitem(spark, dir)
+      val ordAll = Tables.orders(spark, dir)
+      write(liAll.filter($"l_orderkey" % 10 =!= 7), "l_orderkey", "overwrite", li)
+      write(ordAll.filter($"o_orderkey" % 10 =!= 7), "o_orderkey", "overwrite", ord)
+      write(liAll.filter($"l_orderkey" % 10 === 7), "l_orderkey", "append", li)
+      write(ordAll.filter($"o_orderkey" % 10 === 7), "o_orderkey", "append", ord)
+      (li, ord)
+    })
+
+  /** Gate: the X149 rollup over base+appended twins; oracle = the full
+    * original parquet. */
+  def qBucketedAppend(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedAppendTables(spark, dir)
     spark.table(li)
       .join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")

@@ -72,4 +72,25 @@ object IdempotentDedup {
           }
       }
   }
+
+  /** The BUILT-IN declarative variant for the common case: native
+    * `dropDuplicatesWithinWatermark` on signal_id, state evicted by the
+    * engine once the watermark passes an id's last-seen + delay — no
+    * user state code, runs on the DEFAULT state store (unlike the
+    * RocksDB-backed transformWithState path, [[NativeTtlDedup]], which
+    * stalls in this environment). Semantic differences from
+    * [[dedupStream]], which stays the canonical exactly-once path:
+    * the built-in keeps the ARRIVAL-first row (not event-time-first,
+    * so cross-batch replay determinism needs ordered delivery) and
+    * never re-admits an id while its state lives. */
+  def dedupStreamNative(rows: Dataset[SignalRow],
+      delay: String = "30 seconds"): Dataset[SignalRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("eventTime", timestamp_millis(col("ts_ms")))
+      .withWatermark("eventTime", delay)
+      .dropDuplicatesWithinWatermark("signal_id")
+      .select($"signal_id", $"code", $"ts_ms", $"value")
+      .as[SignalRow]
+  }
 }

@@ -203,6 +203,19 @@ class GraphSpec extends SparkSpec {
     assert(hops.contains(1L), "some supplier serves a seed-nation customer")
   }
 
+  // X155 — source-copying matrix over the LSH pair store
+  test("source copying: canonical pairs, within flag exact, pair mass conserved") {
+    val rows = Graph.qSourceCopying(spark, Sf001).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "pairs must be canonical")
+      assert((r.getInt(3) == 1) == (r.getString(0) == r.getString(1)))
+      assert(r.getLong(2) >= 1L)
+    }
+    val totalPairs = Graph.dupPairStore(spark, Sf001).fresh().count()
+    assert(rows.map(_.getLong(2)).sum == totalPairs,
+      "every near-dup pair lands in exactly one source cell")
+  }
+
   // X151 — exact integer OLS trend slope
   private def slopeOf(pts: Seq[(Long, Long, Long)]): Map[Long, Long] =
     Analytics.trendSlope(pts.toDF("key", "x", "y"))

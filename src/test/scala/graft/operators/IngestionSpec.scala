@@ -26,4 +26,29 @@ class IngestionSpec extends SparkSpec {
     val e = intercept[Exception](Ingestion.strictValidated(bad).collect())
     assert(e.getMessage.contains("VALUE_OUT_OF_RANGE"))
   }
+
+  test("shard digest: changed flags are exactly the shards the synthetic delta touches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Ingestion.qShardDigest(spark, SparkSpec.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    // derive the expected changed-shard set straight from the id rules
+    val ids = graft.sources.Tables.documents(spark, SparkSpec.Sf0001)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val touched = ids.filter(id =>
+        id % Ingestion.RemovedMod == Ingestion.RemovedRem ||
+        id % Ingestion.ChangedMod == Ingestion.ChangedRem)
+      .map(_ / Ingestion.DigestShardDocs).toSet ++
+      ids.filter(_ % Ingestion.AddedMod == Ingestion.AddedRem)
+        .map(id => (id + Ingestion.AddedIdShift) / Ingestion.DigestShardDocs)
+    rows.foreach { case (shard, changed) =>
+      assert((changed == 1) == touched.contains(shard),
+        s"shard $shard flag mismatch")
+    }
+    // untouched shards agree on BOTH digest and count (the cheap-skip set)
+    val full = Ingestion.qShardDigest(spark, SparkSpec.Sf0001)
+      .filter($"changed" === 0)
+      .filter($"digest_a" =!= $"digest_b" || $"n_a" =!= $"n_b")
+    assert(full.isEmpty)
+  }
 }

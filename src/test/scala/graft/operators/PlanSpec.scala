@@ -941,6 +941,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_source_copying: pair store enters as cached RDD; source labels attach by equi-join") {
+    val plan = executedCold(Graph.qSourceCopying(spark, Sf0001))
+    assert(plan.contains("Scan ExistingRDD"), "band join must not re-run")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_shard_digest: block digests fold map-side; one full-outer shard join") {
+    val plan = executedCold(Ingestion.qShardDigest(spark, Sf0001))
+    assert(plan.contains("partial_"), "xor digests must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_fd_audit: per-FD two-phase distinct aggregates, map-side combined, no joins") {
     val plan = executedCold(Analytics.qFdAudit(spark, Sf0001))
     assert(plan.contains("partial_"), "(det, dep) pair counts must combine map-side")
@@ -977,6 +989,22 @@ class PlanSpec extends SparkSpec {
         "bucketed sides must not re-shuffle:\n" + plan)
       assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
         "join sides must read the bucketed tables")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q_bucketed_append: co-location survives the appended ingest batch") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedCold(Scale.qBucketedAppend(spark, Sf0001))
+      assert(plan.contains("SortMergeJoin"))
+      // a misbucketed append would force a re-shuffle here — the pin
+      // that a content diff alone cannot provide
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+        "appended buckets must stay co-located:\n" + plan)
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

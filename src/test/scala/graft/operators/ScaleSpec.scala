@@ -169,6 +169,17 @@ class ScaleSpec extends SparkSpec {
       .filter(f => f.getName.endsWith(".parquet"))
     assert(files.length == Scale.NumBuckets,
       s"expected ${Scale.NumBuckets} bucket files, found ${files.length}")
+    // append layout: the increment adds at most one file per bucket
+    val (liA, _) = Scale.bucketedAppendTables(spark, Sf0001)
+    val locA = spark.sql(s"DESCRIBE TABLE EXTENDED $liA")
+      .filter($"col_name" === "Location").head.getString(1)
+    val filesA = new java.io.File(new java.net.URI(locA)).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(filesA.length <= 2 * Scale.NumBuckets,
+      "base + one ingest batch = at most two files per bucket")
+    assert(Scale.qBucketedAppend(spark, Sf0001).collect().toSeq ==
+      Scale.qBucketedJoin(spark, Sf0001).collect().toSeq,
+      "append path reconstructs the full table content")
     // co-location end to end: bucketed join result equals the plain join
     val bucketed = Scale.qBucketedJoin(spark, Sf0001).collect().toSeq
     val plain = Tables.lineitem(spark, Sf0001)

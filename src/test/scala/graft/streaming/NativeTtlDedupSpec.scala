@@ -15,6 +15,33 @@ import graft.streaming.IdempotentDedup.SignalRow
   * 2026-08-14, round 10, 480 s). */
 class NativeTtlDedupSpec extends SparkSpec {
 
+  test("native dropDuplicatesWithinWatermark: engine-managed dedup state on the default store") {
+    // the OTHER Spark-4-native dedup path — declarative, no user state
+    // code, and it runs green on the default state store where the
+    // RocksDB transformWithState path stalls (test below)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SignalRow]
+    val q = IdempotentDedup.dedupStreamNative(input.toDS(), delay = "30 seconds")
+      .writeStream.format("memory").queryName("native_wm_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        SignalRow("sig-a", "KRW-BTC", 1000L, 1.0),
+        SignalRow("sig-b", "KRW-BTC", 2000L, 2.0)))
+      q.processAllAvailable()
+      // same ids again, later event times, a later batch: dropped
+      input.addData(Seq(
+        SignalRow("sig-a", "KRW-BTC", 5000L, 9.0),
+        SignalRow("sig-c", "KRW-BTC", 6000L, 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("native_wm_dedup").as[SignalRow]
+        .collect().map(r => (r.signal_id, r.ts_ms)).sorted.toSeq
+      assert(got == Seq(("sig-a", 1000L), ("sig-b", 2000L), ("sig-c", 6000L)),
+        "first arrival wins; within-delay duplicates never emit")
+    } finally q.stop()
+  }
+
   test("native transformWithState TTL dedup: first-seen wins within the TTL") {
     assume(sys.env.get("GRAFT_NATIVE_TTL").contains("1"),
       "native RocksDB path stalls in this environment; export GRAFT_NATIVE_TTL=1 to retry")

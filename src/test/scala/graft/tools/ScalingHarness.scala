@@ -246,6 +246,10 @@ object ScalingHarness {
     // ingest-time and the join is the flat part.
     "bucketed_join" ->
       (dir => Scale.qBucketedJoin(spark, dir).count()),
+    // bucketed_append pays base write + increment append cold, then
+    // the same zero-exchange join; ratio tracks the write, join flat.
+    "bucketed_append" ->
+      (dir => Scale.qBucketedAppend(spark, dir).count()),
     // provenance is the wide pack (one shard-keyed fold) + one
     // doc-keyed equi-join for the source label — rows-out = corpus.
     "provenance" ->
@@ -261,6 +265,12 @@ object ScalingHarness {
     // (det, dep) pairs; output fixed at |FD list| rows.
     "fd_audit" ->
       (dir => Analytics.qFdAudit(spark, dir).count()),
+    // source_copying pays the pair store cold + two slim source joins;
+    // shard_digest is two scans folding 64-doc blocks to one row each.
+    "source_copying" ->
+      (dir => Graph.qSourceCopying(spark, dir).count()),
+    "shard_digest" ->
+      (dir => graft.operators.Ingestion.qShardDigest(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
