@@ -51,6 +51,8 @@ object SparkEntry {
     "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
     "q_token_efficiency"  -> (TextOps.qTokenEfficiency(_, _)),
     "q_fd_audit"          -> (Analytics.qFdAudit(_, _)),
+    "q_outlier_days"      -> (Analytics.qOutlierDays(_, _)),
+    "q_interarrival"      -> (Analytics.qInterarrival(_, _)),
     "q_canonical_pick"    -> (Clustering.qCanonicalPick(_, _)),
     "q_quantile_norm"     -> (Analytics.qQuantileNorm(_, _)),
     "q_cdc_chunks"        -> (Corpus.qCdcChunks(_, _)),
@@ -331,6 +333,8 @@ object SparkEntry {
     "q_trend_slope"        -> Analytics.sqlTrendSlope,
     "q_token_efficiency"   -> TextOps.sqlTokenEfficiency,
     "q_fd_audit"           -> Analytics.sqlFdAudit,
+    "q_outlier_days"       -> Analytics.sqlOutlierDays,
+    "q_interarrival"       -> Analytics.sqlInterarrival,
     "q_canonical_pick"     -> Clustering.sqlCanonicalPick,
     "q_quantile_norm"      -> Analytics.sqlQuantileNorm,
     "q_cdc_chunks"         -> Corpus.sqlCdcChunks,

@@ -49,6 +49,61 @@ object Analytics {
   }
 
   // ------------------------------------------------------------------
+  // Inter-arrival gap percentiles (X158): per event type, exact
+  // p50/p95/p99 of the microsecond gap between a user's consecutive
+  // events — the cadence/SLA report behind rate alerting and bot
+  // detection (human typing cadences and scripted bursts separate at
+  // p50; stuck pipelines show at p99). Two window passes that SHARE
+  // one user-keyed shuffle family: the per-user lag producing gaps,
+  // then the established exact-order-statistic pattern (rank ≥
+  // ceil(q·n), deterministic (gap, user, ts) tie-break — X-quantiles
+  // stance: no sketches, no interpolation, bit-identical
+  // cross-engine). Gaps are BIGINT micros; a user's first event emits
+  // no gap. Gap is attributed to the LATER event's type (the event
+  // that "arrived after the wait").
+  // ------------------------------------------------------------------
+  def qInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(wu))
+      .filter($"gap_us".isNotNull)
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"gap_us", $"user_id", $"ts_us", $"event_id")
+    val ranked = gaps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    def orderStat(q: Double) =
+      min(when($"rn" >= ceil(lit(q) * $"n").cast("long"), $"gap_us"))
+    ranked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        orderStat(0.5).as("p50_us"), orderStat(0.95).as("p95_us"),
+        orderStat(0.99).as("p99_us"), max($"gap_us").as("max_us"))
+      .orderBy($"event_type")
+  }
+
+  val sqlInterarrival: String = {
+    def os(q: Double) =
+      s"min(gap_us) FILTER (WHERE rn >= CAST(ceil($q * n) AS BIGINT))"
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, gap_us,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY gap_us, user_id, ts_us, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM g WHERE gap_us IS NOT NULL)
+       |SELECT event_type, count(*)::BIGINT AS n_gaps,
+       |  ${os(0.5)} AS p50_us, ${os(0.95)} AS p95_us, ${os(0.99)} AS p99_us,
+       |  max(gap_us) AS max_us
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Winsorization: clamp outliers to the exact per-group [p05, p95]
   // order statistics — the standard robustification step before a
   // mean/σ-based feature or KPI is trusted. ONE shuffle: the same
@@ -454,6 +509,76 @@ object Analytics {
       leg("part.brand->type", "part", "p_brand", "p_type"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
+
+  // ------------------------------------------------------------------
+  // Robust outlier days (X157): flag the days whose event volume sits
+  // more than 3 MADs from its type's median — the monitoring-grade
+  // anomaly rule that mean/stddev z-scores get wrong on skewed or
+  // already-contaminated series (one traffic spike inflates σ and
+  // hides itself; the median absolute deviation barely moves:
+  // Hampel's robust X84 rule). EXACT arithmetic: daily counts are
+  // integers, "median" is the LOWER order statistic at rank
+  // (n+1) div 2 under the deterministic (value, day) order — no
+  // interpolation, no float, hash-exact cross-engine (DuckDB's
+  // median() interpolates, so the oracle writes the same order-stat
+  // construction explicitly). MAD = lower median of |x − med|;
+  // MAD = 0 (over half the days identical) flags any deviation — the
+  // standard degenerate-MAD caveat, deterministic here. Scale shape:
+  // facts collapse map-side to (type, day) rows; both median passes
+  // are windows over those slim rows sharing hashpartitioning(type);
+  // the per-type medians broadcast back (|types| rows).
+  // ------------------------------------------------------------------
+  /** The testable core over (event_type, day, n) BIGINT rows. */
+  def robustOutlierFlags(daily: DataFrame): DataFrame = {
+    def lowerMedian(df: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(value, $"day")
+      val wc = Window.partitionBy($"event_type")
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_cnt", count(lit(1)).over(wc))
+        .filter($"_rn" === expr("(_cnt + 1) div 2"))
+        .select($"event_type", value.as(out))
+    }
+    val med = lowerMedian(daily, $"n", "med")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"n" - $"med"))
+    val mad = lowerMedian(dev, $"adev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .select($"event_type", $"day", $"n".as("n_events"), $"med", $"mad",
+        when($"adev" > lit(3L) * $"mad", 1).otherwise(0).as("is_outlier"))
+      .orderBy($"event_type", $"day")
+  }
+
+  def qOutlierDays(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff($"ts".cast("date"), lit("1970-01-01")).cast("long")
+    robustOutlierFlags(Tables.events(spark, dir)
+      .select($"event_type", day.as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n")))
+  }
+
+  val sqlOutlierDays: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM daily),
+      |med AS (SELECT event_type, n AS med FROM r WHERE rn = (cnt + 1) // 2),
+      |d AS (
+      |  SELECT daily.event_type, daily.day, daily.n, med.med,
+      |    abs(daily.n - med.med) AS adev
+      |  FROM daily JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn2,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt2
+      |  FROM d),
+      |mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2)
+      |SELECT d.event_type, d.day, d.n AS n_events, d.med, mad.mad,
+      |  CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END AS is_outlier
+      |FROM d JOIN mad USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
 
   val sqlTrendSlope: String =
     """WITH daily AS (

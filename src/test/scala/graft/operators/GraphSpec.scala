@@ -216,6 +216,51 @@ class GraphSpec extends SparkSpec {
       "every near-dup pair lands in exactly one source cell")
   }
 
+  // X157 — robust MAD outlier days
+  test("outlier days: a spike the z-score would self-mask is flagged; the stable mass is not") {
+    // 11 quiet days at 100±1 plus one 10x spike: median 100, MAD 1,
+    // spike deviation 900 >> 3 — flagged; quiet days within 3 MADs
+    val daily = ((0L to 10L).map(d => ("a", d, 100L + (d % 3) - 1L)) :+
+      ("a", 11L, 1000L)).toDF("event_type", "day", "n")
+    val got = Analytics.robustOutlierFlags(daily).collect()
+      .map(r => r.getLong(1) -> r.getInt(5)).toMap
+    assert(got(11L) == 1, "the spike must flag")
+    assert((0L to 10L).forall(got(_) == 0), "quiet days must not")
+  }
+
+  test("outlier days: degenerate MAD=0 flags any deviation; lower-median rank is deterministic") {
+    val daily = (Seq.fill(5)(7L).zipWithIndex.map { case (n, d) => ("b", d.toLong, n) } :+
+      ("b", 9L, 8L)).toDF("event_type", "day", "n")
+    val rows = Analytics.robustOutlierFlags(daily).collect()
+    val byDay = rows.map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(byDay(9L) == ((7L, 0L, 1)), "MAD 0: any deviation is an outlier")
+    assert(byDay(0L)._3 == 0)
+  }
+
+  test("outlier days gate: per (type, day) rows, flags consistent with med/mad columns") {
+    val rows = Analytics.qOutlierDays(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, med, mad, f) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))
+      assert((math.abs(n - med) > 3 * mad) == (f == 1))
+    }
+  }
+
+  // X158 — inter-arrival gap percentiles
+  test("interarrival: quantiles ordered, gap mass = events minus users, gaps non-negative") {
+    val rows = Analytics.qInterarrival(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p95, p99, mx) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 >= 0L && p50 <= p95 && p95 <= p99 && p99 <= mx)
+    }
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+    val expectedGaps = ev.count() - ev.select($"user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == expectedGaps,
+      "every user contributes exactly (events - 1) gaps")
+  }
+
   // X151 — exact integer OLS trend slope
   private def slopeOf(pts: Seq[(Long, Long, Long)]): Map[Long, Long] =
     Analytics.trendSlope(pts.toDF("key", "x", "y"))

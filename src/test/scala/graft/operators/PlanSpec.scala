@@ -953,6 +953,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_interarrival: two shuffles — user lag window, then type rank window whose partitioning the final agg reuses") {
+    val plan = executedCold(Analytics.qInterarrival(spark, Sf0001))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "rank window and quantile agg must share hashpartitioning(event_type):\n" + plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_outlier_days: medians broadcast back onto the slim daily rows — no shuffle join") {
+    val plan = executedCold(Analytics.qOutlierDays(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type med/mad (|types| rows) must attach by broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_"), "daily counts must combine map-side")
+  }
+
   test("q_fd_audit: per-FD two-phase distinct aggregates, map-side combined, no joins") {
     val plan = executedCold(Analytics.qFdAudit(spark, Sf0001))
     assert(plan.contains("partial_"), "(det, dep) pair counts must combine map-side")

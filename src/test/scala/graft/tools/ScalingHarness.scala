@@ -83,6 +83,14 @@ object ScalingHarness {
     replicated(cust) { (d, i) =>
       d.withColumn("c_custkey", $"c_custkey" + lit(i.toLong * 10000000L))
     }.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    // round-10b: fd_audit reads the remaining dims — bounded catalogs
+    // in any deployment, copied 1× (their FD structure is what's
+    // audited; replicating rows would only duplicate groups)
+    Seq("nation", "region", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
   }
 
   private def annCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -271,6 +279,13 @@ object ScalingHarness {
       (dir => Graph.qSourceCopying(spark, dir).count()),
     "shard_digest" ->
       (dir => graft.operators.Ingestion.qShardDigest(spark, dir).count()),
+    // outlier_days folds facts to (type, day) map-side; both median
+    // windows run over those slim rows.
+    "outlier_days" ->
+      (dir => Analytics.qOutlierDays(spark, dir).count()),
+    // interarrival is two slim window shuffles (user lag, type rank).
+    "interarrival" ->
+      (dir => Analytics.qInterarrival(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
@@ -318,9 +333,9 @@ object ScalingHarness {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = "target/scaling_sf1"
-    // customer.parquet is the newest replica table — its absence means
+    // nation.parquet is the newest replica table — its absence means
     // an older-round replica needs regenerating
-    if (!new java.io.File(s"$dst/customer.parquet").exists()) {
+    if (!new java.io.File(s"$dst/nation.parquet").exists()) {
       println(s"[scaling] generating ${Replicas}x replica at $dst")
       generate(spark, src, dst)
     }
