@@ -192,6 +192,7 @@ object SparkEntry {
     "q_mrl_eval"          -> (Similarity.qMrlEval(_, _)),
     "q_near_dup_banded"   -> (Similarity.qNearDupBanded(_, _)),
     "q_ann_ivf"           -> (Similarity.qAnnIvf(_, _)),
+    "q_ann_artifact"      -> (Similarity.qAnnArtifact(_, _)),
     "q_embedding_near_dup" -> (Similarity.qEmbeddingNearDup(_, _)),
     // ingestion chain: JSON enrich, validation routing, scalar/date fns
     "q_json_enrich"       -> (Ingestion.qJsonEnrich(_, _)),
@@ -469,6 +470,7 @@ object SparkEntry {
     "q_near_dup_banded"    -> Similarity.sqlNearDupBanded,
     "q_incremental_rollup" -> IncrementalAgg.sqlIncrementalRollup,
     "q_ann_ivf"            -> Similarity.sqlAnnIvf,
+    "q_ann_artifact"       -> Similarity.sqlAnnIvf,
     "q_embedding_near_dup" -> Similarity.sqlEmbeddingNearDup,
     "q_json_enrich"        -> Ingestion.sqlJsonEnrich,
     "q_validation_split"   -> Ingestion.sqlValidationSplit,

@@ -85,4 +85,13 @@ class AnnRecallSpec extends SparkSpec {
       assert(row.getDouble(2) >= 0.4)
     }
   }
+
+  test("IVF artifact round-trip: serving from parquet equals the in-memory inverted file exactly") {
+    val fromArtifact = Similarity.qAnnArtifact(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq
+    val inMemory = Similarity.qAnnIvf(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq
+    assert(fromArtifact == inMemory,
+      "persist + reload + probe must lose nothing")
+  }
 }

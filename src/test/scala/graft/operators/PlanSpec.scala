@@ -39,6 +39,7 @@ class PlanSpec extends SparkSpec {
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
+    Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString
   }
@@ -938,6 +939,16 @@ class PlanSpec extends SparkSpec {
     // must touch no parquet (same contract as q_pagerank)
     assert(!plan.contains("Scan parquet"))
     assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_ann_artifact: the inverted-file scan partition-prunes to the probed cells") {
+    val plan = executedCold(Similarity.qAnnArtifact(spark, Sf0001))
+    val invScan = plan.linesIterator
+      .filter(l => l.contains("ivf_artifact") && l.contains("inverted"))
+      .mkString("\n")
+    assert(invScan.contains("PartitionFilters: [cell") && invScan.contains(" IN ("),
+      "probe must reach the scan as a literal partition filter:\n" + invScan)
     assert(!plan.contains("CartesianProduct"))
   }
 

@@ -286,6 +286,10 @@ object ScalingHarness {
     // interarrival is two slim window shuffles (user lag, type rank).
     "interarrival" ->
       (dir => Analytics.qInterarrival(spark, dir).count()),
+    // ann_artifact pays the index build+persist cold; the probe reads
+    // only the probed cells' partitions.
+    "ann_artifact" ->
+      (dir => Similarity.qAnnArtifact(spark, dir).count()),
     // canonical_pick pays the label store cold + one cluster-keyed
     // window. quantile_norm is two source-keyed windows + the bounded
     // value-level CDF broadcast — nothing global touches corpus rows.
@@ -325,6 +329,7 @@ object ScalingHarness {
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
+    Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
   }
 
