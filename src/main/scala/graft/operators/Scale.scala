@@ -422,18 +422,32 @@ object Scale {
       val ord = s"g_bkt_orders$tag"
       dropStale(spark, li)
       dropStale(spark, ord)
-      Tables.lineitem(spark, dir)
-        .repartition(NumBuckets, $"l_orderkey")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(li)
-      Tables.orders(spark, dir)
-        .repartition(NumBuckets, $"o_orderkey")
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ord)
+      writeBucketed(Tables.lineitem(spark, dir), "l_orderkey", "overwrite", li)
+      writeBucketed(Tables.orders(spark, dir), "o_orderkey", "overwrite", ord)
       (li, ord)
     })
+
+  /** The one bucketed writer every path goes through: repartition on
+    * the bucket key so each task holds exactly one bucket's rows, and
+    * pin AQE's partition coalescing OFF for the write — on a small
+    * batch the coalescer merges the 16 aligned partitions into a few
+    * tasks, each then emitting a file per bucket it holds (the
+    * many-small-files failure the alignment exists to prevent). */
+  private def writeBucketed(df: DataFrame, key: String, mode: String,
+      table: String): Unit = {
+    val spark = df.sparkSession
+    val conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "false")
+    try df.repartition(NumBuckets, col(key))
+      .write.mode(mode).format("parquet")
+      .bucketBy(NumBuckets, key).sortBy(key)
+      .saveAsTable(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
 
   /** Drop the bucketed-table memos (files stay in the warehouse; a
     * rebuild overwrites them). Same contract as the FrameStore
@@ -483,19 +497,52 @@ object Scale {
       val ord = s"g_bki_orders$tag"
       dropStale(spark, li)
       dropStale(spark, ord)
-      def write(df: DataFrame, key: String, mode: String, table: String): Unit =
-        df.repartition(NumBuckets, col(key))
-          .write.mode(mode).format("parquet")
-          .bucketBy(NumBuckets, key).sortBy(key)
-          .saveAsTable(table)
       val liAll = Tables.lineitem(spark, dir)
       val ordAll = Tables.orders(spark, dir)
-      write(liAll.filter($"l_orderkey" % 10 =!= 7), "l_orderkey", "overwrite", li)
-      write(ordAll.filter($"o_orderkey" % 10 =!= 7), "o_orderkey", "overwrite", ord)
-      write(liAll.filter($"l_orderkey" % 10 === 7), "l_orderkey", "append", li)
-      write(ordAll.filter($"o_orderkey" % 10 === 7), "o_orderkey", "append", ord)
+      writeBucketed(liAll.filter($"l_orderkey" % 10 =!= 7), "l_orderkey", "overwrite", li)
+      writeBucketed(ordAll.filter($"o_orderkey" % 10 =!= 7), "o_orderkey", "overwrite", ord)
+      writeBucketed(liAll.filter($"l_orderkey" % 10 === 7), "l_orderkey", "append", li)
+      writeBucketed(ordAll.filter($"o_orderkey" % 10 === 7), "o_orderkey", "append", ord)
       (li, ord)
     })
+
+  /** Append one ingest batch to a bucketed table with the SAME bucket
+    * spec — the X154 write path factored for reuse (the streaming
+    * [[graft.streaming.BucketedSink]] drives it per micro-batch).
+    * Creates the table on first use. */
+  def appendBucketedBatch(df: DataFrame, key: String, table: String): Unit =
+    writeBucketed(df, key, "append", table)
+
+  /** Compact a bucketed table back to ONE file per bucket (X160): the
+    * close of the layout lifecycle — appends accumulate one file per
+    * bucket per batch, and compaction rewrites each bucket's files
+    * into one without moving any key (same hash ⇒ same bucket), so
+    * co-location survives. Rewrite goes to a staging table which then
+    * takes the original's name — the read-rewrite-swap that avoids
+    * overwriting a path while scanning it. X38's range compaction is
+    * the orthogonal in-file ordering concern. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String): Unit = {
+    val tmp = table + "_compact"
+    dropStale(spark, tmp)
+    // Read the source as a PLAIN scan: with bucketed reading on, the
+    // planner sees the scan already hash-distributed by the key and
+    // elides the repartition — then disables the bucketed scan anyway
+    // ("Bucketed: false (disabled by query planner)"), so the write
+    // tasks hold size-combined MIXED buckets and emit files-per-
+    // (task,bucket) instead of one per bucket. A plain scan keeps the
+    // aligning shuffle in the plan.
+    val bconf = "spark.sql.sources.bucketing.enabled"
+    val prev = spark.conf.getOption(bconf)
+    spark.conf.set(bconf, "false")
+    try writeBucketed(spark.table(table), key, "overwrite", tmp)
+    finally prev match {
+      case Some(v) => spark.conf.set(bconf, v)
+      case None => spark.conf.unset(bconf)
+    }
+    dropStale(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 
   /** Gate: the X149 rollup over base+appended twins; oracle = the full
     * original parquet. */

@@ -191,4 +191,46 @@ class ScaleSpec extends SparkSpec {
       .orderBy($"o_orderpriority").collect().toSeq
     assert(bucketed == plain)
   }
+
+  test("bucketed lifecycle: batch appends then compaction — one file per bucket, content and co-location preserved") {
+    import spark.implicits._
+    val t = "g_lifecycle_test"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dirF = new java.io.File(new java.net.URI(
+      wh.stripSuffix("/") + "/" + t))
+    if (dirF.exists()) { def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }; rm(dirF) }
+    val mk = (lo: Long, hi: Long) =>
+      (lo until hi).map(i => (i, s"v$i")).toDF("k", "payload")
+    // three ingest batches
+    Scale.appendBucketedBatch(mk(0L, 50L), "k", t)
+    Scale.appendBucketedBatch(mk(50L, 80L), "k", t)
+    Scale.appendBucketedBatch(mk(80L, 100L), "k", t)
+    val before = spark.table(t).orderBy($"k").collect().toSeq
+    assert(before.length == 100)
+    Scale.compactBucketed(spark, t, "k")
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+      .filter($"col_name" === "Location").head.getString(1)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == Scale.NumBuckets,
+      s"compaction must leave one file per bucket, got ${files.length}")
+    assert(spark.table(t).orderBy($"k").collect().toSeq == before,
+      "compaction must not change content")
+    // co-location: self-join on the bucket key plans without exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(t).join(
+        spark.table(t).select($"k", $"payload".as("p2")), Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "compacted buckets must still co-locate:\n" + plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
