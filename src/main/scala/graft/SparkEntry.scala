@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Behavior, Clustering, Corpus, Dedup, Embeddings, EventWindows, Graph, IncrementalAgg, Ingestion, Kpi, Multimodal, OrderBookOps, Packing, Relational, Sampling, Scale, Similarity, Sketches, Temporal, TextOps}
-import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, WireIngest}
+import graft.streaming.{DensitySignals, FraudDetection, PositionTracker, SpoofingDetector, WireIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,8 @@ object SparkEntry {
     "q_srm_check"         -> (Behavior.qSrmCheck(_, _)),
     // stateful keyed-stream FSM (SURVEY §2.6 T1) replayed on events
     "q_fraud_alerts"      -> (FraudDetection.qFraudAlerts(_, _)),
+    // spoofing CEP pattern (SURVEY §2.6 T7) batch twin over book frames
+    "q_spoofing"          -> (SpoofingDetector.qSpoofing(_, _)),
     // text analysis (word count P4/A1 + corpus quality surface)
     "q_word_count"        -> (TextOps.qWordCount(_, _)),
     "q_token_count"       -> (TextOps.qTokenCount(_, _)),
@@ -432,6 +434,7 @@ object SparkEntry {
     "q_decay_score"        -> Behavior.sqlDecayScore,
     "q_srm_check"          -> Behavior.sqlSrmCheck,
     "q_fraud_alerts"       -> FraudDetection.sqlFraudAlerts,
+    "q_spoofing"           -> SpoofingDetector.sqlSpoofing,
     "q_word_count"         -> TextOps.sqlWordCount,
     "q_token_count"        -> TextOps.sqlTokenCount,
     "q_text_stats"         -> TextOps.sqlTextStats,

@@ -354,11 +354,17 @@ object Analytics {
       .withColumn("hi", sum($"cnt").over(
         Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
       .select($"v", ($"hi" - $"cnt" + 1).as("lo"), $"hi")
+    // int64 headroom: (r−1)·(nn−1) reaches ~10²⁴ when both the source
+    // and the corpus hold ~10¹² docs (the 100 TB regime) — past int64,
+    // where Spark (non-ANSI) wraps silently and DuckDB errors. Lift the
+    // product to DECIMAL(38,0) / HUGEINT (the X151/X152 convention);
+    // IntegralDivide returns BIGINT, so p's type is unchanged.
     val withPos = ranked
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
       .select($"doc_id", $"source", $"n_chars",
         when($"n" === 1, expr("(nn - 1) div 2"))
-          .otherwise(expr("((r - 1) * (nn - 1)) div (n - 1)")).as("p"))
+          .otherwise(expr(
+            "(CAST(r - 1 AS DECIMAL(38,0)) * (nn - 1)) div (n - 1)")).as("p"))
     withPos.join(broadcast(cdf), $"p" >= $"lo" && $"p" <= $"hi")
       .select($"doc_id", $"source", $"n_chars", $"v".as("norm_chars"))
       .orderBy($"doc_id")
@@ -382,7 +388,8 @@ object Analytics {
       |pos AS (
       |  SELECT doc_id, source, n_chars,
       |    CASE WHEN n = 1 THEN (nn.nn - 1) // 2
-      |         ELSE ((r - 1) * (nn.nn - 1)) // (n - 1) END AS p
+      |         ELSE CAST((CAST(r - 1 AS HUGEINT) * (nn.nn - 1)) // (n - 1)
+      |                   AS BIGINT) END AS p
       |  FROM ranked CROSS JOIN nn)
       |SELECT doc_id, source, n_chars, c.v AS norm_chars
       |FROM pos JOIN cdf c ON p >= c.lo AND p <= c.hi

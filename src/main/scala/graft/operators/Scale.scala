@@ -433,8 +433,19 @@ object Scale {
     * batch the coalescer merges the 16 aligned partitions into a few
     * tasks, each then emitting a file per bucket it holds (the
     * many-small-files failure the alignment exists to prevent). */
+  /** Serializes every bucketed write/compact: the writers toggle
+    * session-global SQL confs (coalescePartitions, bucketed reading)
+    * with set/restore, and two concurrent writers could interleave
+    * the restores and leave the wrong value standing. JVM monitors
+    * are reentrant, so compactBucketed → writeBucketed nests fine.
+    * Contract: bucketed writes are INGEST-time operations — a query
+    * racing one on the same session runs under the altered planner
+    * settings for that window, which affects plan shape (an AQE
+    * coalesce skipped, a bucketed scan shuffled), never results. */
+  private val writerLock = new Object
+
   private def writeBucketed(df: DataFrame, key: String, mode: String,
-      table: String): Unit = {
+      table: String): Unit = writerLock.synchronized {
     val spark = df.sparkSession
     val conf = "spark.sql.adaptive.coalescePartitions.enabled"
     val prev = spark.conf.getOption(conf)
@@ -522,7 +533,7 @@ object Scale {
     * overwriting a path while scanning it. X38's range compaction is
     * the orthogonal in-file ordering concern. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession,
-      table: String, key: String): Unit = {
+      table: String, key: String): Unit = writerLock.synchronized {
     val tmp = table + "_compact"
     dropStale(spark, tmp)
     // Read the source as a PLAIN scan: with bucketed reading on, the

@@ -1007,4 +1007,47 @@ class ReplayEquivalenceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted == streamed)
     lm.close(); lm2.close()
   }
+
+  test("SpoofingDetector: MemoryStream replay of sf0.001 book frames equals batch face and gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import SpoofingDetector._
+
+    val books = bookFrames(spark, graft.SparkSpec.Sf0001)
+      .collect().toSeq.sortBy(b => (b.ts_ms, b.code))
+    // the oracle's spacing contract: consecutive books of one market
+    // are always further apart than the timer, so every armed level is
+    // adjudicated at the market's very next book
+    books.groupBy(_.code).foreach { case (_, bs) =>
+      bs.map(_.ts_ms).sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a > TimerMs)
+        case _ =>
+      }
+    }
+
+    val batch = detectBatch(spark.createDataset(books)).collect().toSeq
+      .sortBy(a => (a.code, a.armed_at_ms, a.price))
+    assert(batch.nonEmpty)
+
+    val input = MemoryStream[Book]
+    val q = detectStream(input.toDS())
+      .writeStream.format("memory").queryName("spoof_replay")
+      .outputMode("append").start()
+    try {
+      timeChunks[Book](books, _.ts_ms, 5).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("spoof_replay").as[SpoofAlert]
+        .collect().toSeq.sortBy(a => (a.code, a.armed_at_ms, a.price))
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // and the registered gate is exactly the batch face's rows with
+    // the level/size columns cast to the oracle's integer types
+    val gate = qSpoofing(spark, graft.SparkSpec.Sf0001).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gate == batch.map(a =>
+      (a.code, a.price.toLong, a.registered_size.toLong, a.armed_at_ms, a.fired_at_ms)))
+  }
 }
