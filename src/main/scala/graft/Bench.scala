@@ -33,6 +33,7 @@ object Bench {
     graft.operators.Multimodal.invalidateIncModalStore()
     graft.operators.Graph.invalidateEdgeStore()
     graft.operators.Scale.invalidateBucketed()
+    graft.operators.Scale.invalidateDayStore()
     graft.operators.Similarity.invalidateIvfArtifact()
     graft.operators.Clustering.releaseMergeClosures()
     // Pre-materialize the SHARED persisted stores at the target SF so
@@ -61,6 +62,7 @@ object Bench {
       graft.operators.Graph.coIncidenceStore(spark, sfDir).fresh().count()
       graft.operators.Scale.bucketedTables(spark, sfDir)
       graft.operators.Scale.bucketedAppendTables(spark, sfDir)
+      graft.operators.Scale.dayPartitionedEvents(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9

@@ -47,6 +47,7 @@ object SparkEntry {
     "q_rendezvous_shard"  -> (Scale.qRendezvousShard(_, _)),
     "q_bucketed_join"     -> (Scale.qBucketedJoin(_, _)),
     "q_bucketed_append"   -> (Scale.qBucketedAppend(_, _)),
+    "q_time_prune"        -> (Scale.qTimePrune(_, _)),
     "q_provenance"        -> (Packing.qProvenance(_, _)),
     "q_trend_slope"       -> (Analytics.qTrendSlope(_, _)),
     "q_token_efficiency"  -> (TextOps.qTokenEfficiency(_, _)),
@@ -332,6 +333,7 @@ object SparkEntry {
     "q_rendezvous_shard"   -> Scale.sqlRendezvousShard,
     "q_bucketed_join"      -> Scale.sqlBucketedJoin,
     "q_bucketed_append"    -> Scale.sqlBucketedJoin,
+    "q_time_prune"         -> Scale.sqlTimePrune,
     "q_provenance"         -> Packing.sqlProvenance,
     "q_trend_slope"        -> Analytics.sqlTrendSlope,
     "q_token_efficiency"   -> TextOps.sqlTokenEfficiency,

@@ -574,4 +574,66 @@ object Scale {
       |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Date-partitioned event store + time-range pruned rollup (X161 —
+  // the TimescaleDB hypertable intent, reference arch doc:2111:
+  // `create_hypertable('raw_trades','trade_timestamp')`). The single
+  // most common pruning shape a 100 TB event store serves: facts land
+  // in `day=` directories (epoch-day = unix_millis div 86400000, exact
+  // integer arithmetic both engines), and a bounded time-range query
+  // prunes its scan to the days inside the range — PartitionFilters on
+  // the day column, PartitionCount = the range's width, machine-pinned
+  // in PlanSpec. X159 pinned this on the ANN cell column and the
+  // ShardRouter on shard; this is the TIME-column instance, with the
+  // streaming ingest face in [[graft.streaming.DayRouter]] (the same
+  // idempotent PartitionedAppend the shard router rides).
+  //
+  // The store is written once per (session, dir) and memoized — the
+  // ingest-layout cost a deployed pipeline pays when events land, not
+  // per query (Bench prewarms it with the other stores). The ORACLE
+  // reads the ORIGINAL unpartitioned parquet with the equivalent
+  // epoch-day predicate — agreement proves the partitioned round-trip
+  // lost nothing inside the range AND the day derivation matches.
+  // ------------------------------------------------------------------
+  val PruneDayLo = 19730L // 2024-01-08
+  val PruneDayHi = 19736L // 2024-01-14
+
+  private val dayStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateDayStore(): Unit = dayStoreCache.clear()
+
+  /** Build (once) the day-partitioned event store; returns its path. */
+  def dayPartitionedEvents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dayStoreCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/day_events$tag"
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    })
+
+  /** Gate: per-(day, type) rollup over one bounded week — the scan
+    * must read 7 `day=` directories, not 30 (PlanSpec pins
+    * PartitionFilters + PartitionCount). */
+  def qTimePrune(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val path = dayPartitionedEvents(spark, dir)
+    spark.read.parquet(path)
+      .filter($"day" >= PruneDayLo && $"day" <= PruneDayHi)
+      .groupBy($"day".cast("long").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum($"value").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val sqlTimePrune: String =
+    s"""SELECT (epoch_ms(ts) // 86400000) AS day, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE (epoch_ms(ts) // 86400000) BETWEEN $PruneDayLo AND $PruneDayHi
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -30,30 +30,16 @@ import graft.operators.Scale
  */
 class ShardRouter(path: String, shards: Int = Scale.HrwShards) {
 
-  /** Route one (doc_id, text) batch into the store. Safe to replay. */
+  /** Route one (doc_id, text) batch into the store. Safe to replay.
+    * The idempotent partitioned append (touched-partition anti-join,
+    * bounded ≤ |shards| driver read) is the shared
+    * [[PartitionedAppend]] primitive. */
   def route(batch: DataFrame): Unit = {
-    val spark = batch.sparkSession
     val assigned = batch
       .select(col("doc_id"), col("text"),
         Scale.rendezvousShard(col("doc_id"), shards).as("shard"))
       .dropDuplicates("doc_id")
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // same loud-failure contract as idempotentAppend: only a genuinely
-    // absent/empty store skips the anti-join
-    def hasData: Boolean = fs.exists(hadoopPath) &&
-      fs.listStatus(hadoopPath).exists(s => s.isDirectory || s.getPath.getName.startsWith("part-"))
-    val fresh =
-      if (hasData) {
-        // bounded driver read: at most `shards` rows
-        val touched = assigned.select(col("shard")).distinct()
-          .collect().map(_.getLong(0))
-        val existing = spark.read.parquet(path)
-          .filter(col("shard").isin(touched: _*)) // partition-pruned scan
-          .select("doc_id")
-        assigned.join(existing, Seq("doc_id"), "left_anti")
-      } else assigned
-    fresh.write.mode("append").partitionBy("shard").parquet(path)
+    PartitionedAppend.append(assigned, path, "shard", "doc_id")
   }
 
   /** foreachBatch face for a streaming ingestion query. */

@@ -39,6 +39,7 @@ class PlanSpec extends SparkSpec {
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
+    Scale.invalidateDayStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString
@@ -950,6 +951,24 @@ class PlanSpec extends SparkSpec {
     assert(invScan.contains("PartitionFilters: [cell") && invScan.contains(" IN ("),
       "probe must reach the scan as a literal partition filter:\n" + invScan)
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_time_prune: the day-partitioned scan prunes to the 7 days inside the range") {
+    val plan = executedCold(Scale.qTimePrune(spark, Sf0001))
+    val scan = plan.linesIterator
+      .filter(l => l.contains("day_events") && l.contains("PartitionFilters"))
+      .mkString("\n")
+    // the hypertable chunk-exclusion shape: the time predicate reaches
+    // the scan as a PARTITION filter (directory pruning), not a data
+    // filter over all 30 days
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains(Scale.PruneDayLo.toString) && scan.contains(Scale.PruneDayHi.toString),
+      "day range must prune partitions at the scan:\n" + plan)
+    // and the store genuinely holds the full month — pruning had
+    // something to prune
+    val path = Scale.dayPartitionedEvents(spark, Sf0001)
+    val allDays = spark.read.parquet(path).select("day").distinct().count()
+    assert(allDays >= 28, s"store should span the month, had $allDays days")
   }
 
   test("q_source_copying: pair store enters as cached RDD; source labels attach by equi-join") {

@@ -329,6 +329,7 @@ object ScalingHarness {
     Multimodal.invalidateIncModalStore()
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
+    Scale.invalidateDayStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
   }
