@@ -463,7 +463,9 @@ object Scale {
   /** Drop the bucketed-table memos (files stay in the warehouse; a
     * rebuild overwrites them). Same contract as the FrameStore
     * invalidators: Bench and ScalingHarness reset through here. */
-  def invalidateBucketed(): Unit = { bucketCache.clear(); bucketIncCache.clear() }
+  def invalidateBucketed(): Unit = {
+    bucketCache.clear(); bucketIncCache.clear(); bucketCompactCache.clear()
+  }
 
   /** Gate: order-priority revenue rollup over the co-located join.
     * The join itself plans with zero exchanges (PlanSpec pin); the
@@ -559,6 +561,55 @@ object Scale {
     * original parquet. */
   def qBucketedAppend(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val (li, ord) = bucketedAppendTables(spark, dir)
+    spark.table(li)
+      .join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Relational.dsum($"l_quantity").as("sum_qty"),
+        Relational.drevenue($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ------------------------------------------------------------------
+  // Compacted bucketed lifecycle gate (X162 — the X154 shape with the
+  // compaction in the middle): base write + TWO ingest appends leave
+  // three files per bucket; compactBucketed rewrites each bucket's
+  // files into one WITHOUT moving any key (same hash ⇒ same bucket),
+  // so the join still plans with zero exchanges. The gate joins the
+  // compacted lineitem twin against the X149 bucketed orders twin and
+  // runs the same rollup; the ORACLE reads the ORIGINAL parquet —
+  // agreement proves base + appends + compaction lost and duplicated
+  // nothing, and the ScaleSpec/PlanSpec pins prove the one-file-per-
+  // bucket layout and the preserved co-location. At 100 TB this is the
+  // nightly maintenance job that keeps an append-heavy bucketed store
+  // from degrading into a small-files swamp.
+  // ------------------------------------------------------------------
+  private val bucketCompactCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Base + 2 appends + compaction on a lineitem twin; returns its
+    * catalog name. */
+  def bucketedCompactTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bucketCompactCache.getOrElseUpdate((spark, dir), {
+      import graft.sources.Tables
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"g_bkc_lineitem$tag"
+      dropStale(spark, li)
+      val liAll = Tables.lineitem(spark, dir)
+      writeBucketed(liAll.filter($"l_orderkey" % 10 =!= 7 && $"l_orderkey" % 10 =!= 8),
+        "l_orderkey", "overwrite", li)
+      writeBucketed(liAll.filter($"l_orderkey" % 10 === 7), "l_orderkey", "append", li)
+      writeBucketed(liAll.filter($"l_orderkey" % 10 === 8), "l_orderkey", "append", li)
+      compactBucketed(spark, li, "l_orderkey")
+      li
+    })
+
+  /** Gate: the X149 rollup over the compacted twin joined to the
+    * bucketed orders twin; oracle = the full original parquet. */
+  def qBucketedCompact(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = bucketedCompactTable(spark, dir)
+    val (_, ord) = bucketedTables(spark, dir)
     spark.table(li)
       .join(spark.table(ord), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")

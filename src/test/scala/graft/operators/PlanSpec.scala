@@ -1040,6 +1040,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_compact: co-location survives base + appends + compaction; one file per bucket") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedCold(Scale.qBucketedCompact(spark, Sf0001))
+      assert(plan.contains("SortMergeJoin"))
+      // the compaction rewrite must neither mis-bucket (re-shuffle
+      // here) nor lose the bucketed-scan property
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+        "compacted buckets must stay co-located:\n" + plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    // layout: the three files per bucket the two appends left are now one
+    val li = Scale.bucketedCompactTable(spark, Sf0001)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $li")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .head.getString(1)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == Scale.NumBuckets,
+      s"compaction must leave one file per bucket, got ${files.length}")
+  }
+
   test("q_bucketed_append: co-location survives the appended ingest batch") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
