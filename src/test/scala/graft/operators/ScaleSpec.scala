@@ -72,6 +72,57 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("writeZordered: disjoint z-ranges, lossless, and BOTH dims' footer spans shrink vs the time sort") {
+    import spark.implicits._
+    val e = Tables.events(spark, Sf0001)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tmu"))
+    val total = e.count()
+    val target = (total + 15) / 16 // ~16 files either layout
+    val outZ = java.nio.file.Files.createTempDirectory("zorder").toString
+    val outT = java.nio.file.Files.createTempDirectory("tsort").toString
+    try {
+      val nz = Scale.writeZordered(e, "user_id", "tmu", target, outZ, Some(total))
+      Scale.writeRangeSorted(e, "tmu", target, outT, Some(total))
+      // lossless: same multiset of events back
+      val back = spark.read.parquet(outZ)
+      assert(back.count() == total)
+      assert(back.select($"event_id").except(e.select($"event_id")).isEmpty)
+      // per-file z-ranges are disjoint (recomputed with the writer's own
+      // formula over the full read-back, so the grid bounds match)
+      // capture the file name BELOW the quantizer (its bounds cross-join
+      // makes input_file_name multi-source above it)
+      def spans(path: String) = Scale.zQuantize(
+          spark.read.parquet(path)
+            .select(input_file_name().as("f"), $"user_id", $"tmu"),
+          "user_id", "tmu")
+        .groupBy($"f")
+        .agg(min($"zval").as("zlo"), max($"zval").as("zhi"),
+          (max($"ub") - min($"ub")).as("us"), (max($"tb") - min($"tb")).as("ts"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val zs = spans(outZ).sortBy(_._1)
+      assert(zs.length == nz)
+      zs.sliding(2).foreach {
+        case Array((_, hi1, _, _), (lo2, _, _, _)) => assert(hi1 < lo2)
+        case _ =>
+      }
+      // the layout case (the X101 audit, now on REAL files): z-order
+      // bounds BOTH dims at ~sqrt granularity — a predicate on either
+      // dim skips files — while the single-key time sort leaves the
+      // user dim spanning the whole grid in every file
+      val ts = spans(outT)
+      def avg(xs: Array[Long]) = xs.sum.toDouble / xs.length
+      val (zU, zT) = (avg(zs.map(_._3)), avg(zs.map(_._4)))
+      val tU = avg(ts.map(_._3))
+      assert(zU < 600 && zT < 600,
+        s"z-order must bound both dims on average, got user=$zU time=$zT")
+      assert(tU > 900, s"time sort should leave the user dim unbounded, got $tU")
+      assert(zU < tU / 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outZ))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outT))
+    }
+  }
+
   test("writeRangeSorted: heavy ties collapse partitions — returns files actually written") {
     import spark.implicits._
     // constant key: repartitionByRange puts every row in one range, so

@@ -316,7 +316,30 @@ object ScalingHarness {
     "session_window" ->
       (dir => EventWindows.qSessionWindow(spark, dir).count()),
     "source_overlap" ->
-      (dir => Corpus.qSourceOverlap(spark, dir).count()))
+      (dir => Corpus.qSourceOverlap(spark, dir).count()),
+    // Round-11 additions. spoofing is the book-frame build (two keyed
+    // shuffles over events) + the code-keyed spillable FSM fold.
+    // time_prune pays the day-partitioned store write cold
+    // (resetCaches drops the memo), then the 7-day pruned rollup —
+    // in deploy the write is ingest-time, the pruned scan is the flat
+    // part. bucketed_compact pays base + 2 appends + compaction cold,
+    // then the zero-exchange join (write-dominated by construction).
+    // zorder_write is the full-scan quantize + ONE range shuffle +
+    // write — the linear layout job.
+    "spoofing" ->
+      (dir => graft.streaming.SpoofingDetector.qSpoofing(spark, dir).count()),
+    "time_prune" ->
+      (dir => Scale.qTimePrune(spark, dir).count()),
+    "bucketed_compact" ->
+      (dir => Scale.qBucketedCompact(spark, dir).count()),
+    "zorder_write" ->
+      (dir => {
+        val e = Tables.events(spark, dir)
+          .select($"event_id", $"user_id", unix_micros($"ts").as("tmu"))
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        Scale.writeZordered(e, "user_id", "tmu", targetRows = 20000,
+          path = s"target/zorder_rehearsal$tag")
+      }))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
