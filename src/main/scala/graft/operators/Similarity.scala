@@ -1025,6 +1025,47 @@ object Similarity {
        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Recall scorecard for the PERSISTED IVF artifact (X164): X104
+  // grades the in-memory banded index; this runs the identical
+  // ann-benchmarks evaluation (recall@k + true-top-1 reciprocal rank
+  // vs exact brute truth) over [[qAnnArtifact]] — the partition-pruned
+  // probe of the index FILE — so the artifact a deployment actually
+  // ships carries its own quality number. A serving bug anywhere in
+  // the persist → partition → probe path (lost cell, truncated
+  // vector, mis-pruned partition) surfaces here as a recall drop even
+  // when the in-memory index is perfect. Same probe-sized cost shape
+  // as X104.
+  // ------------------------------------------------------------------
+  def qAnnArtifactEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = qKnnBruteForce(spark, dir).filter($"rank" <= EvalK)
+      .select($"query_id", $"neighbor_id", $"rank".as("t_rank"))
+    val ann = qAnnArtifact(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank".as("a_rank"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).cast("long").as("truth_k"),
+        count($"a_rank").cast("long").as("n_hit"),
+        (count($"a_rank").cast("double") / count(lit(1)).cast("double"))
+          .as("recall"),
+        coalesce(lit(1.0) / min(when($"t_rank" === 1, $"a_rank")).cast("double"),
+          lit(0.0)).as("mrr"))
+      .orderBy($"query_id")
+  }
+
+  val sqlAnnArtifactEval: String =
+    s"""WITH t0 AS ($sqlKnnBruteForce),
+       |a0 AS ($sqlAnnIvf),
+       |j AS (SELECT t.query_id, t.rank AS t_rank, a.rank AS a_rank
+       |  FROM (SELECT query_id, neighbor_id, rank FROM t0 WHERE rank <= $EvalK) t
+       |  LEFT JOIN a0 a
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id)
+       |SELECT query_id, count(*)::BIGINT AS truth_k, count(a_rank)::BIGINT AS n_hit,
+       |  count(a_rank)::DOUBLE / count(*)::DOUBLE AS recall,
+       |  coalesce(1.0::DOUBLE / min(CASE WHEN t_rank = 1 THEN a_rank END)::DOUBLE,
+       |    0.0::DOUBLE) AS mrr
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Matryoshka truncation audit (Kusupati et al., NeurIPS 2022 "MRL"):
   // recall@k of cosine search over PREFIX-truncated embeddings (dims
   // 8/16/32 of 64) against the full-dim exact truth — the measurement
