@@ -594,6 +594,49 @@ object Multimodal {
       IncModalStore(ph, fr, corpusTagged, corpusLabels)
     })
 
+  // ------------------------------------------------------------------
+  // Retraction face of the modal store pair (X165 — the X128 argument
+  // extended to multimodal evidence): takedown of an image/video doc
+  // must leave NOTHING probeable — its perceptual hashes leave the
+  // phash index, its frame fingerprints leave the frame index, its
+  // evidence pairs leave the tagged store, and if it was clustered its
+  // component re-closes over the SURVIVOR pairs only (bounded: one
+  // component, never the corpus — the X128 splice). Stored survivor
+  // pairs stay valid under retraction by the X126 merge-time index
+  // semantics: text/image families are pairwise, and a removal only
+  // SHRINKS video rarity bases (a frame can become rarer, never less
+  // rare), so no stored pair loses its justification — future merges
+  // evaluate rarity against the trimmed index, exactly the merge-time
+  // contract. Returns a NEW store view; the memoized inputs are left
+  // untouched (long-running maintainers flatten per batch, the
+  // LabelMaintenance discipline). The sub-closure release rides the
+  // pendingMergeClosures registry like every merge face.
+  // ------------------------------------------------------------------
+  def retractModalDoc(st: IncModalStore, docId: Long): IncModalStore = {
+    val ph2 = st.ph.filter($"doc_id" =!= docId)
+    val fr2 = st.fr.filter($"doc_id" =!= docId)
+    val tagged2 = st.corpusTagged
+      .filter($"doc_a" =!= docId && $"doc_b" =!= docId)
+    // ≤1-row bounded model read (the kmeans read-back stance)
+    val hit = st.corpusLabels.filter($"id" === docId).select("label").collect()
+    val labels2 =
+      if (hit.isEmpty) st.corpusLabels // unclustered: index-only trim
+      else {
+        val label = hit.head.getLong(0)
+        // survivor pairs: every stored pair lies within one component
+        // by construction, so the semi-join on one endpoint suffices
+        val members = st.corpusLabels
+          .filter($"label" === lit(label) && $"id" =!= docId)
+          .select($"id".as("doc_a"))
+        val survivorPairs = tagged2
+          .join(members, Seq("doc_a"), "left_semi")
+          .select($"doc_a".as("a"), $"doc_b".as("b")).distinct()
+        Clustering.retractFromLabels(
+          st.corpusLabels.filter($"id" =!= docId), label, survivorPairs)
+      }
+    IncModalStore(ph2, fr2, tagged2, labels2)
+  }
+
   def invalidateIncModalStore(): Unit = {
     incModalCache.values.foreach { s =>
       s.ph.unpersist(); s.fr.unpersist()

@@ -1008,6 +1008,52 @@ class ReplayEquivalenceSpec extends SparkSpec {
     lm.close(); lm2.close()
   }
 
+  test("RetractModalDoc: takedown trims every fingerprint index and re-closes only the affected component") {
+    import graft.operators.{Clustering, Multimodal}
+    import org.apache.spark.sql.functions.{col, min => fmin}
+
+    val st = Multimodal.incModalStore(spark, graft.SparkSpec.Sf0001)
+    // retract the representative of the first cross-modal cluster —
+    // deterministic, and as the component's min id it forces at least
+    // a relabel, a split whenever it was the bridge
+    val d = st.corpusLabels.agg(fmin(col("id"))).head.getLong(0)
+    val out = Multimodal.retractModalDoc(st, d)
+
+    // nothing probeable: both fingerprint indexes and the pair store
+    // have forgotten the doc
+    assert(out.ph.filter(col("doc_id") === d).isEmpty)
+    assert(out.fr.filter(col("doc_id") === d).isEmpty)
+    assert(out.corpusTagged
+      .filter(col("doc_a") === d || col("doc_b") === d).isEmpty)
+
+    // the bounded component splice equals the from-scratch closure over
+    // the survivor pair set — removal is indistinguishable from the doc
+    // never having existed (the X128 property, on multimodal evidence)
+    val scratch = Clustering.connectedComponents(
+      st.corpusTagged.filter(col("doc_a") =!= d && col("doc_b") =!= d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct(),
+      maxRounds = 64)
+    val got = out.corpusLabels.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = scratch.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got == want)
+    assert(!got.exists(_._1 == d))
+
+    // untouched components keep their labels bit-for-bit
+    val before = st.corpusLabels.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dLabel = before(d)
+    got.filter { case (_, l) => l != dLabel }.foreach { case (id, l) =>
+      if (before(id) != dLabel) assert(before(id) == l)
+    }
+
+    // the memoized shared store is untouched by the retraction view
+    assert(st.corpusLabels.filter(col("id") === d).count() == 1)
+    scratch.unpersist()
+    Clustering.releaseMergeClosures()
+  }
+
   test("SpoofingDetector: MemoryStream replay of sf0.001 book frames equals batch face and gate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
