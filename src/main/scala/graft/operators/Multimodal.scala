@@ -595,7 +595,7 @@ object Multimodal {
     })
 
   // ------------------------------------------------------------------
-  // Retraction face of the modal store pair (X165 — the X128 argument
+  // Retraction face of the modal store pair (X164 — the X128 argument
   // extended to multimodal evidence): takedown of an image/video doc
   // must leave NOTHING probeable — its perceptual hashes leave the
   // phash index, its frame fingerprints leave the frame index, its

@@ -305,7 +305,7 @@ object Scale {
   }
 
   // ------------------------------------------------------------------
-  // Z-ordered compaction writer (X163 — the layout X101's audit argues
+  // Z-ordered compaction writer (X162 — the layout X101's audit argues
   // for, actually WRITTEN): quantize two long dimensions onto the
   // ZBits grid, bit-interleave into the Morton z-value, range-shard on
   // the z-value (adaptive bounds, the writeRangeSorted discipline) and
@@ -618,7 +618,7 @@ object Scale {
   }
 
   // ------------------------------------------------------------------
-  // Compacted bucketed lifecycle gate (X162 — the X154 shape with the
+  // Compacted bucketed lifecycle gate (X160 — the X154 shape with the
   // compaction in the middle): base write + TWO ingest appends leave
   // three files per bucket; compactBucketed rewrites each bucket's
   // files into one WITHOUT moving any key (same hash ⇒ same bucket),

@@ -1025,7 +1025,7 @@ object Similarity {
        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 
   // ------------------------------------------------------------------
-  // Recall scorecard for the PERSISTED IVF artifact (X164): X104
+  // Recall scorecard for the PERSISTED IVF artifact (X163): X104
   // grades the in-memory banded index; this runs the identical
   // ann-benchmarks evaluation (recall@k + true-top-1 reciprocal rank
   // vs exact brute truth) over [[qAnnArtifact]] — the partition-pruned
