@@ -65,6 +65,8 @@ object Bench {
       graft.operators.Scale.dayPartitionedEvents(spark, sfDir)
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
+      graft.operators.Similarity.ivfArtifactInc(spark, sfDir)
+      graft.operators.Similarity.ivfArtifactRetract(spark, sfDir)
     } catch { case _: Throwable => }
     val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // Host timing drift on this box is real (identical binaries have

@@ -1292,34 +1292,53 @@ object Similarity {
   // ------------------------------------------------------------------
   private val ivfArtifactCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
+  private val ivfIncCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+  private val ivfRetractCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long)]
 
-  def invalidateIvfArtifact(): Unit = ivfArtifactCache.clear()
+  def invalidateIvfArtifact(): Unit = {
+    ivfArtifactCache.clear(); ivfIncCache.clear(); ivfRetractCache.clear()
+  }
+
+  /** Frozen-centroid assignment of every corpus vector: (vec_id, v,
+    * nv, cent_id, rk) for rk ≤ IvfNprobe — the one expensive frame all
+    * three artifact builders share. Caller persists/unpersists. */
+  private def rankedAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val corpus = vecs(spark, dir).withColumn("nv", normCol($"v"))
+    val cents = ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    corpus.join(broadcast(cents))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" <= IvfNprobe)
+  }
+
+  /** Write the (inverted, queries) artifact pair under `base`; the
+    * inverted file holds only rows passing `invFilter`. */
+  private def buildIvfArtifact(ranked: DataFrame, base: String,
+      invFilter: Column): Unit = {
+    ranked.filter($"rk" === 1 && invFilter)
+      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/inverted")
+    ranked.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"),
+        $"cent_id".as("cell"))
+      .write.mode("overwrite").parquet(s"$base/queries")
+  }
 
   /** Build and persist the IVF artifacts; returns the base path. */
   def ivfArtifact(spark: SparkSession, dir: String): String =
     ivfArtifactCache.getOrElseUpdate((spark, dir), {
-      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"target/ivf_artifact$tag"
-      val corpus = vecs(spark, dir).withColumn("nv", normCol($"v"))
-      val cents = ivfGateCentroids.zipWithIndex
-        .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
-        .withColumn("ncv", normCol($"cv"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-      val ranked = corpus.join(broadcast(cents))
-        .select($"vec_id", $"v", $"nv", $"cent_id",
-          cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter($"rk" <= IvfNprobe)
-        .persist()
-      ranked.filter($"rk" === 1)
-        .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$base/inverted")
-      ranked.filter($"vec_id" < 10)
-        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"),
-          $"cent_id".as("cell"))
-        .write.mode("overwrite").parquet(s"$base/queries")
+      val ranked = rankedAssign(spark, dir).persist()
+      buildIvfArtifact(ranked, base, lit(true))
       ranked.unpersist()
       base
     })
@@ -1331,8 +1350,13 @@ object Similarity {
     * LITERAL IN predicate on the partition column, so the scan's
     * PartitionFilters prune the inverted file to just the probed
     * cells' directories — the plan a 100 TB serving path wants. */
-  def qAnnArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val base = ivfArtifact(spark, dir)
+  def qAnnArtifact(spark: SparkSession, dir: String): DataFrame =
+    probeArtifact(spark, ivfArtifact(spark, dir))
+
+  /** The serving path over any persisted artifact pair: probed cells
+    * (bounded ≤ |centroids| model read) become a literal partition
+    * filter, queries broadcast into their cells, one ranking window. */
+  private def probeArtifact(spark: SparkSession, base: String): DataFrame = {
     val probes = spark.read.parquet(s"$base/queries")
     val probedCells = probes.select($"cell").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -1347,5 +1371,141 @@ object Similarity {
       .filter($"rank" <= 3)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental artifact maintenance (X165 — the ingest-batch half of
+  // the X159 index lifecycle, the X154 bucketed-append argument on the
+  // CELL partition column): a persisted inverted file is only worth
+  // its build cost if arriving vectors can join it WITHOUT a rebuild.
+  // The incoming batch is assigned against the SAME frozen centroids
+  // and idempotent-appended into its cell directories through the
+  // shared [[graft.streaming.PartitionedAppend]] primitive — the
+  // append touches only the batch's cells, replays anti-join against
+  // those partitions alone and no-op, and the probe path is unchanged.
+  // The GATE builds the artifact from the corpus slice (vec_id mod 10
+  // ≠ 7, the repo's ingest-split convention), appends the incoming
+  // slice as a second write, and serves the SAME probe — the ORACLE is
+  // the full-corpus in-memory construction, so agreement proves
+  // increment ≡ rebuild: nothing lost, duplicated, or mis-celled.
+  // ------------------------------------------------------------------
+  def ivfArtifactInc(spark: SparkSession, dir: String): String =
+    ivfIncCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/ivf_artifact_inc$tag"
+      val ranked = rankedAssign(spark, dir).persist()
+      buildIvfArtifact(ranked, base,
+        $"vec_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+      val incoming = ranked
+        .filter($"rk" === 1 && $"vec_id" % Dedup.IncomingMod === Dedup.IncomingRem)
+        .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
+      graft.streaming.PartitionedAppend.append(
+        incoming, s"$base/inverted", "cell", "vec_id")
+      ranked.unpersist()
+      base
+    })
+
+  /** Gate: the X159 probe served from the incrementally-maintained
+    * artifact; oracle = the full-corpus construction. */
+  def qAnnArtifactInc(spark: SparkSession, dir: String): DataFrame =
+    probeArtifact(spark, ivfArtifactInc(spark, dir))
+
+  // ------------------------------------------------------------------
+  // Artifact retraction (X166 — the X128/X164 takedown argument on the
+  // index FILE): removing a vector from the inverted file rewrites
+  // ONLY its cell directory (read one `cell=` partition, filter, stage,
+  // swap — the compactBucketed read-rewrite-swap), a 1/|cells| bounded
+  // maintenance job, never the index. The GATE retracts the most
+  // load-bearing vector there is — the rank-1 neighbor of the smallest
+  // query, a deterministic 1-row model read the ORACLE replays in SQL
+  // — and re-serves the probe; oracle = the in-memory construction
+  // with that vector excluded from the inverted lists. Agreement
+  // proves the takedown actually changed serving results AND the
+  // partition-scoped rewrite equals a full rebuild without the doc.
+  // ------------------------------------------------------------------
+
+  /** Remove one vector from a persisted inverted file by rewriting its
+    * cell directory in place. No-op if the id is not indexed. */
+  def retractFromIvfArtifact(spark: SparkSession, base: String, vecId: Long): Unit = {
+    val inv = spark.read.parquet(s"$base/inverted")
+    // ≤1-row bounded model read: the doc's cell
+    val hit = inv.filter($"vec_id" === vecId)
+      .select($"cell".cast("long")).collect()
+    if (hit.isEmpty) return
+    val cell = hit.head.getLong(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cellPath = new org.apache.hadoop.fs.Path(s"$base/inverted/cell=$cell")
+    val stage = new org.apache.hadoop.fs.Path(s"$base/stage_cell_$cell")
+    val fs = cellPath.getFileSystem(conf)
+    // the cell directory read back directly (partition value lives in
+    // the directory name, exactly what the rewrite preserves)
+    spark.read.parquet(cellPath.toString)
+      .filter($"vec_id" =!= vecId)
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(cellPath, true)
+    fs.rename(stage, cellPath)
+    ()
+  }
+
+  /** Build a retraction twin: full artifact, then retract the rank-1
+    * neighbor of the smallest query. Returns (base, retracted id). */
+  def ivfArtifactRetract(spark: SparkSession, dir: String): (String, Long) =
+    ivfRetractCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/ivf_artifact_ret$tag"
+      val ranked = rankedAssign(spark, dir).persist()
+      buildIvfArtifact(ranked, base, lit(true))
+      ranked.unpersist()
+      // deterministic, oracle-replayable victim: first row of the
+      // (query_id, rank)-ordered probe — a 1-row bounded read
+      val rid = probeArtifact(spark, base).head.getLong(2)
+      retractFromIvfArtifact(spark, base, rid)
+      (base, rid)
+    })
+
+  /** Gate: the probe after the takedown; oracle = the construction
+    * with the victim excluded from the inverted lists. */
+  def qAnnArtifactRetract(spark: SparkSession, dir: String): DataFrame =
+    probeArtifact(spark, ivfArtifactRetract(spark, dir)._1)
+
+  /** Oracle twin of [[qAnnArtifactRetract]]: the [[sqlAnnIvf]] CTE
+    * chain run twice — once unfiltered to find the victim (the rank-1
+    * neighbor of the smallest query), once serving with the victim's
+    * rows dropped from the inverted lists. */
+  val sqlAnnArtifactRetract: String = {
+    val centRows = IvfGateCentroids.Nums.zipWithIndex.map { case (nums, i) =>
+      s"($i, list_transform(${nums.mkString("[", ", ", "]")}, x -> x / ${CentDenom.toLong}.0))"
+    }.mkString(",\n  ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c(cent_id, cv) AS (VALUES
+       |  $centRows),
+       |s AS (SELECT v.vec_id, v.v, c.cent_id,
+       |        ${sqlCosine("v.v", "c.cv")} AS ccos
+       |      FROM v CROSS JOIN c),
+       |r AS (SELECT vec_id, v, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+       |      FROM s),
+       |a AS (SELECT vec_id, v, cent_id AS cell FROM r WHERE rk = 1),
+       |qc AS (SELECT vec_id AS query_id, cent_id AS cell FROM r
+       |       WHERE vec_id < 10 AND rk <= $IvfNprobe),
+       |c2 AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.v", "a.v")} AS cosine
+       |      FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |      JOIN v q ON q.vec_id = qc.query_id),
+       |fullr AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM c2),
+       |rid AS (SELECT neighbor_id AS x FROM fullr
+       |  WHERE rank = 1 AND query_id = (SELECT min(query_id) FROM fullr)),
+       |c3 AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.v", "a.v")} AS cosine
+       |      FROM qc JOIN a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |      JOIN v q ON q.vec_id = qc.query_id
+       |      WHERE a.vec_id NOT IN (SELECT x FROM rid))
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM c3)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 }
