@@ -607,4 +607,74 @@ object Analytics {
       |SELECT key AS suppkey, n AS n_days,
       |  CAST((CAST(1000000 AS HUGEINT) * num) // den AS BIGINT) AS slope_ppm
       |FROM fit ORDER BY suppkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // CUSUM drift monitor (X167; Page 1954 — the sequential
+  // change-detection chart next to X157's Hampel outlier days: Hampel
+  // flags single bad days, CUSUM accumulates SMALL persistent shifts
+  // until they cross a threshold, the drift class point rules miss).
+  // One-sided upper chart per event type over exact daily revenue
+  // cents: target μ = the type's truncated mean daily cents, allowance
+  // k = μ div 20 (a 5% drift is worth hearing about), threshold h = μ.
+  //
+  //   s_i = max(0, s_{i-1} + (x_i − μ − k)),  alarm ⇔ s_i > h
+  //
+  // The recurrence LOOKS sequential but has the closed window form
+  // s_i = p_i − min(0, min_{j≤i} p_j) with p the running sum of
+  // (x − μ − k) — two cumulative windows inside one event_type
+  // partitioning, no iterative pass, EXACT BIGINT end to end (cents
+  // are exact for 2-dp inputs; the windowed sums are CAST back from
+  // DuckDB's HUGEINT — the scd2 lesson; headroom: |p| ≤ span-days ·
+  // max-daily-cents ≪ 2^63 at any corpus size since both factors are
+  // time-bounded, not corpus-bounded). Scale shape: facts collapse
+  // map-side to (type, day) rows; every window runs over that slim
+  // frame inside hashpartitioning(event_type).
+  // ------------------------------------------------------------------
+  val CusumDivisor = 20L
+
+  /** The testable core over (event_type, day, x) BIGINT rows: the
+    * chart values via the closed two-window form (GraphSpec pins it
+    * against the literal sequential fold, drift and spike cases). */
+  def cusumFlags(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mu = daily.groupBy($"event_type")
+      .agg(expr("sum(x) div count(*)").as("mu"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("d", $"x" - $"mu" - expr(s"mu div $CusumDivisor"))
+      .withColumn("p", sum($"d").over(w))
+      .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))
+      .select($"event_type", $"day", $"x".as("x_cents"), $"cusum",
+        ($"cusum" > $"mu").as("alarm"))
+      .orderBy($"event_type", $"day")
+  }
+
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    cusumFlags(Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(cents).as("x")))
+  }
+
+  val sqlCusum: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+       |  FROM daily GROUP BY 1),
+       |d AS (SELECT daily.event_type, day, x, mu, x - mu - (mu // $CusumDivisor) AS d
+       |  FROM daily JOIN m USING (event_type)),
+       |p AS (SELECT event_type, day, x, mu,
+       |    CAST(sum(d) OVER w AS BIGINT) AS p
+       |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (SELECT event_type, day, x, mu,
+       |    p - least(0, CAST(min(p) OVER w AS BIGINT)) AS cusum
+       |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, x AS x_cents, cusum, cusum > mu AS alarm
+       |FROM s ORDER BY event_type, day""".stripMargin
 }

@@ -239,6 +239,94 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // SALSA hub/authority ranking (X168; Lempel & Moran 2000 — the
+  // stochastic twin of Kleinberg's HITS, and the variant production
+  // link analysis actually ships because its degree-normalized steps
+  // keep mass bounded): on the bipartite customer↔supplier graph,
+  // authority(s) accumulates from hubs that SPREAD their endorsement
+  // (a customer buying from everyone endorses no one strongly), the
+  // mutual-reinforcement ranking PageRank's single walk can't express
+  // — it answers "which suppliers do the best-connected customers
+  // concentrate on", not "which nodes does a random surfer visit".
+  //
+  //   a_{k+1}(s) = Σ_{c→s} h_k(c)·w div wout(c)
+  //   h_{k+1}(c) = Σ_{s→c} a_{k+1}(s)·w div wout(s)
+  //
+  // Exactly the pagerank contribution shape, alternating sides — and
+  // because node ids are parity-disjoint, BOTH half-rounds run over
+  // the SAME symmetrized materialized edge store (wout of an odd node
+  // IS its directed in-weight): zero new stores, zero parquet in the
+  // walk, each half-round one equi-join + one aggregate over cached
+  // blocks. Degree normalization makes every step mass-CONSERVING up
+  // to truncation (Σa' ≤ Σh ≤ Scale), so the exact-ppb BIGINT
+  // arithmetic can never overflow regardless of corpus size — the
+  // property raw HITS (unnormalized sums, then an L2 rescale) lacks.
+  // Hash-exact cross-engine; the oracle unrolls the half-rounds as
+  // CTEs like sqlPagerank.
+  // ------------------------------------------------------------------
+  val SalsaRounds = 4
+
+  /** Core alternating walk over a parity-bipartite edge store; returns
+    * the final authority frame (odd ids). The rank frame's own ids
+    * select the edge direction — a join on src keeps only the edges
+    * leaving the current side, no parity filters in the loop. */
+  def salsaRanks(edges: EdgeStore, rounds: Int = SalsaRounds): DataFrame = {
+    def e(): DataFrame = edges.fresh()
+    def hubCount(): DataFrame = e().filter($"src" % 2 === 0)
+      .select($"src").distinct().agg(count(lit(1)).as("n"))
+    var hubs = e().filter($"src" % 2 === 0).select($"src".as("id")).distinct()
+      .crossJoin(broadcast(hubCount()))
+      .select($"id", expr(s"${ScalePpb}L div n").as("r"))
+    var auths = hubs.limit(0)
+    for (_ <- 1 to rounds) {
+      auths = e().join(hubs.select($"id", $"r"), $"src" === $"id")
+        .groupBy($"dst").agg(sum(expr("(r * w) div wout")).as("s"))
+        .select($"dst".as("id"), $"s".as("r"))
+      hubs = e().join(auths.select($"id", $"r"), $"src" === $"id")
+        .groupBy($"dst").agg(sum(expr("(r * w) div wout")).as("s"))
+        .select($"dst".as("id"), $"s".as("r"))
+    }
+    auths
+  }
+
+  /** Gate: supplier authority scores from the alternating walk. */
+  def qSalsa(spark: SparkSession, dir: String): DataFrame =
+    salsaRanks(transactionEdgeStore(spark, dir))
+      .select(expr("id div 2").as("s_suppkey"), $"r".as("auth_ppb"))
+      .orderBy($"auth_ppb".desc, $"s_suppkey")
+
+  /** Oracle: the identical alternating walk unrolled (sum(BIGINT) is
+    * HUGEINT in DuckDB — cast back per half-round). */
+  val sqlSalsa: String = {
+    def half(out: String, in: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS id,
+         |    CAST(sum((r.r * e.w) // e.wout) AS BIGINT) AS r
+         |  FROM e JOIN $in r ON e.src = r.id
+         |  GROUP BY e.dst)""".stripMargin
+    val rounds = (1 to SalsaRounds).map(k =>
+      half(s"a$k", if (k == 1) "h0" else s"h${k - 1}") + ",\n" +
+        half(s"h$k", s"a$k")).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst, src, w FROM e0),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM sym GROUP BY 1),
+       |e AS (SELECT s.src, s.dst, s.w, o.wout
+       |      FROM sym s JOIN outw o ON s.src = o.src),
+       |n AS (SELECT count(*) AS n FROM outw WHERE src % 2 = 0),
+       |h0 AS (SELECT src AS id, $ScalePpb // n.n AS r FROM outw CROSS JOIN n
+       |       WHERE src % 2 = 0),
+       |$rounds
+       |SELECT id // 2 AS s_suppkey, r AS auth_ppb FROM a$SalsaRounds
+       |ORDER BY auth_ppb DESC, s_suppkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Personalized PageRank (topic-sensitive; Haveliwala 2002): the same
   // exact-ppb damped walk, but teleport mass returns to a SEED SET
   // instead of uniformly — the "importance relative to this cohort"

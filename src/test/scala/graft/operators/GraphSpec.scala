@@ -529,4 +529,86 @@ class GraphSpec extends SparkSpec {
       assert(total == graft.sources.Tables.customer(spark, Sf001).count())
     } finally df.unpersist()
   }
+
+  // X168 — SALSA hub/authority walk
+  private def salsaOf(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    def mk() = {
+      val e = edges.toDF("src", "dst", "w")
+      e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+    val store = Graph.materializeEdges(() => mk())
+    try Graph.salsaRanks(store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally store.release()
+  }
+
+  test("salsa: the supplier every customer buys from outranks a single-customer one") {
+    // customers 0,2,4 (even); supplier 1 serves all three, supplier 3
+    // serves only customer 0
+    val g = Seq((0L, 1L, 1L), (2L, 1L, 1L), (4L, 1L, 1L), (0L, 3L, 1L))
+    val a = salsaOf(g)
+    assert(a(1L) > a(3L))
+    assert(a.keySet == Set(1L, 3L), "authorities are the odd side only")
+  }
+
+  test("salsa: structurally identical suppliers tie exactly; mass conserved up to truncation") {
+    val g = Seq((0L, 1L, 2L), (2L, 1L, 2L), (0L, 3L, 2L), (2L, 3L, 2L))
+    val a = salsaOf(g)
+    assert(a(1L) == a(3L), "symmetric authorities must tie bit-for-bit")
+    val total = a.values.sum
+    assert(total <= Graph.ScalePpb && total > Graph.ScalePpb - 10000L,
+      s"degree-normalized steps must conserve mass, got $total")
+  }
+
+  test("salsa: a hub spreading over many suppliers endorses each less than a focused hub") {
+    // customer 0 buys once from each of 4 suppliers; customer 10 buys
+    // once from supplier 21 only — 21 gets 10's whole endorsement
+    val g = Seq((0L, 1L, 1L), (0L, 3L, 1L), (0L, 5L, 1L), (0L, 7L, 1L),
+      (10L, 21L, 1L))
+    val a = salsaOf(g)
+    assert(a(21L) > a(1L), "the focused endorsement must outweigh the spread one")
+  }
+
+  test("salsa gate: one row per supplier, scores positive, ordered desc") {
+    val rows = Graph.qSalsa(spark, Sf0001).collect()
+    val nSupp = graft.sources.Tables.supplier(spark, Sf0001).count()
+    assert(rows.length == nSupp)
+    assert(rows.forall(_.getLong(1) > 0L))
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+  }
+
+  // X167 — CUSUM drift monitor
+  test("cusum: the closed two-window form equals the literal sequential fold") {
+    // deterministic pseudo-random series with both signs of drift
+    val xs = (0 until 40).map(d => ("a", d.toLong, 100L + ((d * 37 + 11) % 23) - 11L))
+    val got = Analytics.cusumFlags(xs.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val mu = xs.map(_._3).sum / xs.length
+    val k = mu / Analytics.CusumDivisor
+    var s = 0L
+    xs.sortBy(_._2).foreach { case (_, d, x) =>
+      s = math.max(0L, s + (x - mu - k))
+      assert(got(d) == s, s"day $d: closed form ${got(d)} != fold $s")
+    }
+  }
+
+  test("cusum: a persistent small shift alarms where a single spike resets away") {
+    // type 'drift': 20 days at 100, then 20 days at 130 — mu=115, k=5,
+    // so each shifted day adds 10 and the chart crosses h = mu = 115
+    // on the 12th shifted day
+    val drift = (0 until 20).map(d => ("drift", d.toLong, 100L)) ++
+      (20 until 40).map(d => ("drift", d.toLong, 130L))
+    // type 'spike': flat 100s with one 200 — the excursion decays back
+    // under h because mean and allowance absorb it
+    val spike = (0 until 40).map(d => ("spike", d.toLong, if (d == 20) 200L else 100L))
+    val rows = Analytics.cusumFlags((drift ++ spike).toDF("event_type", "day", "x"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(4))).toMap
+    assert((0 until 40).exists(d => rows(("drift", d.toLong))),
+      "a persistent 30% shift must eventually alarm")
+    assert((0 until 20).forall(d => !rows(("drift", d.toLong))),
+      "no alarm before the shift")
+    assert((0 until 40).forall(d => !rows(("spike", d.toLong))),
+      "one spike must not alarm the chart")
+  }
 }

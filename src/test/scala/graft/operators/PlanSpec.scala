@@ -943,6 +943,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_salsa: the alternating walk reads only the materialized edge store") {
+    val plan = executedCold(Graph.qSalsa(spark, Sf0001))
+    // same contract as q_pagerank/q_ppr: the store materializes at
+    // construction; the 2K half-rounds touch no parquet
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_ann_artifact: the inverted-file scan partition-prunes to the probed cells") {
     val plan = executedCold(Similarity.qAnnArtifact(spark, Sf0001))
     val invScan = plan.linesIterator
