@@ -677,4 +677,62 @@ object Analytics {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT event_type, day, x AS x_cents, cusum, cusum > mu AS alarm
        |FROM s ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Benford first-digit audit (X170; Benford 1938; Nigrini 1996's
+  // forensic-accounting test — fabricated or systematically-rounded
+  // amounts drift from the logarithmic first-digit law, making this a
+  // standard fraud/data-quality screen over transaction values; the
+  // reference's domain is exactly such a value stream). Per
+  // (event_type, digit): observed count, observed ppm share (exact
+  // integer n·10⁶ div total), the Benford expectation, and the
+  // absolute deviation. The expectations round(log10(1+1/d)·10⁶) are
+  // computed ONCE in Scala and embedded as the same nine literals in
+  // BOTH plans — no cross-engine libm in the query path (JVM and
+  // DuckDB log10 may differ in the last ulp; constants cannot).
+  // Leading digit via the decimal string of the exact cents value —
+  // identical arithmetic both engines. Scale shape: one map-side
+  // combinable (type, digit) count + a broadcast 1-row total per type;
+  // the audit reads one column.
+  // ------------------------------------------------------------------
+  val BenfordPpm: Seq[(Int, Long)] = (1 to 9)
+    .map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    val exp = spark.createDataFrame(BenfordPpm.map { case (d, p) => (d.toLong, p) })
+      .toDF("digit", "exp_ppm")
+    val counts = Tables.events(spark, dir)
+      .select($"event_type",
+        substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"event_type", $"digit")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy($"event_type").agg(sum($"n").as("total"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .join(broadcast(exp), Seq("digit"))
+      .select($"event_type", $"digit", $"n",
+        expr("(n * 1000000) div total").as("obs_ppm"),
+        $"exp_ppm",
+        abs(expr("(n * 1000000) div total") - $"exp_ppm").as("dev_ppm"))
+      .orderBy($"event_type", $"digit")
+  }
+
+  val sqlBenford: String = {
+    val expRows = BenfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+       |e(digit, exp_ppm) AS (VALUES $expRows)
+       |SELECT c.event_type, c.digit, CAST(c.n AS BIGINT) AS n,
+       |  CAST((c.n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+       |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(abs((c.n * 1000000) // t.total - e.exp_ppm) AS BIGINT) AS dev_ppm
+       |FROM c JOIN t USING (event_type) JOIN e USING (digit)
+       |ORDER BY c.event_type, c.digit""".stripMargin
+  }
 }

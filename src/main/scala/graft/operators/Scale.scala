@@ -700,7 +700,7 @@ object Scale {
   private val dayStoreCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  def invalidateDayStore(): Unit = dayStoreCache.clear()
+  def invalidateDayStore(): Unit = { dayStoreCache.clear(); dayRetCache.clear() }
 
   /** Build (once) the day-partitioned event store; returns its path. */
   def dayPartitionedEvents(spark: org.apache.spark.sql.SparkSession,
@@ -733,5 +733,73 @@ object Scale {
        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM events
        |WHERE (epoch_ms(ts) // 86400000) BETWEEN $PruneDayLo AND $PruneDayHi
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Retention expiry on the date-partitioned store (X169 — the other
+  // half of the hypertable intent: TimescaleDB's `drop_chunks`,
+  // arch doc:2111's retention companion). Expiring data older than the
+  // retention horizon is a METADATA operation on this layout: delete
+  // the `day=` directories below the cutoff — no scan, no rewrite, no
+  // tombstones, cost O(dropped partitions) regardless of how many
+  // petabytes they held. That is the whole reason event stores
+  // partition on time. The GATE builds a retention twin of the X161
+  // store, expires the first 10 days, and rolls up EVERYTHING that
+  // remains (no predicate — the data is simply gone); the ORACLE reads
+  // the original parquet WITH the cutoff predicate — agreement proves
+  // the expiry dropped exactly the partitions below the horizon and
+  // nothing else.
+  // ------------------------------------------------------------------
+  val RetentionCutoffDay = 19733L // keep 2024-01-11 onward
+
+  /** Drop every `day=` partition below the cutoff; returns the number
+    * of partitions dropped. Pure directory deletes — O(partitions),
+    * never touches surviving data. */
+  def expireDays(spark: org.apache.spark.sql.SparkSession, path: String,
+      cutoffDay: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("day=").toLong < cutoffDay)
+      .map { d => fs.delete(d, true); 1L }.sum
+  }
+
+  private val dayRetCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Retention twin: the day-partitioned store with days below the
+    * cutoff expired. Memoized; invalidated with the day store. */
+  def retentionStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dayRetCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/day_events_ret$tag"
+      graft.sources.Tables.events(spark, dir)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      expireDays(spark, path, RetentionCutoffDay)
+      path
+    })
+
+  /** Gate: the full remaining store, no predicate — expiry IS the
+    * filter. Oracle applies the cutoff to the original parquet. */
+  def qRetentionExpire(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = retentionStore(spark, dir)
+    spark.read.parquet(path)
+      .groupBy($"day".cast("long").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum($"value").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val sqlRetentionExpire: String =
+    s"""SELECT (epoch_ms(ts) // 86400000) AS day, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events
+       |WHERE (epoch_ms(ts) // 86400000) >= $RetentionCutoffDay
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

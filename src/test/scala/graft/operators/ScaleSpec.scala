@@ -123,6 +123,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("expireDays: drops exactly the partitions below the horizon, touches nothing else") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("retention").toString
+    try {
+      (0L until 100L).map(i => (i, 19720L + i % 10)).toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val survivorsBefore = spark.read.parquet(out)
+        .filter($"day" >= 19725L).orderBy($"id").collect().toSeq
+      val dropped = Scale.expireDays(spark, out, 19725L)
+      assert(dropped == 5L, s"five day directories below the cutoff, got $dropped")
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+      assert(dirs.toSeq == (19725L to 19729L).map(d => s"day=$d"))
+      // surviving rows are byte-identical — expiry never rewrites data
+      assert(spark.read.parquet(out).orderBy($"id").collect().toSeq
+        == survivorsBefore)
+      // idempotent: a second expiry finds nothing to drop
+      assert(Scale.expireDays(spark, out, 19725L) == 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("writeRangeSorted: heavy ties collapse partitions — returns files actually written") {
     import spark.implicits._
     // constant key: repartitionByRange puts every row in one range, so
