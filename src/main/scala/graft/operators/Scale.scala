@@ -700,7 +700,9 @@ object Scale {
   private val dayStoreCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), String]
 
-  def invalidateDayStore(): Unit = { dayStoreCache.clear(); dayRetCache.clear() }
+  def invalidateDayStore(): Unit = {
+    dayStoreCache.clear(); dayRetCache.clear(); dayLifeCache.clear()
+  }
 
   /** Build (once) the day-partitioned event store; returns its path. */
   def dayPartitionedEvents(spark: org.apache.spark.sql.SparkSession,
@@ -801,5 +803,110 @@ object Scale {
        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM events
        |WHERE (epoch_ms(ts) // 86400000) >= $RetentionCutoffDay
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Day-store maintenance pair (X171 backfill + X172 compaction — with
+  // X161 ingest/pruning and X169 expiry this completes the hypertable
+  // lifecycle):
+  //
+  //  - BACKFILL (X171): a late correction (restated feed, repaired
+  //    upstream bug) replaces ONE `day=` directory — read nothing,
+  //    stage the corrected rows, swap the directory (the
+  //    retractFromIvfArtifact read-rewrite-swap). Cost O(one day),
+  //    never the store; every other partition is untouched bytes.
+  //  - COMPACTION (X172): streaming appends leave one file per day per
+  //    batch; the nightly rewrite re-shards ON THE DAY COLUMN so each
+  //    day's rows land in exactly one task ⇒ one file per day, then
+  //    swaps the whole staged store in (a deploy compacts only the
+  //    days past a file-count threshold through the backfill face;
+  //    the gate twin is bounded, so it compacts everything).
+  //
+  // The GATE ingests the events in three appends with one day's values
+  // CORRUPTED at write (doubled), backfills that day from the source,
+  // compacts, and rolls up the result; the ORACLE is the clean
+  // original parquet — agreement proves the repair fixed exactly the
+  // bad partition and the compaction lost nothing. ScaleSpec pins the
+  // file counts (3+ per day after the appends, exactly 1 after
+  // compaction) and surviving-byte identity on a synthetic store.
+  // ------------------------------------------------------------------
+  val BackfillDay = 19725L
+
+  /** Replace one `day=` partition with `fresh` rows (no day column —
+    * the directory name carries it). Partition-scoped: O(one day). */
+  def backfillDay(spark: org.apache.spark.sql.SparkSession, path: String,
+      day: Long, fresh: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dayPath = new org.apache.hadoop.fs.Path(s"$path/day=$day")
+    val stage = new org.apache.hadoop.fs.Path(s"${path}_stage_day_$day")
+    val fs = dayPath.getFileSystem(conf)
+    fresh.write.mode("overwrite").parquet(stage.toString)
+    fs.delete(dayPath, true)
+    fs.rename(stage, dayPath)
+    ()
+  }
+
+  /** Rewrite the whole store as one file per day: one day-keyed
+    * shuffle, staged write, directory swap. */
+  def compactDayStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "_compact")
+    val fs = p.getFileSystem(conf)
+    spark.read.parquet(path)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(stage.toString)
+    fs.delete(p, true)
+    fs.rename(stage, p)
+    ()
+  }
+
+  private val dayLifeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Lifecycle twin: 3 corrupted appends → backfill the bad day →
+    * compact. Memoized; invalidated with the day store. */
+  def dayLifecycleStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dayLifeCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/day_events_life$tag"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // appends must start empty
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"day")
+      val corrupted = ev.withColumn("value",
+        when($"day" === BackfillDay, $"value" * 2).otherwise($"value"))
+      (0 until 3).foreach { i =>
+        corrupted.filter($"event_id" % 3 === i)
+          .write.mode("append").partitionBy("day").parquet(path)
+      }
+      backfillDay(spark, path, BackfillDay,
+        ev.filter($"day" === BackfillDay).drop("day"))
+      compactDayStore(spark, path)
+      path
+    })
+
+  /** Gate: rollup over the maintained store; oracle = the CLEAN
+    * original parquet, no predicate — the corruption must be gone and
+    * the compaction lossless. */
+  def qDayLifecycle(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = dayLifecycleStore(spark, dir)
+    spark.read.parquet(path)
+      .groupBy($"day".cast("long").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum($"value").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val sqlDayLifecycle: String =
+    s"""SELECT (epoch_ms(ts) // 86400000) AS day, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -146,6 +146,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("day-store lifecycle: appends pile files, backfill swaps one day, compaction leaves one file per day") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("day_life").toString + "/store"
+    def filesOf(day: Long) = {
+      val d = new java.io.File(s"$out/day=$day")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet")) else 0
+    }
+    // three appends of 2 days × 10 rows, day 20 corrupted (v doubled)
+    val mk = (b: Long) => (0L until 20L)
+      .map(i => (b * 100 + i, 20L + i % 2, if (i % 2 == 0) 2L else 7L))
+      .toDF("id", "day", "v")
+    (0L until 3L).foreach(b => mk(b).write.mode("append").partitionBy("day").parquet(out))
+    assert(filesOf(20L) >= 3 && filesOf(21L) >= 3, "each append adds files")
+    val day21Before = spark.read.parquet(s"$out/day=21").orderBy($"id").collect().toSeq
+    // backfill day 20 with corrected values (v = 3)
+    val fixed = (0L until 3L).flatMap(b => (0L until 20L by 2)
+      .map(i => (b * 100 + i, 3L))).toDF("id", "v")
+    Scale.backfillDay(spark, out, 20L, fixed)
+    assert(spark.read.parquet(s"$out/day=21").orderBy($"id").collect().toSeq
+      == day21Before, "backfill must not touch other days")
+    assert(spark.read.parquet(out).filter($"day" === 20L && $"v" =!= 3L).isEmpty)
+    Scale.compactDayStore(spark, out)
+    assert(filesOf(20L) == 1 && filesOf(21L) == 1,
+      "compaction must leave exactly one file per day")
+    val all = spark.read.parquet(out)
+    assert(all.count() == 60L)
+    assert(all.filter($"day" === 20L).count() == 30L)
+    assert(all.filter($"day" === 21L && $"v" =!= 7L).isEmpty)
+  }
+
   test("writeRangeSorted: heavy ties collapse partitions — returns files actually written") {
     import spark.implicits._
     // constant key: repartitionByRange puts every row in one range, so
