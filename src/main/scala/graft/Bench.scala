@@ -65,6 +65,7 @@ object Bench {
       graft.operators.Scale.dayPartitionedEvents(spark, sfDir)
       graft.operators.Scale.retentionStore(spark, sfDir)
       graft.operators.Scale.dayLifecycleStore(spark, sfDir)
+      graft.operators.Scale.evolvedStore(spark, sfDir)
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
       graft.operators.Similarity.ivfArtifactInc(spark, sfDir)

@@ -702,6 +702,7 @@ object Scale {
 
   def invalidateDayStore(): Unit = {
     dayStoreCache.clear(); dayRetCache.clear(); dayLifeCache.clear()
+    dayEvoCache.clear()
   }
 
   /** Build (once) the day-partitioned event store; returns its path. */
@@ -906,6 +907,68 @@ object Scale {
   val sqlDayLifecycle: String =
     s"""SELECT (epoch_ms(ts) // 86400000) AS day, event_type,
        |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Schema evolution across partition generations (X173): a long-lived
+  // event store accretes columns — one day the producer starts
+  // emitting `source`, and every partition written before that day
+  // simply doesn't have it. The store must stay ONE queryable table:
+  // Spark's parquet schema merging unions the file footers
+  // (`mergeSchema`), rows from pre-evolution files null-complete the
+  // new column, and the query coalesces the null into the legacy
+  // marker. No rewrite of old partitions, no blocking migration — the
+  // only viable posture when the "old partitions" are 90 TB. The GATE
+  // builds a twin whose pre-cutoff partitions lack the column and
+  // post-cutoff partitions carry it, reads the union, and rolls up per
+  // (generation, type); the ORACLE derives the generation from the day
+  // arithmetic over the original single-schema parquet — agreement
+  // pins merge + null-completion semantics cross-engine.
+  // ------------------------------------------------------------------
+  val EvolveDay = 19738L // producer starts emitting `source` 2024-01-16
+
+  private val dayEvoCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Two-generation twin: v1 partitions without `source`, v2 with. */
+  def evolvedStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dayEvoCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/day_events_evo$tag"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // appends must start empty
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      ev.filter($"day" < EvolveDay)
+        .select($"event_id", $"event_type", $"value", $"day")
+        .write.mode("append").partitionBy("day").parquet(path)
+      ev.filter($"day" >= EvolveDay)
+        .select($"event_id", $"event_type", $"value", lit("v2").as("source"), $"day")
+        .write.mode("append").partitionBy("day").parquet(path)
+      path
+    })
+
+  /** Gate: one rollup over both schema generations. */
+  def qSchemaEvolution(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = evolvedStore(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .select(coalesce($"source", lit("legacy")).as("source_gen"),
+        $"event_type", $"value")
+      .groupBy($"source_gen", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum($"value").as("sum_value"))
+      .orderBy($"source_gen", $"event_type")
+  }
+
+  val sqlSchemaEvolution: String =
+    s"""SELECT CASE WHEN (epoch_ms(ts) // 86400000) >= $EvolveDay
+       |    THEN 'v2' ELSE 'legacy' END AS source_gen,
+       |  event_type, count(*) AS n_events,
        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
