@@ -637,11 +637,16 @@ object Analytics {
     * against the literal sequential fold, drift and spike cases). */
   def cusumFlags(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val mu = daily.groupBy($"event_type")
-      .agg(expr("sum(x) div count(*)").as("mu"))
+    // the target mean is a WHOLE-PARTITION window over the same
+    // event_type partitioning the chart windows need — one daily
+    // collapse, one type exchange, no second pass over the facts for
+    // a separate mean aggregate
     val w = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.join(broadcast(mu), Seq("event_type"))
+    daily
+      .withColumn("mu",
+        expr("sum(x) over (partition by event_type) div " +
+          "count(*) over (partition by event_type)"))
       .withColumn("d", $"x" - $"mu" - expr(s"mu div $CusumDivisor"))
       .withColumn("p", sum($"d").over(w))
       .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))

@@ -943,6 +943,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_cusum: facts collapse map-side to (type, day); both chart windows share one partitioning") {
+    val plan = executedCold(Analytics.qCusum(spark, Sf0001))
+    assert(plan.contains("partial_"), "daily cents must combine map-side")
+    // daily agg + mean agg + the two cumulative windows: everything
+    // after the collapse lives inside hashpartitioning(event_type)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "chart windows must reuse the type partitioning:\n" + plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_benford: one map-side digit count; totals and expectations broadcast back") {
+    val plan = executedCold(Analytics.qBenford(spark, Sf0001))
+    assert(plan.contains("partial_"), "digit counts must combine map-side")
+    assert(plan.contains("BroadcastHashJoin"), "totals/expectations must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q_salsa: the alternating walk reads only the materialized edge store") {
     val plan = executedCold(Graph.qSalsa(spark, Sf0001))
     // same contract as q_pagerank/q_ppr: the store materializes at

@@ -339,7 +339,33 @@ object ScalingHarness {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         Scale.writeZordered(e, "user_id", "tmu", targetRows = 20000,
           path = s"target/zorder_rehearsal$tag")
-      }))
+      }),
+    // Round-11b additions. ann_artifact_inc/retract pay the full index
+    // persist cold plus the append / one-cell rewrite — the probes are
+    // partition-pruned and flat. cusum/benford fold facts map-side to
+    // (type, day)/(type, digit) rows. salsa is 2K pagerank-shaped
+    // half-rounds over the cached edge store (store build cold).
+    // retention_expire and day_lifecycle pay the partitioned store
+    // writes cold (expiry itself is O(partitions) metadata; the
+    // lifecycle adds the one-day backfill + the compaction rewrite).
+    // schema_evolution is two partitioned writes + one merged-scan
+    // rollup.
+    "ann_artifact_inc" ->
+      (dir => Similarity.qAnnArtifactInc(spark, dir).count()),
+    "ann_artifact_retract" ->
+      (dir => Similarity.qAnnArtifactRetract(spark, dir).count()),
+    "cusum" ->
+      (dir => Analytics.qCusum(spark, dir).count()),
+    "salsa" ->
+      (dir => Graph.qSalsa(spark, dir).count()),
+    "benford" ->
+      (dir => Analytics.qBenford(spark, dir).count()),
+    "retention_expire" ->
+      (dir => Scale.qRetentionExpire(spark, dir).count()),
+    "day_lifecycle" ->
+      (dir => Scale.qDayLifecycle(spark, dir).count()),
+    "schema_evolution" ->
+      (dir => Scale.qSchemaEvolution(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
