@@ -94,4 +94,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(fromArtifact == inMemory,
       "persist + reload + probe must lose nothing")
   }
+
+  test("incremental artifact append: redelivered batch is a no-op; increment equals the full build") {
+    import org.apache.spark.sql.functions.col
+    val incBase = Similarity.ivfArtifactInc(spark, graft.SparkSpec.Sf0001)
+    val fullBase = Similarity.ivfArtifact(spark, graft.SparkSpec.Sf0001)
+    val inv = spark.read.parquet(s"$incBase/inverted")
+    val full = spark.read.parquet(s"$fullBase/inverted")
+    // increment == rebuild at the index-row level, not just probe-level
+    assert(inv.count() == full.count())
+    assert(inv.select("vec_id").except(full.select("vec_id")).isEmpty)
+    // exactly-once: replaying the SAME incoming batch through the
+    // shared idempotent append leaves the index unchanged
+    val before = inv.count()
+    val incoming = full
+      .filter(col("vec_id") % graft.operators.Dedup.IncomingMod
+        === graft.operators.Dedup.IncomingRem)
+      .select(col("vec_id"), col("v"), col("nv"), col("cell").cast("long").as("cell"))
+    graft.streaming.PartitionedAppend.append(
+      incoming, s"$incBase/inverted", "cell", "vec_id")
+    assert(spark.read.parquet(s"$incBase/inverted").count() == before,
+      "a redelivered append must anti-join away")
+  }
 }

@@ -943,6 +943,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_spoofing: book build + FSM fold are keyed shuffles over slim rows, no cross product") {
+    val plan = executedCold(graft.streaming.SpoofingDetector.qSpoofing(spark, Sf0001))
+    // frame window + level agg + book agg + code repartition for the
+    // fold: every shuffle is keyed; nothing corpus-sized is global
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_"), "level counts must combine map-side")
+    // only the event columns the book derivation needs reach the scan
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchema.contains("props"), "unused payload column must prune")
+  }
+
   test("q_cusum: facts collapse map-side to (type, day); both chart windows share one partitioning") {
     val plan = executedCold(Analytics.qCusum(spark, Sf0001))
     assert(plan.contains("partial_"), "daily cents must combine map-side")
