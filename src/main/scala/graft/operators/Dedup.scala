@@ -808,4 +808,93 @@ object Dedup {
        |    THEN 1 ELSE 0 END AS near_exact
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Exact set-similarity join with prefix filtering (X174; Bayardo,
+  // Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity Search" —
+  // the AllPairs/PPJoin family): EVERY pair with shingle-set Jaccard
+  // ≥ SsjNum/SsjDen, exactly — the zero-false-negative complement to
+  // the probabilistic LSH family (X2/X74 measure LSH's recall; this
+  // operator is what you run when the contract is "find them ALL",
+  // e.g. a legal takedown sweep or the ground-truth builder LSH is
+  // audited against).
+  //
+  // The all-pairs blowup is avoided by the PREFIX FILTER theorem: sort
+  // every doc's shingle hashes by GLOBAL document frequency (rarest
+  // first, ties by hash), keep only the first
+  // p = n − ceil(t·n) + 1 entries; any pair with J ≥ t MUST collide
+  // inside these prefixes, so the candidate join runs over prefix
+  // postings only — fan-out per hash is its df among PREFIXES, and the
+  // df-ascending order makes those the rarest hashes in the corpus.
+  // Exact verification then counts shared hashes for CANDIDATE pairs
+  // alone (two id-keyed equi-joins, never a cross product) and keeps
+  // SsjDen·inter ≥ SsjNum·(na+nb−inter) — pure integer arithmetic, no
+  // float threshold. Scale shape: every shuffle carries (long, long)
+  // rows (hash/doc ids); the ORACLE is the algorithmically INDEPENDENT
+  // inverted formulation (all pairs sharing ANY hash + the exact
+  // filter), so the gate pins the prefix filter's completeness on real
+  // data and GraphSpec property-pins it against brute force on random
+  // sets.
+  // ------------------------------------------------------------------
+  val SsjNum = 1L
+  val SsjDen = 2L
+
+  /** The testable core over (doc_id, h) distinct postings. */
+  def ssjoinPairs(post0: DataFrame): DataFrame = {
+    val post = post0.select($"doc_id", $"h").distinct()
+    val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val ranked = post.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    // p = n − ceil(t·n) + 1, ceil in exact integer arithmetic
+    val prefix = ranked
+      .filter($"rn" <= $"n" - expr(s"($SsjNum * n + $SsjDen - 1) div $SsjDen") + 1)
+      .select($"doc_id", $"h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = post.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(post.select($"doc_id".as("doc_a"), $"h"), "doc_a")
+      .join(post.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("uni", $"na" + $"nb" - $"inter")
+      .filter(lit(SsjDen) * $"inter" >= lit(SsjNum) * $"uni")
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        expr("(inter * 1000000) div uni").as("jac_ppm"))
+  }
+
+  /** Gate: exact Jaccard ≥ 1/2 pairs over the corpus shingle sets. */
+  def qSsjoin(spark: SparkSession, dir: String): DataFrame =
+    ssjoinPairs(Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        explode(TextKernelFunctions.shingleHashes($"text")).as("h")))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** Oracle: the independent inverted formulation — all pairs sharing
+    * ANY hash, exact integer filter. No prefix logic anywhere. */
+  val sqlSsjoin: String = {
+    val strs = s"list_distinct(${Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)})"
+    s"""WITH s0 AS (SELECT doc_id, $strs AS strs FROM documents),
+       |w AS (SELECT doc_id, ${Hashing.sqlH60("unnest(strs)")} AS h FROM s0),
+       |wd AS (SELECT DISTINCT doc_id, h FROM w),
+       |sz AS (SELECT doc_id, count(*) AS n FROM wd GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS inter
+       |  FROM wd a JOIN wd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+       |  FROM shared JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(uni AS BIGINT) AS uni,
+       |  CAST((inter * 1000000) // uni AS BIGINT) AS jac_ppm
+       |FROM j WHERE $SsjDen * inter >= $SsjNum * uni
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -578,6 +578,38 @@ class GraphSpec extends SparkSpec {
     assert(ranks == ranks.sorted.reverse)
   }
 
+  // X174 — exact set-similarity join (prefix filter completeness)
+  test("ssjoin: prefix-filtered pairs equal brute-force exact Jaccard on random sets") {
+    // deterministic pseudo-random universe: 40 docs, sets drawn from a
+    // 60-hash pool with planted near-dup pairs at several sizes
+    val docs = (0 until 40).map { d =>
+      val base = (0 until 8 + d % 5).map(j => ((d * 13 + j * 7) % 60).toLong)
+      (d.toLong, base.distinct)
+    } ++ Seq( // planted: subset/superset and heavy-overlap pairs
+      (100L, (0L to 9L).toSeq), (101L, (0L to 9L).toSeq),
+      (102L, (0L to 9L).toSeq :+ 20L), (103L, (0L to 4L).toSeq))
+    val post = docs.toDF("doc_id", "hs")
+      .select($"doc_id", explode($"hs").as("h"))
+    val got = Dedup.ssjoinPairs(post)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every pair, exact rational threshold
+    val sets = docs.map { case (d, hs) => d -> hs.toSet }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size; uni = (a | b).size
+      if uni > 0 && Dedup.SsjDen * inter >= Dedup.SsjNum * uni
+    } yield (ids(i), ids(j))).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+    assert(want.contains((100L, 101L)) && want.contains((100L, 102L)),
+      "planted duplicates must be in the truth set")
+    // exact values: identical sets score exactly 10^6 ppm
+    val exactRow = Dedup.ssjoinPairs(post)
+      .filter($"doc_a" === 100L && $"doc_b" === 101L).head
+    assert(exactRow.getLong(4) == 1000000L)
+  }
+
   // X167 — CUSUM drift monitor
   test("cusum: the closed two-window form equals the literal sequential fold") {
     // deterministic pseudo-random series with both signs of drift

@@ -943,6 +943,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_ssjoin: candidates come from prefix-posting equi-joins — no cross product, slim shuffles") {
+    val plan = executedCold(Dedup.qSsjoin(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the verify joins are id/hash-keyed; text never crosses a shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text"), "only (doc_id, h, df) columns may shuffle:\n" + exchanges)
+  }
+
   test("q_spoofing: book build + FSM fold are keyed shuffles over slim rows, no cross product") {
     val plan = executedCold(graft.streaming.SpoofingDetector.qSpoofing(spark, Sf0001))
     // frame window + level agg + book agg + code repartition for the

@@ -365,7 +365,12 @@ object ScalingHarness {
     "day_lifecycle" ->
       (dir => Scale.qDayLifecycle(spark, dir).count()),
     "schema_evolution" ->
-      (dir => Scale.qSchemaEvolution(spark, dir).count()))
+      (dir => Scale.qSchemaEvolution(spark, dir).count()),
+    // ssjoin: df count + prefix self-join + candidate-bounded verify —
+    // every shuffle carries (long, long) rows; candidates grow with
+    // planted dup pairs, not quadratically.
+    "ssjoin" ->
+      (dir => Dedup.qSsjoin(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
