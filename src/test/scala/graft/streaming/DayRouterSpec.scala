@@ -49,6 +49,34 @@ class DayRouterSpec extends SparkSpec {
     assert(dirs.length >= 28 && dirs.forall(_.matches("day=\\d+")))
   }
 
+  test("end to end: a stream-ingested store serves the pruned time-range rollup identically") {
+    import graft.operators.{Relational, Scale}
+    val dir = java.nio.file.Files.createTempDirectory("day_router3").toString
+    val store = s"$dir/store"
+    val router = new DayRouter(store)
+    // three at-least-once batches (the middle one redelivered)
+    val ev = events(graft.SparkSpec.Sf0001)
+    router.route(ev.filter($"event_id" % 3 === 0))
+    router.route(ev.filter($"event_id" % 3 === 1))
+    router.route(ev.filter($"event_id" % 3 === 1)) // redelivery
+    router.route(ev.filter($"event_id" % 3 === 2))
+    // the X161 rollup over the STREAM-built store
+    def rollup(path: String) = spark.read.parquet(path)
+      .filter($"day" >= Scale.PruneDayLo && $"day" <= Scale.PruneDayHi)
+      .groupBy($"day".cast("long").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), Relational.dsum($"value").as("sum_value"))
+      .orderBy($"day", $"event_type")
+      .collect().toSeq
+    val batchStore = Scale.dayPartitionedEvents(spark, graft.SparkSpec.Sf0001)
+    assert(rollup(store) == rollup(batchStore),
+      "stream-ingested and batch-built day stores must serve identical rollups")
+    // and the pruned scan over the streamed store still partition-prunes
+    val plan = spark.read.parquet(store)
+      .filter($"day" >= Scale.PruneDayLo && $"day" <= Scale.PruneDayHi)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains(Scale.PruneDayLo.toString))
+  }
+
   test("redelivered batches are no-ops: replays cannot duplicate the store") {
     val dir = java.nio.file.Files.createTempDirectory("day_router2").toString
     val store = s"$dir/store"
