@@ -869,7 +869,11 @@ object Dedup {
         expr("(inter * 1000000) div uni").as("jac_ppm"))
   }
 
-  /** Gate: exact Jaccard ≥ 1/2 pairs over the corpus shingle sets. */
+  /** Gate: exact Jaccard ≥ 1/2 pairs over the corpus shingle sets.
+    * Postings come straight off the codegen'd shingle-hash kernel —
+    * measured equal to reading the shared shingle-STRING store warm
+    * (the sha per shingle is the irreducible cost either way) and 3×
+    * cheaper cold, since longs never materialize as string arrays. */
   def qSsjoin(spark: SparkSession, dir: String): DataFrame =
     ssjoinPairs(Tables.documentsSharded(spark, dir)
       .select($"doc_id",
