@@ -708,9 +708,16 @@ object Analytics {
       * 100).cast("long")
     val exp = spark.createDataFrame(BenfordPpm.map { case (d, p) => (d.toLong, p) })
       .toDF("digit", "exp_ppm")
+    // Benford's law is only defined on positive magnitudes: a negative
+    // cents value would put '-' in substr position 1 (DuckDB hard-errors
+    // on the cast, Spark nulls) and zero rows would land in `total` but
+    // be dropped by the 1-9 digit join. Filter before digit extraction,
+    // identically in both engines.
     val counts = Tables.events(spark, dir)
+      .select($"event_type", cents.as("cents"))
+      .where($"cents" > 0)
       .select($"event_type",
-        substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+        substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy($"event_type", $"digit")
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy($"event_type").agg(sum($"n").as("total"))
@@ -725,12 +732,16 @@ object Analytics {
 
   val sqlBenford: String = {
     val expRows = BenfordPpm.map { case (d, p) => s"($d, ${p})" }.mkString(", ")
-    s"""WITH c AS (
+    s"""WITH p AS (
        |  SELECT event_type,
-       |    CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)
-       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) > 0),
+       |c AS (
+       |  SELECT event_type,
+       |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        |    count(*) AS n
-       |  FROM events GROUP BY 1, 2),
+       |  FROM p GROUP BY 1, 2),
        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
        |e(digit, exp_ppm) AS (VALUES $expRows)
        |SELECT c.event_type, c.digit, CAST(c.n AS BIGINT) AS n,

@@ -1428,22 +1428,27 @@ object Similarity {
     * cell directory in place. No-op if the id is not indexed. */
   def retractFromIvfArtifact(spark: SparkSession, base: String, vecId: Long): Unit = {
     val inv = spark.read.parquet(s"$base/inverted")
-    // ≤1-row bounded model read: the doc's cell
-    val hit = inv.filter($"vec_id" === vecId)
-      .select($"cell".cast("long")).collect()
-    if (hit.isEmpty) return
-    val cell = hit.head.getLong(0)
+    // Bounded model read: every cell holding the id. The current
+    // builder assigns each vector to exactly one cell, but a takedown
+    // primitive must not silently retain copies if a future layout
+    // (nprobe>1 replication, a duplicated append) ever multi-homes an
+    // id — so rewrite EVERY matching cell, not hit.head only.
+    val cells = inv.filter($"vec_id" === vecId)
+      .select($"cell".cast("long")).distinct().collect().map(_.getLong(0))
+    if (cells.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
-    val cellPath = new org.apache.hadoop.fs.Path(s"$base/inverted/cell=$cell")
-    val stage = new org.apache.hadoop.fs.Path(s"$base/stage_cell_$cell")
-    val fs = cellPath.getFileSystem(conf)
-    // the cell directory read back directly (partition value lives in
-    // the directory name, exactly what the rewrite preserves)
-    spark.read.parquet(cellPath.toString)
-      .filter($"vec_id" =!= vecId)
-      .write.mode("overwrite").parquet(stage.toString)
-    fs.delete(cellPath, true)
-    fs.rename(stage, cellPath)
+    cells.foreach { cell =>
+      val cellPath = new org.apache.hadoop.fs.Path(s"$base/inverted/cell=$cell")
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage_cell_$cell")
+      val fs = cellPath.getFileSystem(conf)
+      // the cell directory read back directly (partition value lives in
+      // the directory name, exactly what the rewrite preserves)
+      spark.read.parquet(cellPath.toString)
+        .filter($"vec_id" =!= vecId)
+        .write.mode("overwrite").parquet(stage.toString)
+      fs.delete(cellPath, true)
+      fs.rename(stage, cellPath)
+    }
     ()
   }
 

@@ -83,7 +83,13 @@ object SpoofingDetector {
     import books.sparkSession.implicits._
     books
       .repartition(col("code"))
-      .sortWithinPartitions(col("code"), col("ts_ms"))
+      // (code, ts_ms) alone is not a total order: two frames of one
+      // market could share a max event timestamp and the FSM fold is
+      // order-sensitive. Tiebreak on the book content itself (array
+      // ordering is lexicographic) — books that still tie are
+      // identical, and swapping identical adjacent inputs is a no-op
+      // for the fold, so replay order is deterministic.
+      .sortWithinPartitions(col("code"), col("ts_ms"), col("prices"), col("sizes"))
       .mapPartitions { it =>
         graft.core.SecondarySort.runs(it)(_.code).flatMap { case (_, bs) =>
           var s = Empty
