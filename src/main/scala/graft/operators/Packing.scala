@@ -54,23 +54,25 @@ object Packing {
   val TokenBudget = 512L
   val DocsPerShard = 4L
 
-  /** The shared next-fit walk over an arbitrary integral shard key. */
-  def packBy(spark: SparkSession, dir: String, shardOf: Column): DataFrame = {
-    import spark.implicits.newProductEncoder
-    val toks = Tables.documentsSharded(spark, dir)
-      .select(shardOf.cast("long").as("shard"), $"doc_id",
-        size(regexp_extract_all($"text", lit(TextOps.BpeIshPattern), lit(0)))
-          .cast("long").as("n_tokens"))
-      .as[(Long, Long, Long)]
-    val packed = toks
+  /** Next-fit fold over an explicit (shard, ord, doc_id, n_tokens)
+    * frame — the core every pack face shares: one shuffle on shard,
+    * external sort on (shard, ord), O(1) fold state per shard. `ord`
+    * is the walk order within a shard (doc_id for the corpus gates;
+    * the mixture position for the curation capstone). */
+  def packFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits.newProductEncoder
+    val packed = docs
+      .select(col("shard").cast("long"), col("ord").cast("long"),
+        col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, Long, Long, Long)]
       .repartition(col("shard"))
-      .sortWithinPartitions($"shard", $"doc_id")
+      .sortWithinPartitions($"shard", $"ord")
       .mapPartitions { it =>
-        SecondarySort.runs(it)(_._1).flatMap { case (shard, docs) =>
+        SecondarySort.runs(it)(_._1).flatMap { case (shard, ds) =>
           var bin = -1L
           var fill = 0L
           var first = true // the first doc always opens bin 0
-          docs.map { case (_, docId, n) =>
+          ds.map { case (_, _, docId, n) =>
             if (first || fill + n > TokenBudget) { bin += 1; fill = n; first = false }
             else fill += n
             (docId, shard, n, bin, fill)
@@ -78,7 +80,15 @@ object Packing {
         }
       }
     packed.toDF("doc_id", "shard", "n_tokens", "bin", "bin_fill")
-      .orderBy($"doc_id")
+  }
+
+  /** The shared next-fit walk over an arbitrary integral shard key. */
+  def packBy(spark: SparkSession, dir: String, shardOf: Column): DataFrame = {
+    val toks = Tables.documentsSharded(spark, dir)
+      .select(shardOf.cast("long").as("shard"), $"doc_id".as("ord"), $"doc_id",
+        size(regexp_extract_all($"text", lit(TextOps.BpeIshPattern), lit(0)))
+          .cast("long").as("n_tokens"))
+    packFrame(toks).orderBy($"doc_id")
   }
 
   def qSequencePack(spark: SparkSession, dir: String): DataFrame =

@@ -22,10 +22,10 @@ object Sampling {
 
   /** Sampling-universe hash: 60-bit sha-derived key of the doc id under
     * a named seed (shared with the DuckDB oracle). */
-  private def sampleKey(seed: String, id: Column): Column =
+  private[operators] def sampleKey(seed: String, id: Column): Column =
     Hashing.h60(concat_ws("|", lit(seed), id.cast("string")))
 
-  private def sqlSampleKey(seed: String, idSql: String): String =
+  private[operators] def sqlSampleKey(seed: String, idSql: String): String =
     Hashing.sqlH60(s"'$seed' || '|' || CAST($idSql AS VARCHAR)")
 
   val Seed = "s42"

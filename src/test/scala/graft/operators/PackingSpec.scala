@@ -96,4 +96,56 @@ class PackingSpec extends SparkSpec {
       assert(sorted.forall(x => x._5 >= x._4), "spans are non-negative")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Curation capstone (X175): every packed token must trace to a
+  // surviving, decontaminated, train-split, mixture-selected document
+  // — the provenance-through-the-pipeline guarantee the composed
+  // oracle's value check cannot express on its own.
+  // ------------------------------------------------------------------
+  test("curation e2e: every packed token traces to a surviving selected doc, spans tile") {
+    import spark.implicits._
+    val out = Curation.qCurationE2e(spark, Sf0001)
+      .select($"shard", $"bin", $"doc_id", $"n_tokens", $"tok_start", $"tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // packed ids == the mixture selection, each exactly once (no doc
+    // invented or dropped by the pack stage)
+    val packedIds = out.map(_._3)
+    assert(packedIds.distinct.length == packedIds.length)
+    val selIds = Curation.selectedDocs(spark, Sf0001)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(packedIds.toSet == selIds, "pack stage must emit exactly the selection")
+    // selection ⊆ train survivors (quality-kept, deduped, clean, train)
+    val trainIds = Curation.trainDocs(spark, Sf0001)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(selIds.subsetOf(trainIds), "selection must come from surviving train docs")
+    // survivors are quality-kept, uncontaminated, and not eval-holdout
+    val keepIds = Corpus.qGopherRules(spark, Sf0001)
+      .where($"keep").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.subsetOf(keepIds), "a dropped-quality doc leaked through")
+    val contamIds = Corpus.decontaminateCore(spark, Sf0001)
+      .where($"is_contaminated").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(contamIds).isEmpty, "a contaminated doc leaked through")
+    assert(trainIds.forall(_ % Corpus.EvalMod != Corpus.EvalRem),
+      "an eval-holdout doc leaked into the training set")
+    // near-dup families contribute at most one member
+    val labelOf = Clustering.dupLabels(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val families = packedIds.map(id => labelOf.getOrElse(id, id))
+    assert(families.distinct.length == families.length,
+      "two members of one near-dup family were both packed")
+    // spans tile every bin contiguously from 0 (dataloader invariant)
+    out.groupBy(r => (r._1, r._2)).foreach { case ((sh, b), spans) =>
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 == 0L, s"bin ($sh,$b) must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, c) =>
+          assert(a._6 == c._5, s"gap/overlap in bin ($sh,$b) at doc ${c._3}")
+        case _ => ()
+      }
+      assert(sorted.forall(x => x._6 - x._5 == x._4), "span width == token count")
+    }
+  }
 }

@@ -1263,7 +1263,8 @@ class PlanSpec extends SparkSpec {
       "q_unimax_alloc",   // round-robin budget allocation over the per-source table (|sources| rows)
       "q_budget_select",  // threshold pick over histogram-bucket boundaries (fixed bucket grid)
       "q_vocab_coverage", // cumulative coverage over the top-K vocab cut (K rows)
-      "q_quantile_norm"   // value-level CDF over the distinct-length histogram (|distinct lengths| rows, corpus-independent)
+      "q_quantile_norm",  // value-level CDF over the distinct-length histogram (|distinct lengths| rows, corpus-independent)
+      "q_curation_e2e"    // mixture position offsets over the per-lang quota frame (|langs| rows)
     )
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val actual = scala.collection.mutable.Set.empty[String]
