@@ -34,6 +34,7 @@ object Bench {
     graft.operators.Graph.invalidateEdgeStore()
     graft.operators.Scale.invalidateBucketed()
     graft.operators.Scale.invalidateDayStore()
+    graft.operators.Scale.invalidateZorderStore()
     graft.operators.Similarity.invalidateIvfArtifact()
     graft.operators.Clustering.releaseMergeClosures()
     // Pre-materialize the SHARED persisted stores at the target SF so
@@ -67,6 +68,7 @@ object Bench {
       graft.operators.Scale.dayLifecycleStore(spark, sfDir)
       graft.operators.Scale.evolvedStore(spark, sfDir)
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
+      graft.operators.Scale.zorderStore(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
       graft.operators.Similarity.ivfArtifactInc(spark, sfDir)
       graft.operators.Similarity.ivfArtifactRetract(spark, sfDir)

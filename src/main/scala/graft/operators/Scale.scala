@@ -972,4 +972,150 @@ object Scale {
        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM events
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Z-order READ-side pruning (X176 — the serving half of X162's
+  // writer; the hypertable chunk-exclusion posture applied to the
+  // second dimension): a footer-stats MANIFEST records, per data file,
+  // the min/max of BOTH z-dims read from the real parquet footers —
+  // exactly what Delta/Iceberg record in their manifests at commit
+  // time — and a 2-dim box predicate becomes a file list BEFORE the
+  // scan: only files whose (user, time) envelope intersects the box
+  // are opened. On the z-ordered layout both envelopes are ~√-narrow
+  // (ScaleSpec's X162 case), so a quarter×quarter box touches ~1/16 of
+  // the files; on a single-key sort the second dim's envelope is the
+  // whole domain and nothing prunes. The GATE serves a per-user rollup
+  // inside a data-derived box (integer 3/8..5/8 fractions of each
+  // dim's span, so the predicate is identical at every SF and in both
+  // engines); the ORACLE runs the same box over raw `events` —
+  // agreement proves the pruned read loses no rows. ScaleSpec pins
+  // files-read < total and row-equality against the unpruned read.
+  // ------------------------------------------------------------------
+  val ZStoreFiles = 32L
+
+  private val zStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateZorderStore(): Unit = zStoreCache.clear()
+
+  /** Per-file (min, max) of `cols`, read from the REAL parquet footers
+    * (block-level column statistics) — driver-side O(files) metadata
+    * work, the manifest build a table format performs at commit. */
+  def footerStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): Seq[(String, Seq[(Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val chunks = rd.getFooter.getBlocks.asScala.toSeq
+            .flatMap(_.getColumns.asScala)
+          val spans = cols.map { c =>
+            val stats = chunks.filter(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .collect { case s: org.apache.parquet.column.statistics.LongStatistics => s }
+            require(stats.nonEmpty, s"no INT64 footer stats for $c in ${f.getPath}")
+            (stats.map(_.getMin).min, stats.map(_.getMax).max)
+          }
+          (f.getPath.getName, spans)
+        } finally rd.close()
+      }
+  }
+
+  /** Build (once) the z-ordered event store: `data/` written by
+    * [[writeZordered]] on (user_id, tmu), `manifest/` with the
+    * per-file footer envelopes of both dims, `bounds/` with the global
+    * dim bounds the box predicate derives from. Returns the base. */
+  def zorderStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    zStoreCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/zorder_store$tag"
+      val e = graft.sources.Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_micros($"ts").as("tmu"))
+      val total = e.count()
+      val target = (total + ZStoreFiles - 1) / ZStoreFiles
+      writeZordered(e, "user_id", "tmu", target, s"$base/data", Some(total))
+      val man = footerStats(spark, s"$base/data", Seq("user_id", "tmu"))
+        .map { case (f, Seq((aLo, aHi), (bLo, bHi))) => (f, aLo, aHi, bLo, bHi) }
+      spark.createDataFrame(man)
+        .toDF("file", "a_min", "a_max", "b_min", "b_max")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      e.agg(min($"user_id").as("a_min"), max($"user_id").as("a_max"),
+        min($"tmu").as("b_min"), max($"tmu").as("b_max"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bounds")
+      base
+    })
+
+  /** The gate's box: integer 3/8..5/8 fractions of each dim's span —
+    * derived from the store's 1-row bounds file, exact at any SF. */
+  def zorderBox(spark: org.apache.spark.sql.SparkSession,
+      base: String): (Long, Long, Long, Long) = {
+    val b = spark.read.parquet(s"$base/bounds").head
+    val (aMin, aMax, bMin, bMax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val aSpan = aMax - aMin + 1
+    val bSpan = bMax - bMin + 1
+    (aMin + aSpan * 3 / 8, aMin + aSpan * 5 / 8 - 1,
+      bMin + bSpan * 3 / 8, bMin + bSpan * 5 / 8 - 1)
+  }
+
+  /** Prune the manifest to files whose envelope intersects the box,
+    * then read ONLY those files with the residual predicate. Returns
+    * (frame, filesRead, filesTotal). The manifest read is O(files)
+    * bounded metadata, never data. */
+  def zorderPrunedRead(spark: org.apache.spark.sql.SparkSession, base: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): (DataFrame, Long, Long) = {
+    val man = spark.read.parquet(s"$base/manifest").collect()
+    val hit = man.filter { r =>
+      aLo <= r.getLong(2) && r.getLong(1) <= aHi &&
+        bLo <= r.getLong(4) && r.getLong(3) <= bHi
+    }.map(_.getString(0))
+    val residual = (df: DataFrame) => df.filter(
+      $"user_id".between(aLo, aHi) && $"tmu".between(bLo, bHi))
+    val df =
+      if (hit.isEmpty) residual(spark.read.parquet(s"$base/data")).limit(0)
+      else residual(spark.read.parquet(hit.map(f => s"$base/data/$f").toSeq: _*))
+    (df, hit.length.toLong, man.length.toLong)
+  }
+
+  /** Gate: per-user rollup inside the box, served from the pruned
+    * file list; oracle = the same box over raw `events`. */
+  def qZorderPrune(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = zorderStore(spark, dir)
+    val (aLo, aHi, bLo, bHi) = zorderBox(spark, base)
+    val (df, _, _) = zorderPrunedRead(spark, base, aLo, aHi, bLo, bHi)
+    df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum($"value").as("sum_value"),
+        min($"tmu").as("t_min"), max($"tmu").as("t_max"))
+      .orderBy($"user_id")
+  }
+
+  val sqlZorderPrune: String =
+    s"""WITH b AS (
+       |  SELECT min(user_id) AS amin, max(user_id) AS amax,
+       |    min(epoch_us(ts)) AS bmin, max(epoch_us(ts)) AS bmax
+       |  FROM events),
+       |box AS (
+       |  SELECT amin + (amax - amin + 1) * 3 // 8 AS alo,
+       |    amin + (amax - amin + 1) * 5 // 8 - 1 AS ahi,
+       |    bmin + (bmax - bmin + 1) * 3 // 8 AS blo,
+       |    bmin + (bmax - bmin + 1) * 5 // 8 - 1 AS bhi
+       |  FROM b)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       |  min(epoch_us(ts)) AS t_min, max(epoch_us(ts)) AS t_max
+       |FROM events CROSS JOIN box
+       |WHERE user_id BETWEEN alo AND ahi
+       |  AND epoch_us(ts) BETWEEN blo AND bhi
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

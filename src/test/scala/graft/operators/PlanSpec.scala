@@ -40,6 +40,7 @@ class PlanSpec extends SparkSpec {
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
     Scale.invalidateDayStore()
+    Scale.invalidateZorderStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString

@@ -384,6 +384,7 @@ object ScalingHarness {
     Graph.invalidateEdgeStore()
     Scale.invalidateBucketed()
     Scale.invalidateDayStore()
+    Scale.invalidateZorderStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
   }
