@@ -172,6 +172,65 @@ object TextKernels {
     out
   }
 
+  /** Audio-modality fingerprint: 60-bit frame-windowed spectral-peak
+    * SimHash. The decoded payload stream is cut into overlapping
+    * windows ([[AudioWin]] chars at [[AudioHop]] hop — 50% overlap,
+    * the standard audio-fingerprint framing); each window contributes
+    * its PEAK spectral bin (argmax of the window's 61-bin bigram
+    * histogram, smallest bin on ties — Shazam-style constellation
+    * peak picking over the stub spectrum); the per-doc fingerprint is
+    * the SimHash of the peak multiset (each peak's h60 votes ±1 per
+    * bit — dense and order-robust, where a gradient binarization of
+    * the sparse peak histogram collided everything short). Integer-
+    * only, so DuckDB replays it bit-for-bit. STUB CONTRACT: a real
+    * deployment feeds MFCC/chroma band energies through the same
+    * windows, peak picking, and vote fold. */
+  val AudioWin = 64
+  val AudioHop = 32
+
+  def aphash60(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    val votes = new Array[Long](60)
+    val md = MessageDigest.getInstance("SHA-256")
+    var start = 0
+    var first = true
+    while (first || start < n) {
+      first = false
+      val end = math.min(start + AudioWin, n)
+      val counts = new Array[Long](61)
+      var i = start
+      var prev = -1
+      while (i < end) {
+        val cp = s.codePointAt(i)
+        if (prev >= 0) counts((prev * 131 + cp) % 61) += 1
+        prev = cp
+        i += Character.charCount(cp)
+      }
+      var best = 0
+      var j = 1
+      while (j < 61) {
+        if (counts(j) > counts(best)) best = j
+        j += 1
+      }
+      md.reset()
+      val h = h60(md.digest(s"apk:$best".getBytes("UTF-8")))
+      var b = 0
+      while (b < 60) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      start += AudioHop
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def simhash60(text: UTF8String): Long = {
     val t = tokens(text)
     val counts = new Array[Int](60)
@@ -251,6 +310,18 @@ case class PHash60Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PHash60Expr = copy(child = newChild)
 }
 
+/** `graft_aphash60(text)`: 60-bit frame-windowed spectral-peak audio
+  * fingerprint. */
+case class APHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_aphash60"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.aphash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.aphash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): APHash60Expr = copy(child = newChild)
+}
+
 /** `graft_simhash60(text)`: 60-bit SimHash. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -270,6 +341,7 @@ object TextKernelFunctions {
   def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
   def simhash60(text: Column): Column = call_function("graft_simhash60", text)
   def phash60(text: Column): Column = call_function("graft_phash60", text)
+  def aphash60(text: Column): Column = call_function("graft_aphash60", text)
 
   private def reg1(name: String, build: Expression => Expression) = (
     FunctionIdentifier(name),
@@ -285,5 +357,6 @@ object TextKernelFunctions {
     reg1("graft_anchor_hashes", AnchorHashesExpr),
     reg1("graft_minhash_sig", MinHashSigExpr),
     reg1("graft_simhash60", SimHash60Expr),
-    reg1("graft_phash60", PHash60Expr))
+    reg1("graft_phash60", PHash60Expr),
+    reg1("graft_aphash60", APHash60Expr))
 }

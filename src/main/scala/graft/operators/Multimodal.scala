@@ -379,6 +379,100 @@ object Multimodal {
        |ORDER BY i.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Audio-modality face (X177/X178 — the modality triad completed):
+  // the payload as an overlapping WINDOW sequence. Each AudioWin-char
+  // window at AudioHop hop yields its peak spectral bin (argmax of the
+  // window's 61-bin bigram histogram — Shazam-style constellation
+  // peak picking over the stub spectrum), and the per-doc fingerprint
+  // is the SimHash of the peak multiset ([[graft.functions.TextKernels
+  // .aphash60]], one codegen'd kernel pass riding the payload scan).
+  // Near-dup pairs ride the SAME 4×15-bit chunk pigeonhole join as the
+  // image face — audio evidence is pairwise, so it composes exactly
+  // into the cross-modal store, the incremental merge, and the
+  // retraction splice. A real deployment swaps the bigram spectrum for
+  // MFCC/chroma band energies; windowing, peak picking, vote fold,
+  // and every join shape downstream are unchanged.
+  // ------------------------------------------------------------------
+
+  /** (doc_id, ahash) over a payload table — the audio analog of
+    * [[phashFrame]]. */
+  def audioFrame(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+      graft.functions.TextKernelFunctions.aphash60(
+        decode($"payload", "UTF-8")).as("ahash"))
+
+  /** Per-doc audio fingerprint + window count. */
+  def qAudioPhash(spark: SparkSession, dir: String): DataFrame =
+    payloadTable(spark, dir)
+      .select($"doc_id", decode($"payload", "UTF-8").as("txt"))
+      .select($"doc_id",
+        greatest(expr(s"(length(txt) + ${graft.functions.TextKernels.AudioHop - 1}) div ${graft.functions.TextKernels.AudioHop}"), lit(1L))
+          .cast("long").as("n_windows"),
+        graft.functions.TextKernelFunctions.aphash60($"txt").as("ahash"))
+      .orderBy($"doc_id")
+
+  /** Shared CTE computing `aph(doc_id, ahash)`: windows by unnested
+    * range, per-window bigram histogram, peak pick (count desc, bin
+    * asc), SimHash vote fold — the kernel unrolled for DuckDB. */
+  private def sqlAudioCte: String = {
+    val win = graft.functions.TextKernels.AudioWin
+    val hop = graft.functions.TextKernels.AudioHop
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |awin AS (SELECT doc_id, w AS win_no, substr(text, w * $hop + 1, $win) AS wtxt
+       |  FROM (SELECT doc_id, text, n,
+       |          unnest(range(0, greatest((n + ${hop - 1}) // $hop, 1))) AS w
+       |        FROM d)),
+       |aix AS (SELECT doc_id, win_no, wtxt, unnest(range(0, length(wtxt) - 1)) AS i FROM awin),
+       |ach AS (SELECT doc_id, win_no,
+       |    (ord(substr(wtxt, i + 1, 1)) * 131 + ord(substr(wtxt, i + 2, 1))) % 61 AS bk
+       |  FROM aix),
+       |abc AS (SELECT doc_id, win_no, bk, count(*)::BIGINT AS c FROM ach GROUP BY 1, 2, 3),
+       |apk1 AS (SELECT doc_id, win_no, bk, row_number() OVER (
+       |    PARTITION BY doc_id, win_no ORDER BY c DESC, bk) AS rn FROM abc),
+       |apk AS (SELECT w.doc_id, w.win_no, coalesce(p.bk, 0)::BIGINT AS pbk
+       |  FROM awin w LEFT JOIN (SELECT doc_id, win_no, bk FROM apk1 WHERE rn = 1) p
+       |    ON w.doc_id = p.doc_id AND w.win_no = p.win_no),
+       |apv AS (SELECT doc_id, pbk, count(*)::BIGINT AS c,
+       |    ('0x' || substr(sha256('apk:' || pbk), 1, 15))::BIGINT AS hv
+       |  FROM apk GROUP BY 1, 2),
+       |abits AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (hv >> j::INTEGER) & 1 = 1 THEN c ELSE -c END) AS v
+       |  FROM apv, range(0, 60) r(j) GROUP BY 1, 2),
+       |aph AS (SELECT doc_id,
+       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INTEGER) ELSE 0::BIGINT END)::BIGINT AS ahash
+       |  FROM abits GROUP BY 1)
+       |""".stripMargin
+  }
+
+  val sqlAudioPhash: String = {
+    val hop = graft.functions.TextKernels.AudioHop
+    sqlAudioCte +
+      s"""SELECT d.doc_id,
+         |  greatest((d.n + ${hop - 1}) // $hop, 1)::BIGINT AS n_windows,
+         |  aph.ahash
+         |FROM d JOIN aph USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unordered audio near-dup pair set (see [[imageNeardupCore]]):
+    * hamming(ahash) ≤ 3 via the chunk pigeonhole bucket join. */
+  def audioNeardupCore(spark: SparkSession, dir: String): DataFrame = {
+    val base = audioFrame(payloadTable(spark, dir)).persist()
+    base.count() // eager, both join sides read one materialization
+    Dedup.chunkBucketPairs(base, "ahash")
+  }
+
+  def qAudioNeardup(spark: SparkSession, dir: String): DataFrame =
+    audioNeardupCore(spark, dir).orderBy($"doc_a", $"doc_b")
+
+  /** Oracle: exact all-pairs hamming ≤ 3 (pigeonhole recall). */
+  val sqlAudioNeardup: String = sqlAudioCte +
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+       |FROM aph a JOIN aph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // Cross-modal dedup verdict — the integration step a multimodal
   // training-data pipeline actually ships: near-dup evidence from ALL
   // modalities (text MinHash-LSH X2, perceptual payload hash X113,
@@ -408,6 +502,8 @@ object Multimodal {
           .select($"doc_a", $"doc_b", lit("image").as("m")))
         .unionByName(videoNeardupCore(spark, dir)
           .select($"doc_a", $"doc_b", lit("video").as("m")))
+        .unionByName(audioNeardupCore(spark, dir)
+          .select($"doc_a", $"doc_b", lit("audio").as("m")))
         .persist()
       tagged.count() // eager, so every consumer reads the materialized store
       val edges = tagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct()
@@ -436,7 +532,8 @@ object Multimodal {
       .groupBy($"doc_id")
       .agg((sum(when($"m" === "text", 1).otherwise(0)) > 0).as("via_text"),
         (sum(when($"m" === "image", 1).otherwise(0)) > 0).as("via_image"),
-        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"))
+        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"),
+        (sum(when($"m" === "audio", 1).otherwise(0)) > 0).as("via_audio"))
     Tables.documentsSharded(spark, dir).select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .join(via, Seq("doc_id"), "left")
@@ -445,7 +542,8 @@ object Multimodal {
         (coalesce($"label", $"doc_id") === $"doc_id").as("kept"),
         coalesce($"via_text", lit(false)).as("via_text"),
         coalesce($"via_image", lit(false)).as("via_image"),
-        coalesce($"via_video", lit(false)).as("via_video"))
+        coalesce($"via_video", lit(false)).as("via_video"),
+        coalesce($"via_audio", lit(false)).as("via_audio"))
       .orderBy($"doc_id")
   }
 
@@ -456,10 +554,12 @@ object Multimodal {
     s"""WITH RECURSIVE tp AS (${Dedup.sqlMinhashLshPairs}),
        |ip AS ($sqlImageNeardupPairs),
        |vp AS ($sqlVideoNeardup),
+       |ap AS ($sqlAudioNeardup),
        |tag AS (
        |  SELECT doc_a, doc_b, 'text' AS m FROM tp
        |  UNION ALL SELECT doc_a, doc_b, 'image' AS m FROM ip
-       |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp),
+       |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp
+       |  UNION ALL SELECT doc_a, doc_b, 'audio' AS m FROM ap),
        |edges AS (
        |  SELECT DISTINCT doc_a AS src, doc_b AS dst FROM tag
        |  UNION SELECT DISTINCT doc_b AS src, doc_a AS dst FROM tag),
@@ -471,7 +571,8 @@ object Multimodal {
        |via AS (SELECT doc_id,
        |    bool_or(m = 'text') AS via_text,
        |    bool_or(m = 'image') AS via_image,
-       |    bool_or(m = 'video') AS via_video
+       |    bool_or(m = 'video') AS via_video,
+       |    bool_or(m = 'audio') AS via_audio
        |  FROM (SELECT doc_a AS doc_id, m FROM tag
        |        UNION ALL SELECT doc_b AS doc_id, m FROM tag)
        |  GROUP BY 1)
@@ -480,7 +581,8 @@ object Multimodal {
        |  coalesce(l.label, d.doc_id) = d.doc_id AS kept,
        |  coalesce(v.via_text, false) AS via_text,
        |  coalesce(v.via_image, false) AS via_image,
-       |  coalesce(v.via_video, false) AS via_video
+       |  coalesce(v.via_video, false) AS via_video,
+       |  coalesce(v.via_audio, false) AS via_audio
        |FROM documents d LEFT JOIN labels l USING (doc_id)
        |  LEFT JOIN via v USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
@@ -516,8 +618,8 @@ object Multimodal {
     * [[Dedup.chunkBucketPairs]] decomposed the way [[Dedup.edgesOf]]
     * decomposes the LSH pairs. Canonical (least, greatest) output. */
   private[operators] def phashPairsTouching(batchPh: DataFrame,
-      corpusPh: DataFrame): DataFrame = {
-    def ck(df: DataFrame, id: String) = Dedup.chunkKeys(df, "phash")
+      corpusPh: DataFrame, hashCol: String = "phash"): DataFrame = {
+    def ck(df: DataFrame, id: String) = Dedup.chunkKeys(df, hashCol)
       .select($"doc_id".as(id), $"_h".as(s"${id}_h"), $"chunk", $"ckey")
     val cross = ck(batchPh, "a").join(ck(corpusPh, "b"), Seq("chunk", "ckey"))
     val within = ck(batchPh, "a").join(ck(batchPh, "b"), Seq("chunk", "ckey"))
@@ -561,7 +663,7 @@ object Multimodal {
     * filtered to corpus endpoints (exact, by pairwise decomposition);
     * video corpus pairs are recomputed with corpus-only rarity. */
   final case class IncModalStore(ph: DataFrame, fr: DataFrame,
-      corpusTagged: DataFrame, corpusLabels: DataFrame)
+      aph: DataFrame, corpusTagged: DataFrame, corpusLabels: DataFrame)
 
   private val incModalCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IncModalStore]
@@ -576,6 +678,8 @@ object Multimodal {
       val fr = framePhashes(spark, dir).select($"doc_id", $"fhash").distinct()
         .persist()
       fr.count()
+      val aph = audioFrame(payloadTable(spark, dir)).persist()
+      aph.count()
       val corpusText = Dedup.minhashLshPairsCore(spark, dir)
         .filter(!isIncoming($"doc_a") && !isIncoming($"doc_b"))
         .select($"doc_a", $"doc_b", lit("text").as("m"))
@@ -585,13 +689,18 @@ object Multimodal {
       val frC = fr.filter(!isIncoming($"doc_id"))
       val corpusVideo = videoPairsTouching(frC, frC)
         .select($"doc_a", $"doc_b", lit("video").as("m"))
+      // audio evidence is pairwise (chunk pigeonhole), so the corpus-
+      // within family composes exactly like image
+      val corpusAudio = audioNeardupCore(spark, dir)
+        .filter(!isIncoming($"doc_a") && !isIncoming($"doc_b"))
+        .select($"doc_a", $"doc_b", lit("audio").as("m"))
       val corpusTagged = corpusText.unionByName(corpusImage)
-        .unionByName(corpusVideo).persist()
+        .unionByName(corpusVideo).unionByName(corpusAudio).persist()
       corpusTagged.count()
       val corpusLabels = Clustering.connectedComponents(
         corpusTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),
         maxRounds = 64)
-      IncModalStore(ph, fr, corpusTagged, corpusLabels)
+      IncModalStore(ph, fr, aph, corpusTagged, corpusLabels)
     })
 
   // ------------------------------------------------------------------
@@ -615,6 +724,7 @@ object Multimodal {
   def retractModalDoc(st: IncModalStore, docId: Long): IncModalStore = {
     val ph2 = st.ph.filter($"doc_id" =!= docId)
     val fr2 = st.fr.filter($"doc_id" =!= docId)
+    val aph2 = st.aph.filter($"doc_id" =!= docId)
     val tagged2 = st.corpusTagged
       .filter($"doc_a" =!= docId && $"doc_b" =!= docId)
     // ≤1-row bounded model read (the kmeans read-back stance)
@@ -634,12 +744,12 @@ object Multimodal {
         Clustering.retractFromLabels(
           st.corpusLabels.filter($"id" =!= docId), label, survivorPairs)
       }
-    IncModalStore(ph2, fr2, tagged2, labels2)
+    IncModalStore(ph2, fr2, aph2, tagged2, labels2)
   }
 
   def invalidateIncModalStore(): Unit = {
     incModalCache.values.foreach { s =>
-      s.ph.unpersist(); s.fr.unpersist()
+      s.ph.unpersist(); s.fr.unpersist(); s.aph.unpersist()
       s.corpusTagged.unpersist(); s.corpusLabels.unpersist()
     }
     incModalCache.clear()
@@ -662,10 +772,15 @@ object Multimodal {
       .select($"doc_a", $"doc_b", lit("image").as("m"))
     val newVideo = videoPairsTouching(st.fr.filter(isIncoming($"doc_id")), st.fr)
       .select($"doc_a", $"doc_b", lit("video").as("m"))
-    // materialize the batch's three probe-join families ONCE: the edge
+    val newAudio = phashPairsTouching(
+        st.aph.filter(isIncoming($"doc_id")), st.aph.filter(!isIncoming($"doc_id")),
+        hashCol = "ahash")
+      .select($"doc_a", $"doc_b", lit("audio").as("m"))
+    // materialize the batch's four probe-join families ONCE: the edge
     // merge and the incidence aggregate below both read them (plan is
     // deterministic, so per-session re-runs hit the same cache entry)
-    val newTagged = newText.unionByName(newImage).unionByName(newVideo).persist()
+    val newTagged = newText.unionByName(newImage).unionByName(newVideo)
+      .unionByName(newAudio).persist()
     newTagged.count()
     val labels = Clustering.mergeEdgesIntoLabels(
       newTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),
@@ -676,7 +791,8 @@ object Multimodal {
       .groupBy($"doc_id")
       .agg((sum(when($"m" === "text", 1).otherwise(0)) > 0).as("via_text"),
         (sum(when($"m" === "image", 1).otherwise(0)) > 0).as("via_image"),
-        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"))
+        (sum(when($"m" === "video", 1).otherwise(0)) > 0).as("via_video"),
+        (sum(when($"m" === "audio", 1).otherwise(0)) > 0).as("via_audio"))
     Tables.documentsSharded(spark, dir).select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"label"), Seq("doc_id"), "left")
       .join(via, Seq("doc_id"), "left")
@@ -686,6 +802,7 @@ object Multimodal {
         coalesce($"via_text", lit(false)).as("via_text"),
         coalesce($"via_image", lit(false)).as("via_image"),
         coalesce($"via_video", lit(false)).as("via_video"),
+        coalesce($"via_audio", lit(false)).as("via_audio"),
         when(isIncoming($"doc_id"), lit("incoming")).otherwise(lit("corpus"))
           .as("origin"))
       .orderBy($"doc_id")
@@ -718,9 +835,11 @@ object Multimodal {
        |  GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared),
        |tp AS (${Dedup.sqlMinhashLshPairs}),
        |ip AS ($sqlImageNeardupPairs),
+       |ap AS ($sqlAudioNeardup),
        |tag AS (
        |  SELECT doc_a, doc_b, 'text' AS m FROM tp
        |  UNION ALL SELECT doc_a, doc_b, 'image' AS m FROM ip
+       |  UNION ALL SELECT doc_a, doc_b, 'audio' AS m FROM ap
        |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp_c
        |  UNION ALL SELECT doc_a, doc_b, 'video' AS m FROM vp_t),
        |edges AS (
@@ -734,7 +853,8 @@ object Multimodal {
        |via AS (SELECT doc_id,
        |    bool_or(m = 'text') AS via_text,
        |    bool_or(m = 'image') AS via_image,
-       |    bool_or(m = 'video') AS via_video
+       |    bool_or(m = 'video') AS via_video,
+       |    bool_or(m = 'audio') AS via_audio
        |  FROM (SELECT doc_a AS doc_id, m FROM tag
        |        UNION ALL SELECT doc_b AS doc_id, m FROM tag)
        |  GROUP BY 1)
@@ -744,6 +864,7 @@ object Multimodal {
        |  coalesce(v.via_text, false) AS via_text,
        |  coalesce(v.via_image, false) AS via_image,
        |  coalesce(v.via_video, false) AS via_video,
+       |  coalesce(v.via_audio, false) AS via_audio,
        |  CASE WHEN docs.doc_id % $mod = $rem THEN 'incoming' ELSE 'corpus' END AS origin
        |FROM (SELECT doc_id FROM documents) docs
        |LEFT JOIN labels l ON l.doc_id = docs.doc_id

@@ -1023,6 +1023,7 @@ class ReplayEquivalenceSpec extends SparkSpec {
     // have forgotten the doc
     assert(out.ph.filter(col("doc_id") === d).isEmpty)
     assert(out.fr.filter(col("doc_id") === d).isEmpty)
+    assert(out.aph.filter(col("doc_id") === d).isEmpty)
     assert(out.corpusTagged
       .filter(col("doc_a") === d || col("doc_b") === d).isEmpty)
 
