@@ -974,6 +974,102 @@ object Scale {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Type-WIDENING schema evolution (X179 — the other common evolution,
+  // X173's companion): the producer upgrades a value column from INT32
+  // to INT64 at the [[EvolveDay]] generation boundary. Unlike the
+  // added-column case, parquet `mergeSchema` HARD-FAILS here (Spark's
+  // StructType.merge refuses int vs bigint — "Failed to merge
+  // incompatible data types"), and a plain un-merged read is worse: it
+  // silently serves whichever file's footer it sampled first. The
+  // documented posture: read each generation's partition directories
+  // separately (the boundary lives in the table catalog; here it is
+  // the same day constant X173 uses), cast the narrow generation to
+  // the WIDEST type, union — no old-partition rewrite, ever
+  // (petabytes of INT32 history stay as written). The GATE rolls up
+  // across both generations; the ORACLE replays the generation split
+  // from raw `events`. ScaleSpec pins that mergeSchema really does
+  // throw on this store, so the posture is proven necessary, not
+  // assumed.
+  // ------------------------------------------------------------------
+  private val dayWidenCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateWidenStore(): Unit = dayWidenCache.clear()
+
+  /** Build (once) the widening twin of the day store: `cents` written
+    * INT32 before the boundary, INT64 from it on. */
+  def widenedStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dayWidenCache.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/day_events_widen$tag"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // appends must start empty
+      val ev = graft.sources.Tables.events(spark, dir)
+        .withColumn("day", expr("unix_millis(ts) div 86400000"))
+        .withColumn("cents",
+          ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+            .cast("long"))
+      ev.filter($"day" < EvolveDay)
+        .select($"event_id", $"event_type", $"cents".cast("int").as("cents"), $"day")
+        .write.mode("append").partitionBy("day").parquet(path)
+      ev.filter($"day" >= EvolveDay)
+        .select($"event_id", $"event_type", $"cents", $"day")
+        .write.mode("append").partitionBy("day").parquet(path)
+      path
+    })
+
+  /** Per-generation read + cast-to-widest union: each generation's
+    * `day=` directories are read under their OWN file schema (so the
+    * INT32 footers are never sampled for the INT64 half), the narrow
+    * side is cast up, and the union serves the widest type. */
+  def readWidened(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath)
+    val (oldDirs, newDirs) =
+      days.partition(_.getName.stripPrefix("day=").toLong < EvolveDay)
+    def gen(dirs: Seq[org.apache.hadoop.fs.Path]) =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(dirs.map(_.toString): _*))
+    val old = gen(oldDirs).map(_.withColumn("cents", $"cents".cast("long")))
+    val nw = gen(newDirs)
+    (old, nw) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _ => throw new IllegalStateException(s"empty widened store at $path")
+    }
+  }
+
+  /** Gate: one rollup across both type generations. */
+  def qSchemaWidening(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val path = widenedStore(spark, dir)
+    readWidened(spark, path)
+      .select(when($"day".cast("long") >= EvolveDay, "v2").otherwise("legacy")
+        .as("gen"), $"event_type", $"cents")
+      .groupBy($"gen", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").cast("long").as("sum_cents"))
+      .orderBy($"gen", $"event_type")
+  }
+
+  val sqlSchemaWidening: String =
+    s"""SELECT CASE WHEN (epoch_ms(ts) // 86400000) >= $EvolveDay
+       |    THEN 'v2' ELSE 'legacy' END AS gen,
+       |  event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT)
+       |    AS sum_cents
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // Z-order READ-side pruning (X176 — the serving half of X162's
   // writer; the hypertable chunk-exclusion posture applied to the
   // second dimension): a footer-stats MANIFEST records, per data file,

@@ -41,6 +41,7 @@ class PlanSpec extends SparkSpec {
     Scale.invalidateBucketed()
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
+    Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString

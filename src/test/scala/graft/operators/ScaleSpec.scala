@@ -338,6 +338,37 @@ class ScaleSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("schema widening: mergeSchema hard-fails on INT32->INT64, the per-generation union serves it") {
+    import spark.implicits._
+    val path = Scale.widenedStore(spark, Sf0001)
+    // the posture is necessary, not a stylistic choice: parquet schema
+    // merging refuses to widen numeric types
+    val ex = intercept[Throwable] {
+      spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.toLowerCase.contains("merge")),
+      s"expected a schema-merge failure, got: $ex")
+    // the widened read serves BOTH generations at the widest type,
+    // losing nothing vs the source table
+    val df = Scale.readWidened(spark, path)
+    assert(df.schema("cents").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+    assert(df.count() == ev.count())
+    val gens = df.select(
+        ($"day".cast("long") >= Scale.EvolveDay).as("v2"))
+      .groupBy($"v2").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(gens.keySet == Set(true, false), "both generations must be present")
+    // value fidelity across the cast: total cents match the source
+    val expected = ev
+      .select(($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+        .cast("long").as("c"))
+      .agg(org.apache.spark.sql.functions.sum($"c")).head.getLong(0)
+    assert(df.agg(org.apache.spark.sql.functions.sum($"cents")).head.getLong(0) == expected)
+  }
+
   test("zorderPrunedRead: footer manifest turns the box into a file list — fewer files, no lost rows") {
     import spark.implicits._
     val base = Scale.zorderStore(spark, Sf0001)

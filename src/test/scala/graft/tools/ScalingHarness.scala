@@ -385,6 +385,7 @@ object ScalingHarness {
     Scale.invalidateBucketed()
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
+    Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
   }
