@@ -71,7 +71,7 @@ object Similarity {
       when(dot(v, typedLit(planes(p))) > 0, 1 << p).otherwise(0)
     }.reduce(_ + _).cast("int")
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddingsSharded(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
 
@@ -1301,21 +1301,56 @@ object Similarity {
     ivfArtifactCache.clear(); ivfIncCache.clear(); ivfRetractCache.clear()
   }
 
+  /** The frozen centroid frame (cent_id, cv, ncv) — broadcast-sized,
+    * shared by the corpus builders and the streaming ingest assign. */
+  private def centroidFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    ivfGateCentroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
+      .withColumn("ncv", normCol($"cv"))
+  }
+
   /** Frozen-centroid assignment of every corpus vector: (vec_id, v,
     * nv, cent_id, rk) for rk ≤ IvfNprobe — the one expensive frame all
     * three artifact builders share. Caller persists/unpersists. */
   private def rankedAssign(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val corpus = vecs(spark, dir).withColumn("nv", normCol($"v"))
-    val cents = ivfGateCentroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
-      .withColumn("ncv", normCol($"cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    corpus.join(broadcast(cents))
+    corpus.join(broadcast(centroidFrame(spark)))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
       .filter($"rk" <= IvfNprobe)
+  }
+
+  /** Frozen-centroid rank-1 cell assignment of an arbitrary (vec_id,
+    * v) batch — the streaming-ingest face ([[graft.streaming
+    * .VectorSink]]) of the same assignment the corpus builders use:
+    * broadcast centroids, per-row cosine, one batch-keyed ranking
+    * window. Output (vec_id, v, nv, cell) is the inverted-file row
+    * shape. */
+  def assignCells(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    batch.select($"vec_id", $"v".cast("array<double>").as("v"))
+      .withColumn("nv", normCol($"v"))
+      .join(broadcast(centroidFrame(spark)))
+      .select($"vec_id", $"v", $"nv", $"cent_id",
+        cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
+  }
+
+  /** Build the pre-ingest artifact state at an explicit base: inverted
+    * file holding only the corpus slice (vec_id mod 10 ≠ 7), full
+    * probe list — what X165/X180 ingest against. */
+  def buildSliceArtifact(spark: SparkSession, dir: String, base: String): Unit = {
+    val ranked = rankedAssign(spark, dir).persist()
+    buildIvfArtifact(ranked, base,
+      $"vec_id" % Dedup.IncomingMod =!= Dedup.IncomingRem)
+    ranked.unpersist()
+    ()
   }
 
   /** Write the (inverted, queries) artifact pair under `base`; the
@@ -1356,7 +1391,7 @@ object Similarity {
   /** The serving path over any persisted artifact pair: probed cells
     * (bounded ≤ |centroids| model read) become a literal partition
     * filter, queries broadcast into their cells, one ranking window. */
-  private def probeArtifact(spark: SparkSession, base: String): DataFrame = {
+  def probeArtifact(spark: SparkSession, base: String): DataFrame = {
     val probes = spark.read.parquet(s"$base/queries")
     val probedCells = probes.select($"cell").distinct()
       .collect().map(_.getLong(0)).sorted

@@ -1097,4 +1097,48 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(gate == batch.map(a =>
       (a.code, a.price.toLong, a.registered_size.toLong, a.armed_at_ms, a.fired_at_ms)))
   }
+
+  test("VectorSink: streamed vector ingest equals the one-shot build; redelivery no-ops; post-ingest probe stays pruned") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vector_sink").toString
+    val base = s"$dir/ivf"
+    // pre-ingest state: the corpus-slice artifact X165 ingests against
+    Similarity.buildSliceArtifact(spark, graft.SparkSpec.Sf0001, base)
+    val incoming = Similarity.vecs(spark, graft.SparkSpec.Sf0001)
+      .filter(col("vec_id") % 10 === 7)
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    assert(incoming.nonEmpty)
+    val vsink = new VectorSink(base)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "v").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(vsink.sink).start()
+    try {
+      val chunks = incoming.grouped(incoming.size / 3 + 1).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        input.addData(c); q.processAllAvailable()
+        if (i == 1) { input.addData(c); q.processAllAvailable() } // redelivery
+      }
+    } finally q.stop()
+    // exactly-once: every incoming vector indexed exactly once
+    val inv = spark.read.parquet(s"$base/inverted")
+    assert(inv.groupBy(col("vec_id")).count().filter(col("count") =!= 1).isEmpty)
+    // streamed ≡ one-shot: the probe serves identical rows from the
+    // stream-ingested store and the batch-appended X165 artifact
+    val probeDf = Similarity.probeArtifact(spark, base)
+    val streamed = probeDf.collect().toSeq
+    val oneShot = Similarity.probeArtifact(spark,
+      Similarity.ivfArtifactInc(spark, graft.SparkSpec.Sf0001)).collect().toSeq
+    assert(streamed == oneShot,
+      "stream-ingested and one-shot-built artifacts must serve identical probes")
+    // and the post-ingest probe still partition-prunes the inverted scan
+    val plan = probeDf.queryExecution.executedPlan.toString
+    val invScan = plan.linesIterator
+      .filter(l => l.contains("inverted") && l.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(invScan.contains("PartitionFilters: [cell") && invScan.contains(" IN ("),
+      "post-ingest probe must keep the literal cell partition filter:\n" + plan)
+  }
 }
