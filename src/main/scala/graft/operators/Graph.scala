@@ -208,35 +208,51 @@ object Graph {
   /** Oracle: the identical walk unrolled as one CTE per round in
     * DuckDB (`//` truncates like Spark's `div` on the all-positive
     * BIGINTs here). */
-  val sqlPagerank: String = {
-    val base = s"$BasePpb // n"
-    // sum(BIGINT) is HUGEINT in DuckDB — cast back so the rank column
-    // stays BIGINT end to end (values ≤ 10⁹, the cast is exact).
-    def round(k: Int): String =
-      s"""r$k AS (
-         |  SELECT e.dst AS id,
-         |    $base + ($DampNum * CAST(sum((r.r * e.w) // e.wout) AS BIGINT))
-         |      // $DampDen AS r
-         |  FROM e JOIN r${k - 1} r ON e.src = r.id CROSS JOIN n
-         |  GROUP BY e.dst, n.n)""".stripMargin
-    s"""WITH e0 AS (
-       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-       |    count(*) AS w
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  /** Oracle, built INDEPENDENTLY of the Spark walk (the X148 stance —
+    * a shared misreading of the recurrence must fail one engine): the
+    * edge mass aggregates in a different tree (per-(order, supplier)
+    * line counts first, customers joined after, summed — vs the
+    * fact-join-then-group of [[transactionEdges]]), the transition
+    * structure is MATRIX-ROW form (per-source adjacency lists, each
+    * round a lateral gather-unnest over the ranked node's row — vs the
+    * flat edge-table contribution join), and the iteration is a
+    * data-driven `WITH RECURSIVE` walk keyed on the round counter —
+    * vs the Spark side's driver loop / the old oracle's unrolled CTE
+    * chain. The truncation points (per-edge `//wout`, per-round damp
+    * `//`) are the recurrence DEFINITION and stay shared; everything
+    * about how the fixpoint is computed differs. sum(BIGINT) is
+    * HUGEINT in DuckDB — cast back so rank stays BIGINT (≤ 10⁹). */
+  val sqlPagerank: String =
+    s"""WITH RECURSIVE lc AS (
+       |  SELECT l_orderkey, l_suppkey, count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT o.o_custkey * 2 AS src, lc.l_suppkey * 2 + 1 AS dst,
+       |    CAST(sum(lc.c) AS BIGINT) AS w
+       |  FROM lc JOIN orders o ON lc.l_orderkey = o.o_orderkey
        |  GROUP BY 1, 2),
        |sym AS (
        |  SELECT src, dst, w FROM e0
        |  UNION ALL SELECT dst, src, w FROM e0),
-       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM sym GROUP BY 1),
-       |e AS (SELECT s.src, s.dst, s.w, o.wout
-       |      FROM sym s JOIN outw o ON s.src = o.src),
-       |n AS (SELECT count(*) AS n FROM outw),
-       |r0 AS (SELECT src AS id, $ScalePpb // n.n AS r FROM outw CROSS JOIN n),
-       |${(1 to Rounds).map(round).mkString(",\n")}
-       |SELECT id // 2 AS s_suppkey, r AS rank_ppb FROM r$Rounds
-       |WHERE id % 2 = 1
+       |adj AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wout,
+       |    list(struct_pack(dst := dst, w := w)) AS nbrs
+       |  FROM sym GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM adj),
+       |walk(k, id, r) AS (
+       |  SELECT 0, src, $ScalePpb // n.n FROM adj CROSS JOIN n
+       |  UNION ALL
+       |  SELECT k + 1, u.dst,
+       |    $BasePpb // n.n +
+       |      ($DampNum * CAST(sum((walk.r * u.w) // adj.wout) AS BIGINT))
+       |        // $DampDen
+       |  FROM walk JOIN adj ON adj.src = walk.id CROSS JOIN n,
+       |    unnest(adj.nbrs) AS t(u)
+       |  WHERE walk.k < $Rounds
+       |  GROUP BY k + 1, u.dst, n.n)
+       |SELECT id // 2 AS s_suppkey, r AS rank_ppb FROM walk
+       |WHERE k = $Rounds AND id % 2 = 1
        |ORDER BY rank_ppb DESC, s_suppkey""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // SALSA hub/authority ranking (X168; Lempel & Moran 2000 — the
