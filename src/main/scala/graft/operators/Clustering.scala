@@ -164,7 +164,7 @@ object Clustering {
   }
 
   def dupLabels(spark: SparkSession, dir: String): DataFrame =
-    labelCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(labelCache, (spark, dir))({
       val pairs = Dedup.minhashLshPairsCore(spark, dir)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
       val l = connectedComponents(pairs) // returned frame is persisted
@@ -474,7 +474,7 @@ object Clustering {
     .empty[(SparkSession, String), IncStore]
 
   def incrementalStore(spark: SparkSession, dir: String): IncStore =
-    incStoreCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(incStoreCache, (spark, dir))({
       val base = Dedup.signatureFrame(Tables.documentsSharded(spark, dir)
           .select($"doc_id", $"text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -775,7 +775,7 @@ object Clustering {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def vecStore(spark: SparkSession, dir: String): DataFrame =
-    vecCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(vecCache, (spark, dir))({
       // Distributed shape assertion at store-build time: every consumer
       // (Lloyd rounds, the gate E-step, ANN) assumes fixed-length
       // non-null vectors — the kmeans column-sums read-back in

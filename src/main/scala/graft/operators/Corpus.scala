@@ -535,7 +535,7 @@ object Corpus {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def shingleStore(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(shingleCache, (spark, dir))({
       val store = Tables.documentsSharded(spark, dir)
         .select($"doc_id",
           Hashing.wordShingles(Hashing.tokens($"text"), Dedup.ShingleN).as("sh"))
@@ -566,7 +566,7 @@ object Corpus {
   // length-preserving, so distinct/intersect counts agree; sha256 per
   // distinct shingle is paid by neither engine's Spark twin anymore).
   def decontaminateCore(spark: SparkSession, dir: String): DataFrame =
-    contamCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(contamCache, (spark, dir))({
       val docs = shingleStore(spark, dir)
         .select($"doc_id", array_distinct($"sh").as("sh"))
       val evalIndex = docs.filter($"doc_id" % EvalMod === EvalRem)
@@ -1116,7 +1116,7 @@ object Corpus {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def sideCountStore(spark: SparkSession, dir: String): DataFrame =
-    sideCountCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(sideCountCache, (spark, dir))({
       val store = Tables.documentsSharded(spark, dir)
         .select(pmod(Hashing.h60($"source"), lit(2)).as("side"),
           explode(Hashing.tokens($"text")).as("w"))
@@ -1185,7 +1185,7 @@ object Corpus {
     * the shingle store's parse; invalidated with the other Corpus
     * memos. */
   def sourceShingleStore(spark: SparkSession, dir: String): DataFrame =
-    srcShingleCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(srcShingleCache, (spark, dir))({
       val src = Tables.documents(spark, dir).select($"doc_id", $"source")
       val store = shingleStore(spark, dir)
         .join(src, Seq("doc_id"))

@@ -178,7 +178,7 @@ object Graph {
 
   private def cachedFrame(spark: SparkSession, dir: String, name: String)(
       build: => FrameStore): FrameStore =
-    frameCache.getOrElseUpdate((spark, dir, name), build)
+    graft.core.Memo.once(frameCache, (spark, dir, name))(build)
 
   def transactionEdgeStore(spark: SparkSession, dir: String): EdgeStore =
     cachedFrame(spark, dir, "tx_edges")(

@@ -495,7 +495,7 @@ object Multimodal {
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   def modalEvidence(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    modalCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(modalCache, (spark, dir))({
       val tagged = Dedup.minhashLshPairsCore(spark, dir)
         .select($"doc_a", $"doc_b", lit("text").as("m"))
         .unionByName(imageNeardupCore(spark, dir)
@@ -672,7 +672,7 @@ object Multimodal {
     c % Dedup.IncomingMod === lit(Dedup.IncomingRem)
 
   def incModalStore(spark: SparkSession, dir: String): IncModalStore =
-    incModalCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(incModalCache, (spark, dir))({
       val ph = phashFrame(payloadTable(spark, dir)).persist()
       ph.count()
       val fr = framePhashes(spark, dir).select($"doc_id", $"fhash").distinct()

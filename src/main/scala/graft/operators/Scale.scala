@@ -462,7 +462,7 @@ object Scale {
     * (lineitem, orders) catalog names. */
   def bucketedTables(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
-    bucketCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(bucketCache, (spark, dir))({
       import graft.sources.Tables
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val li = s"g_bkt_lineitem$tag"
@@ -550,7 +550,7 @@ object Scale {
   /** Base-slice twins + appended increment; returns catalog names. */
   def bucketedAppendTables(spark: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) =
-    bucketIncCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(bucketIncCache, (spark, dir))({
       import graft.sources.Tables
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val li = s"g_bki_lineitem$tag"
@@ -638,7 +638,7 @@ object Scale {
     * catalog name. */
   def bucketedCompactTable(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    bucketCompactCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(bucketCompactCache, (spark, dir))({
       import graft.sources.Tables
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val li = s"g_bkc_lineitem$tag"
@@ -708,7 +708,7 @@ object Scale {
   /** Build (once) the day-partitioned event store; returns its path. */
   def dayPartitionedEvents(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    dayStoreCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(dayStoreCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/day_events$tag"
       graft.sources.Tables.events(spark, dir)
@@ -776,7 +776,7 @@ object Scale {
     * cutoff expired. Memoized; invalidated with the day store. */
   def retentionStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    dayRetCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(dayRetCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/day_events_ret$tag"
       graft.sources.Tables.events(spark, dir)
@@ -870,7 +870,7 @@ object Scale {
     * compact. Memoized; invalidated with the day store. */
   def dayLifecycleStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    dayLifeCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(dayLifeCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/day_events_life$tag"
       val p = new org.apache.hadoop.fs.Path(path)
@@ -935,7 +935,7 @@ object Scale {
   /** Two-generation twin: v1 partitions without `source`, v2 with. */
   def evolvedStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    dayEvoCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(dayEvoCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/day_events_evo$tag"
       val p = new org.apache.hadoop.fs.Path(path)
@@ -1000,7 +1000,7 @@ object Scale {
     * INT32 before the boundary, INT64 from it on. */
   def widenedStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    dayWidenCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(dayWidenCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/day_events_widen$tag"
       val p = new org.apache.hadoop.fs.Path(path)
@@ -1130,7 +1130,7 @@ object Scale {
     * dim bounds the box predicate derives from. Returns the base. */
   def zorderStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    zStoreCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(zStoreCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"target/zorder_store$tag"
       val e = graft.sources.Tables.events(spark, dir)

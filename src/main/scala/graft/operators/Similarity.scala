@@ -1369,7 +1369,7 @@ object Similarity {
 
   /** Build and persist the IVF artifacts; returns the base path. */
   def ivfArtifact(spark: SparkSession, dir: String): String =
-    ivfArtifactCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(ivfArtifactCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"target/ivf_artifact$tag"
       val ranked = rankedAssign(spark, dir).persist()
@@ -1425,7 +1425,7 @@ object Similarity {
   // increment ≡ rebuild: nothing lost, duplicated, or mis-celled.
   // ------------------------------------------------------------------
   def ivfArtifactInc(spark: SparkSession, dir: String): String =
-    ivfIncCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(ivfIncCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"target/ivf_artifact_inc$tag"
       val ranked = rankedAssign(spark, dir).persist()
@@ -1490,7 +1490,7 @@ object Similarity {
   /** Build a retraction twin: full artifact, then retract the rank-1
     * neighbor of the smallest query. Returns (base, retracted id). */
   def ivfArtifactRetract(spark: SparkSession, dir: String): (String, Long) =
-    ivfRetractCache.getOrElseUpdate((spark, dir), {
+    graft.core.Memo.once(ivfRetractCache, (spark, dir))({
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = s"target/ivf_artifact_ret$tag"
       val ranked = rankedAssign(spark, dir).persist()

@@ -88,7 +88,7 @@ object WireIngest {
   }
 
   def qWireIngest(spark: SparkSession, dir: String): DataFrame = {
-    val store = storeDirs.getOrElseUpdate((spark, dir),
+    val store = graft.core.Memo.once(storeDirs, (spark, dir))(
       java.nio.file.Files.createTempDirectory("graft_wire_store").toString)
     val trades = UpbitWire.parseTrades(
       frames(spark, dir), "frame", "Upbit", $"ts_ms" + 5)
