@@ -815,4 +815,110 @@ object Graph {
        |JOIN sdeg d2 ON c.s2 = d2.s
        |ORDER BY jaccard_ppm DESC, s1, s2
        |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------
+  // k-core decomposition (X182; Seidman 1983, "Network structure and
+  // minimum degree" — the maximal subgraph where every node keeps ≥ k
+  // neighbors): iterative peeling, the degree-cascade primitive behind
+  // "dense interaction core" extraction (spam-farm detection, trusted-
+  // entity cohorts — the k-truss support X141 grades edges; this
+  // grades NODES). k is data-derived as half the average degree
+  // (integer `div`, identical cross-engine and meaningful at every
+  // SF). Peeling: drop every node whose degree among survivors is
+  // < k, re-filter edges to surviving endpoints, repeat to fixpoint.
+  //
+  // Scale shape: the symmetric edge frame comes off the materialized
+  // transaction store (zero fact re-scans); each round is one degree
+  // aggregate + two slim semi-joins over RDD-persisted rows with flat
+  // re-wrap per round (the connectedComponents discipline — O(1) plan
+  // depth, previous round released); convergence is one count per
+  // round. The fixture graph converges in one round (its degree
+  // distribution is regular — the gate pins the arithmetic); the
+  // multi-round CASCADE (leaf-peeling a chain one node per round) is
+  // pinned in GraphSpec on a synthetic caterpillar graph, the video
+  // cap-crossing-stub precedent. The ORACLE carries surviving EDGES
+  // through a data-driven recursive CTE (windowed endpoint degrees per
+  // round) — a different program shape than the Spark loop, the
+  // sqlPagerank independence stance. Truncated peeling throws loudly
+  // (the connectedComponents contract): the oracle reads round
+  // KCoreMaxRounds, so an unconverged walk must fail the job, not
+  // return a drifting state.
+  // ------------------------------------------------------------------
+  val KCoreMaxRounds = 8
+
+  /** Peel `symEdges` (symmetric, distinct (src, dst)) to its k-core;
+    * returns surviving edges. Throws if not converged in maxRounds. */
+  def kCoreEdges(symEdges: DataFrame, k: Long,
+      maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    val spark = symEdges.sparkSession
+    val schema = symEdges.schema
+    var rows = symEdges.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    def cur(): DataFrame = spark.createDataFrame(rows, schema)
+    var n = cur().count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = cur().groupBy($"src").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"src".as("id"))
+      val next = cur()
+        .join(keep.select($"id".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+      val nextRows = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      val n2 = spark.createDataFrame(nextRows, schema).count()
+      rows.unpersist()
+      rows = nextRows
+      converged = n2 == n
+      n = n2
+      round += 1
+    }
+    if (!converged && n > 0) {
+      rows.unpersist()
+      throw new IllegalStateException(
+        s"k-core peeling did not converge after $maxRounds rounds — " +
+          "the oracle reads the round-" + maxRounds + " state, so a " +
+          "drifting core must fail the job; raise KCoreMaxRounds")
+    }
+    // the returned frame reads the final round's persisted rows; the
+    // blocks are reclaimed by the ContextCleaner once the frame is
+    // unreachable (unpersisting here would force consumers to replay
+    // the whole peel chain through unpersisted lineage)
+    cur()
+  }
+
+  /** Gate: entities in the (avg-degree div 2)-core of the transaction
+    * graph with their in-core degree. */
+  def qKCore(spark: SparkSession, dir: String): DataFrame = {
+    val sym = transactionEdgeStore(spark, dir).fresh().select($"src", $"dst")
+    // bounded 1-row model read (the zorderBox stance): k from the
+    // symmetric edge frame’s average degree
+    val k = sym.agg(expr("count(1) div count(DISTINCT src)")).head.getLong(0) / 2
+    kCoreEdges(sym, k)
+      .groupBy($"src")
+      .agg(count(lit(1)).as("core_deg"))
+      .select(
+        when($"src" % 2 === 1, "supplier").otherwise("customer").as("entity"),
+        expr("src div 2").as("key"), $"core_deg")
+      .orderBy($"entity", $"key")
+  }
+
+  val sqlKCore: String =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |kk AS (SELECT (count(*) // count(DISTINCT src)) // 2 AS k FROM sym),
+       |peel(r, src, dst) AS (
+       |  SELECT 0, src, dst FROM sym
+       |  UNION ALL
+       |  SELECT r + 1, src, dst FROM (
+       |    SELECT p.r, p.src, p.dst, kk.k,
+       |      count(*) OVER (PARTITION BY p.r, p.src) AS dsrc,
+       |      count(*) OVER (PARTITION BY p.r, p.dst) AS ddst
+       |    FROM peel p, kk WHERE p.r < $KCoreMaxRounds) q
+       |  WHERE dsrc >= q.k AND ddst >= q.k)
+       |SELECT CASE WHEN src % 2 = 1 THEN 'supplier' ELSE 'customer' END AS entity,
+       |  src // 2 AS key, count(*)::BIGINT AS core_deg
+       |FROM peel WHERE r = $KCoreMaxRounds
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -643,4 +643,31 @@ class GraphSpec extends SparkSpec {
     assert((0 until 40).forall(d => !rows(("spike", d.toLong))),
       "one spike must not alarm the chart")
   }
+
+  test("kCoreEdges: leaf peeling cascades one node per round on a caterpillar; the cycle core survives") {
+    import spark.implicits._
+    // chain c1-c2-...-c6 welded to a triangle (t1,t2,t3): the 2-core is
+    // exactly the triangle, reached by peeling chain leaves one round
+    // at a time — the multi-round cascade the regular fixture graph
+    // never exercises (it converges in one round)
+    val chain = (1L to 5L).map(i => (i, i + 1))
+    val weld = Seq((6L, 101L))
+    val tri = Seq((101L, 102L), (102L, 103L), (103L, 101L))
+    val e0 = (chain ++ weld ++ tri).toDF("src", "dst")
+    val sym = e0.union(e0.select($"dst", $"src"))
+    val core = Graph.kCoreEdges(sym, 2, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core == Set((101L,102L),(102L,103L),(103L,101L),
+      (102L,101L),(103L,102L),(101L,103L)),
+      s"2-core must be exactly the triangle, got $core")
+    // the cascade really is multi-round: with too few rounds the same
+    // peel throws instead of returning a drifting intermediate state
+    val ex = intercept[IllegalStateException] {
+      Graph.kCoreEdges(sym, 2, maxRounds = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // total collapse converges cleanly to the empty core (k above max
+    // degree): no rounds-exhausted throw on the everything-peels path
+    assert(Graph.kCoreEdges(sym, 10, maxRounds = 8).isEmpty)
+  }
 }
