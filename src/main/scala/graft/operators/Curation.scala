@@ -147,6 +147,29 @@ object Curation {
       .orderBy($"shard", $"bin", $"tok_start", $"doc_id")
   }
 
+  /** Persist the curated training set as the artifact a dataloader
+    * mounts (X183 — the lifecycle step after the X175 gate): `data/`
+    * holds the selected documents' text in pack order, shard-
+    * partitioned with ONE file per shard (repartition on the shard
+    * value before the partitioned write — the compactDayStore
+    * discipline — so a walker streams its shard as a single
+    * sequential file), and `provenance/` is the X150-shape lineage
+    * sidecar (who fed which token span of which bin). Returns the
+    * base path. PackingSpec pins one-file-per-shard, in-file
+    * (bin, tok_start) walk order, and read-back ≡ the gate. */
+  def writeCurated(spark: SparkSession, dir: String, base: String): String = {
+    val prov = qCurationE2e(spark, dir)
+    prov.write.mode("overwrite").parquet(s"$base/provenance")
+    spark.read.parquet(s"$base/provenance")
+      .join(Tables.documents(spark, dir).select($"doc_id", $"text"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions($"shard", $"bin", $"tok_start")
+      .select($"shard", $"bin", $"doc_id", $"n_tokens",
+        $"tok_start", $"tok_end", $"text")
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$base/data")
+    base
+  }
+
   /** Oracle: the stage oracles composed as one materialized CTE chain
     * (gopher mask → exact canonical → full-corpus closure labels →
     * longest-survivor pick → contamination probe → split hash →

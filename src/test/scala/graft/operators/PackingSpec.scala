@@ -148,4 +148,49 @@ class PackingSpec extends SparkSpec {
       assert(sorted.forall(x => x._6 - x._5 == x._4), "span width == token count")
     }
   }
+
+  test("writeCurated: one file per shard, in-file walk order, read-back equals the gate") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curated").toString
+    try {
+      Curation.writeCurated(spark, Sf0001, base)
+      // dataloader layout: each shard is ONE sequential file
+      val shardDirs = new java.io.File(s"$base/data").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.nonEmpty)
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(f =>
+          f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        assert(files.length == 1, s"${d.getName}: expected 1 file, got ${files.length}")
+      }
+      // in-file row order is the pack walk (per-file parquet order is
+      // preserved; one file per shard makes it the shard's walk order)
+      shardDirs.foreach { d =>
+        val rows = spark.read.parquet(d.getAbsolutePath)
+          .select($"bin", $"tok_start").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.sameElements(rows.sortBy(identity)),
+          s"${d.getName}: rows must stream in (bin, tok_start) order")
+      }
+      // the artifact serves exactly the gate: provenance read-back and
+      // the data files' span columns both equal q_curation_e2e
+      val gate = Curation.qCurationE2e(spark, Sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      val prov = spark.read.parquet(s"$base/provenance")
+        .select($"shard", $"bin", $"doc_id", $"lang", $"source",
+          $"n_tokens", $"tok_start", $"tok_end")
+        .collect().map(_.toString).sorted.toSeq
+      assert(prov == gate)
+      val data = spark.read.parquet(s"$base/data")
+      assert(data.count() == gate.size)
+      // every payload really is the selected document's text
+      val bad = data.join(
+          graft.sources.Tables.documents(spark, Sf0001)
+            .select($"doc_id", $"text".as("want")), "doc_id")
+        .filter($"text" =!= $"want")
+      assert(bad.isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
