@@ -1246,6 +1246,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_kcore: the peel walks cached edge blocks — no fact re-scan, no cross product") {
+    val plan = executedCold(Graph.qKCore(spark, Sf0001))
+    // the transaction store materializes at construction; the peel
+    // rounds and the final rollup read only persisted rows
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_curation_e2e: the composition rides the memoized stores and slim joins — no cross product") {
+    val plan = executedCold(Curation.qCurationE2e(spark, Sf0001))
+    // the near-dup labels come from the shared persisted store
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan ExistingRDD"),
+      "cluster labels must be served from the memoized store")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_zorder_prune: the rollup scans only the manifest-selected files") {
+    val base = Scale.zorderStore(spark, Sf0001)
+    val (aLo, aHi, bLo, bHi) = Scale.zorderBox(spark, base)
+    val (_, read, total) = Scale.zorderPrunedRead(spark, base, aLo, aHi, bLo, bHi)
+    val plan = executedCold(Scale.qZorderPrune(spark, Sf0001))
+    // the scan's file source is the pruned list, not the store dir:
+    // fewer partitions/files than the full store implies the manifest
+    // cut reached the plan (ScaleSpec separately pins row equality)
+    assert(read < total, s"expected a pruned file list, read=$read total=$total")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ------------------------------------------------------------------
   // Single-partition-window contract: Spark warns "No Partition
   // Defined for Window" whenever a window has no partitionBy — fatal
