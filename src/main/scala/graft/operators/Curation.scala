@@ -159,7 +159,10 @@ object Curation {
     * (bin, tok_start) walk order, and read-back ≡ the gate. */
   def writeCurated(spark: SparkSession, dir: String, base: String): String = {
     val prov = qCurationE2e(spark, dir)
-    prov.write.mode("overwrite").parquet(s"$base/provenance")
+    // the sidecar is shard-partitioned like the data, so a takedown
+    // ([[retractFromCurated]]) swaps one provenance directory too
+    prov.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$base/provenance")
     spark.read.parquet(s"$base/provenance")
       .join(Tables.documents(spark, dir).select($"doc_id", $"text"), "doc_id")
       .repartition(col("shard"))
@@ -168,6 +171,72 @@ object Curation {
         $"tok_start", $"tok_end", $"text")
       .write.mode("overwrite").partitionBy("shard").parquet(s"$base/data")
     base
+  }
+
+  /** Takedown on the curated artifact (X184 — the retraction argument
+    * of X128/X164/X166 applied to the TRAINING SET itself): removing a
+    * document re-packs ONLY its shard. The doc's shard is a bounded
+    * provenance lookup (the artifact exists precisely to answer it
+    * without re-running the pack); the surviving docs of that shard
+    * re-walk next-fit in their original position order; both the
+    * shard's data directory and its provenance rows swap via
+    * stage-and-swap (the partition-dir repair primitive). Every other
+    * shard stays untouched bytes — O(1/|shards|) of the corpus for any
+    * single takedown, the property that makes artifact-level removal
+    * affordable at 100 TB. Returns the number of shards rewritten
+    * (0 when the doc was never packed). */
+  def retractFromCurated(spark: SparkSession, base: String, docId: Long): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // bounded model read: the doc's shard(s) from the lineage sidecar
+    val shards = spark.read.parquet(s"$base/provenance")
+      .filter($"doc_id" === docId)
+      .select($"shard".cast("long")).distinct().collect().map(_.getLong(0))
+    shards.foreach { shard =>
+      val dataDir = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
+      val provDir = new org.apache.hadoop.fs.Path(s"$base/provenance/shard=$shard")
+      val fs = dataDir.getFileSystem(conf)
+      // survivors re-walk next-fit in their original position order
+      // (recoverable from the walk order: bin asc, tok_start asc)
+      val survivors = spark.read.parquet(dataDir.toString)
+        .filter($"doc_id" =!= docId)
+        .withColumn("ord", row_number().over(
+          Window.orderBy($"bin", $"tok_start")).cast("long"))
+      val repacked = Packing.packFrame(
+          survivors.select(lit(shard).as("shard"), $"ord", $"doc_id", $"n_tokens"))
+        .select($"doc_id", $"bin", $"bin_fill")
+      val fresh = survivors
+        .select($"doc_id", $"n_tokens", $"text")
+        .join(repacked, "doc_id")
+        .select($"doc_id", $"bin", $"n_tokens",
+          ($"bin_fill" - $"n_tokens").as("tok_start"),
+          $"bin_fill".as("tok_end"), $"text")
+        .sort($"bin", $"tok_start")
+        .coalesce(1)
+        .persist()
+      fresh.count()
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage_shard_$shard")
+      fresh.write.mode("overwrite").parquet(stage.toString)
+      fs.delete(dataDir, true)
+      fs.rename(stage, dataDir)
+      // provenance sidecar: the shard's rows rebuilt from the old rows'
+      // (lang, source) + the repacked spans, same stage-and-swap on the
+      // shard partition directory
+      val oldProv = spark.read.parquet(provDir.toString)
+        .filter($"doc_id" =!= docId)
+        .select($"doc_id", $"lang", $"source")
+      val newProv = oldProv
+        .join(fresh.select($"doc_id", $"bin", $"n_tokens",
+          $"tok_start", $"tok_end"), "doc_id")
+        .select($"bin", $"doc_id", $"lang", $"source", $"n_tokens",
+          $"tok_start", $"tok_end")
+        .coalesce(1)
+      val provStage = new org.apache.hadoop.fs.Path(s"$base/stage_prov_$shard")
+      newProv.write.mode("overwrite").parquet(provStage.toString)
+      fs.delete(provDir, true)
+      fs.rename(provStage, provDir)
+      fresh.unpersist()
+    }
+    shards.length.toLong
   }
 
   /** Oracle: the stage oracles composed as one materialized CTE chain

@@ -193,4 +193,63 @@ class PackingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("retractFromCurated: takedown repacks only the victim's shard, others stay byte-identical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("curated_ret").toString
+    try {
+      Curation.writeCurated(spark, Sf0001, base)
+      // deterministic victim: the first packed doc of the first shard
+      val first = spark.read.parquet(s"$base/provenance")
+        .select($"shard".cast("long").as("shard"), $"bin", $"tok_start", $"doc_id")
+        .orderBy($"shard", $"bin", $"tok_start").head
+      val (victimShard, victim) = (first.getLong(0), first.getLong(3))
+      def shardBytes(d: java.io.File): Map[String, Seq[Byte]] =
+        d.listFiles().filter(f => f.getName.startsWith("part-"))
+          .map(f => f.getName ->
+            java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+      val beforeOthers = new java.io.File(s"$base/data").listFiles()
+        .filter(f => f.isDirectory && f.getName != s"shard=$victimShard")
+        .map(d => d.getName -> shardBytes(d)).toMap
+      val survivors = spark.read.parquet(s"$base/data/shard=$victimShard")
+        .filter($"doc_id" =!= victim)
+        .orderBy($"bin", $"tok_start")
+        .select($"doc_id", $"n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+      assert(Curation.retractFromCurated(spark, base, victim) == 1L)
+
+      // nothing probeable: data and lineage have both forgotten the doc
+      assert(spark.read.parquet(s"$base/data")
+        .filter($"doc_id" === victim).isEmpty)
+      assert(spark.read.parquet(s"$base/provenance")
+        .filter($"doc_id" === victim).isEmpty)
+      // untouched shards are byte-identical — the swap is O(one shard)
+      val afterOthers = new java.io.File(s"$base/data").listFiles()
+        .filter(f => f.isDirectory && f.getName != s"shard=$victimShard")
+        .map(d => d.getName -> shardBytes(d)).toMap
+      assert(afterOthers == beforeOthers, "a takedown may only touch its shard")
+      // the repacked shard is the next-fit walk of the survivors in
+      // their original order: simulate the fold and compare spans
+      val got = spark.read.parquet(s"$base/data/shard=$victimShard")
+        .orderBy($"bin", $"tok_start")
+        .select($"doc_id", $"bin", $"tok_start", $"tok_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      var bin = -1L; var fill = 0L; var firstDoc = true
+      val want = survivors.map { case (id, n) =>
+        if (firstDoc || fill + n > Packing.TokenBudget) { bin += 1; fill = n; firstDoc = false }
+        else fill += n
+        (id, bin, fill - n, fill)
+      }
+      assert(got.sameElements(want), "repacked shard must equal the survivor next-fit walk")
+      // lineage sidecar agrees with the repacked data, span for span
+      val prov = spark.read.parquet(s"$base/provenance/shard=$victimShard")
+        .orderBy($"bin", $"tok_start")
+        .select($"doc_id", $"bin", $"tok_start", $"tok_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(prov.sameElements(got))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
 }
