@@ -536,4 +536,88 @@ object Embeddings {
        |  FROM rr)
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Dominant principal direction (X185 — spectral analytics over the
+  // embedding corpus: the direction of maximum second moment, the
+  // power-iteration primitive behind PCA whitening / anisotropy audits
+  // of an embedding space, cf. Mu & Viswanath ICLR 2018 "All-but-the-
+  // Top"): components quantized to exact ppm integers (double multiply
+  // is IEEE-identical cross-engine, both engines truncate toward
+  // zero), the uncentered second-moment matrix M = (Σ q·qᵀ) div n
+  // accumulated DISTRIBUTED — each row emits its d² outer-product
+  // cells via one array-lambda projection, and the (i, j) aggregation
+  // map-side combines to ≤ d² cells per partition, so the shuffle
+  // carries O(d²) rows regardless of corpus size — then the fixed
+  // 3-round power iteration runs on the DRIVER over the collected
+  // d²-cell matrix (a BOUNDED model read, corpus-independent — the
+  // ivfGateCentroids stance), with an integer rescale (·1000 div
+  // max|w|) per round keeping every product under 2⁶³ at any corpus
+  // size. All arithmetic is truncating integer division, which Spark
+  // `div` ≡ Java `/` ≡ DuckDB `//` agree on exactly (verified on
+  // negatives before shipping); the oracle unrolls the same rounds
+  // over a recursive-free CTE chain. Output per dimension: the
+  // second-moment diagonal and the direction in ppm of the max-|u|
+  // component.
+  // ------------------------------------------------------------------
+  val PdRounds = 3
+
+  def qPrincipalDirection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    val d = Dims
+    val q = expr(
+      "transform(embedding, x -> cast(cast(x as double) * 1000000.0 as bigint))")
+    val base = Tables.embeddingsSharded(spark, dir).select(q.as("q"))
+    val cells = base.select(explode(flatten(
+        transform($"q", (qi, i) =>
+          transform($"q", (qj, j) =>
+            struct(i.as("i"), j.as("j"), (qi * qj).as("p")))))).as("c"))
+      .select($"c.i", $"c.j", $"c.p")
+    val nfr = base.agg(count(lit(1)).as("n"))
+    val mdf = cells.groupBy($"i", $"j").agg(sum($"p").as("s"))
+      .crossJoin(broadcast(nfr))
+      .select($"i", $"j", expr("s div n").as("mij"))
+    // bounded d²-cell model read; the iteration is O(d²·rounds) driver
+    // math over exact longs — corpus-independent
+    val m = Array.ofDim[Long](d, d)
+    mdf.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var u = Array.fill(d)(1000L)
+    for (_ <- 1 to PdRounds) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * u(j)).sum)
+      val sMax = w.map(math.abs).max
+      require(sMax > 0L, "degenerate all-zero second moment")
+      u = w.map(x => x * 1000L / sMax) // Java / truncates ≡ Spark div ≡ DuckDB //
+    }
+    val uMax = u.map(math.abs).max
+    val rows = (0 until d).map(i => (i.toLong, m(i)(i), u(i) * 1000000L / uMax))
+    spark.createDataFrame(rows)
+      .toDF("dim", "diag", "dir_ppm")
+      .orderBy($"dim")
+  }
+
+  val sqlPrincipalDirection: String = {
+    val d = Dims
+    val rounds = (1 to PdRounds).map { k =>
+      val prev = if (k == 1) "u0" else s"u${k - 1}"
+      s""",
+         |w$k AS (SELECT m.i, CAST(sum(m.mij * $prev.u) AS BIGINT) AS w
+         |  FROM m JOIN $prev ON $prev.i = m.j GROUP BY m.i),
+         |s$k AS (SELECT max(abs(w)) AS s FROM w$k),
+         |u$k AS (SELECT i, (w * 1000) // s AS u FROM w$k CROSS JOIN s$k)""".stripMargin
+    }.mkString
+    s"""WITH q AS (
+       |  SELECT vec_id, i,
+       |    CAST(trunc(embedding[i+1]::DOUBLE * 1000000.0) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, $d) r(i)),
+       |n AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+       |m AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.qv * b.qv) AS BIGINT) // n.n AS mij
+       |  FROM q a JOIN q b USING (vec_id) CROSS JOIN n GROUP BY a.i, b.i, n.n),
+       |u0 AS (SELECT i, 1000::BIGINT AS u FROM range(0, $d) r(i))$rounds,
+       |uf AS (SELECT max(abs(u)) AS s FROM u$PdRounds)
+       |SELECT m.i::BIGINT AS dim, m.mij AS diag,
+       |  (u$PdRounds.u * 1000000) // uf.s AS dir_ppm
+       |FROM m JOIN u$PdRounds ON u$PdRounds.i = m.i CROSS JOIN uf
+       |WHERE m.i = m.j ORDER BY dim""".stripMargin
+  }
 }
