@@ -751,4 +751,64 @@ object Analytics {
        |FROM c JOIN t USING (event_type) JOIN e USING (digit)
        |ORDER BY c.event_type, c.digit""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // EWMA smoothing (X186 — the standard exponentially-weighted moving
+  // average every market-data stack runs over its price/flow series;
+  // Roberts 1959, the control-chart companion of X167's CUSUM): over
+  // the same per-(type, day) cents series, s_1 = x_1 and
+  // s_t = (x_t + 3·s_{t-1}) div 4 (α = 1/4 as an exact rational —
+  // truncating integer division, bit-identical in Spark `div`, Java
+  // `/` and DuckDB `//`). The fold is inherently sequential per key,
+  // so the scale shape is the repo's spillable secondary-sort FSM
+  // (one shuffle on the type key, external day sort, O(1) state per
+  // key — the spoofing/density discipline); the ORACLE replays the
+  // recurrence as a data-driven recursive CTE keyed on the per-type
+  // row number (the pack-walk shape).
+  // ------------------------------------------------------------------
+  val EwmaNum = 3L
+  val EwmaDen = 4L
+
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, rddToDatasetHolder}
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(cents).as("x"))
+      .select($"event_type", $"day", $"x")
+      .as[(String, Long, Long)]
+    daily
+      .repartition(col("event_type"))
+      .sortWithinPartitions($"event_type", $"day")
+      .mapPartitions { it =>
+        graft.core.SecondarySort.runs(it)(_._1).flatMap { case (t, rows) =>
+          var s = 0L
+          var first = true
+          rows.map { case (_, d, x) =>
+            s = if (first) { first = false; x } else (x + EwmaNum * s) / EwmaDen
+            (t, d, x, s)
+          }
+        }
+      }
+      .toDF("event_type", "day", "x_cents", "ewma_cents")
+      .orderBy($"event_type", $"day")
+  }
+
+  val sqlEwma: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |walk(event_type, rn, day, x, s) AS (
+       |  SELECT event_type, rn, day, x, x FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.rn, r.day, r.x,
+       |    (r.x + $EwmaNum * w.s) // $EwmaDen
+       |  FROM walk w JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
+       |SELECT event_type, day, x AS x_cents, s AS ewma_cents
+       |FROM walk ORDER BY event_type, day""".stripMargin
 }

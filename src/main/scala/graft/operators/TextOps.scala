@@ -1147,4 +1147,40 @@ object TextOps {
        |  CAST((CAST(1000000 AS HUGEINT) * total_bytes)
        |    // NULLIF(total_tokens, 0) AS BIGINT) AS bytes_per_token_ppm
        |FROM a ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Word-frequency spectrum (X187 — the Zipf diagnostic qVocabCoverage
+  // cannot see: the exact
+  // frequency-of-frequencies table N_f = #types occurring f times,
+  // the statistic behind Good-Turing smoothing (Gale & Sampson 1995)
+  // and corpus-health checks — a healthy natural corpus has a long
+  // hapax-heavy tail, boilerplate collapses it. The log2 bucket rides
+  // along as length(bin(f)) = ⌊log2 f⌋ + 1 — an integer-exact log via
+  // the binary-string length, identical in Spark and DuckDB, no libm.
+  // Scale shape: term counts aggregate with map-side combine (the
+  // shuffle carries |vocab| partials), and the spectrum is a second
+  // ≤64-row map-side-combined aggregate; NO ranking window anywhere,
+  // so unlike rank-based Zipf fits this needs no corpus-sized sort.
+  // ------------------------------------------------------------------
+  def qFreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsSharded(spark, dir)
+      .select(explode(toks).as("term"))
+      .groupBy($"term").agg(count(lit(1)).cast("long").as("cnt"))
+      .groupBy($"cnt".as("freq"))
+      .agg(count(lit(1)).cast("long").as("n_terms"))
+      .select($"freq", $"n_terms",
+        ($"freq" * $"n_terms").as("occ_mass"),
+        length(bin($"freq")).cast("long").as("log2_bucket"))
+      .orderBy($"freq")
+
+  val sqlFreqSpectrum: String = {
+    val t = graft.functions.Hashing.sqlTokens("text")
+    s"""WITH counts AS (
+       |  SELECT term, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest($t) AS term FROM documents) GROUP BY 1)
+       |SELECT cnt AS freq, count(*)::BIGINT AS n_terms,
+       |  cnt * count(*) AS occ_mass,
+       |  length(bin(cnt))::BIGINT AS log2_bucket
+       |FROM counts GROUP BY cnt ORDER BY freq""".stripMargin
+  }
 }
