@@ -370,7 +370,16 @@ object ScalingHarness {
     // every shuffle carries (long, long) rows; candidates grow with
     // planted dup pairs, not quadratically.
     "ssjoin" ->
-      (dir => Dedup.qSsjoin(spark, dir).count()))
+      (dir => Dedup.qSsjoin(spark, dir).count()),
+    // round-12: the composed curation capstone (every stage + the pack
+    // fold; selection is quota-bounded, so output rows stay ~constant
+    // and the ratio measures the stage plans, not the selection) and
+    // the k-core peel (shares the materialized transaction edge store
+    // with the walk family)
+    "curation_e2e" ->
+      (dir => graft.operators.Curation.qCurationE2e(spark, dir).count()),
+    "kcore" ->
+      (dir => Graph.qKCore(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
