@@ -690,8 +690,10 @@ object Multimodal {
       val corpusVideo = videoPairsTouching(frC, frC)
         .select($"doc_a", $"doc_b", lit("video").as("m"))
       // audio evidence is pairwise (chunk pigeonhole), so the corpus-
-      // within family composes exactly like image
-      val corpusAudio = audioNeardupCore(spark, dir)
+      // within family composes exactly like image — and the chunk join
+      // reads the store's OWN persisted aph frame rather than paying
+      // audioNeardupCore's separate materialization of the same plan
+      val corpusAudio = Dedup.chunkBucketPairs(aph, "ahash")
         .filter(!isIncoming($"doc_a") && !isIncoming($"doc_b"))
         .select($"doc_a", $"doc_b", lit("audio").as("m"))
       val corpusTagged = corpusText.unionByName(corpusImage)
