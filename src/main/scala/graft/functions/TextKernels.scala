@@ -190,7 +190,11 @@ object TextKernels {
 
   def aphash60(text: UTF8String): Long = {
     val s = text.toString
-    val n = s.length
+    // window boundaries by CODE POINT offset (not UTF-16 char index),
+    // matching the oracle's substr/length code-point semantics — a
+    // supplementary-plane character must not shift window edges
+    val cps = s.codePoints.toArray
+    val n = cps.length
     val votes = new Array[Long](60)
     val md = MessageDigest.getInstance("SHA-256")
     var start = 0
@@ -202,10 +206,10 @@ object TextKernels {
       var i = start
       var prev = -1
       while (i < end) {
-        val cp = s.codePointAt(i)
+        val cp = cps(i)
         if (prev >= 0) counts((prev * 131 + cp) % 61) += 1
         prev = cp
-        i += Character.charCount(cp)
+        i += 1
       }
       var best = 0
       var j = 1

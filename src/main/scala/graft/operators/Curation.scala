@@ -214,26 +214,40 @@ object Curation {
         .coalesce(1)
         .persist()
       fresh.count()
+      // stage BOTH replacement directories before any live directory
+      // moves: the staged data parquet is read back for the provenance
+      // join, so no plan can recompute over files that no longer exist
       val stage = new org.apache.hadoop.fs.Path(s"$base/stage_shard_$shard")
       fresh.write.mode("overwrite").parquet(stage.toString)
-      fs.delete(dataDir, true)
-      fs.rename(stage, dataDir)
+      val staged = spark.read.parquet(stage.toString)
       // provenance sidecar: the shard's rows rebuilt from the old rows'
-      // (lang, source) + the repacked spans, same stage-and-swap on the
-      // shard partition directory
+      // (lang, source) + the repacked spans read back from the stage
       val oldProv = spark.read.parquet(provDir.toString)
         .filter($"doc_id" =!= docId)
         .select($"doc_id", $"lang", $"source")
       val newProv = oldProv
-        .join(fresh.select($"doc_id", $"bin", $"n_tokens",
+        .join(staged.select($"doc_id", $"bin", $"n_tokens",
           $"tok_start", $"tok_end"), "doc_id")
         .select($"bin", $"doc_id", $"lang", $"source", $"n_tokens",
           $"tok_start", $"tok_end")
         .coalesce(1)
       val provStage = new org.apache.hadoop.fs.Path(s"$base/stage_prov_$shard")
       newProv.write.mode("overwrite").parquet(provStage.toString)
-      fs.delete(provDir, true)
+      // crash-safe swap: rename the live directory ASIDE (never a
+      // delete-first window where the shard has no data on disk),
+      // promote the stage, then drop the aside copy — a crash between
+      // any two steps leaves either the old or the new directory
+      // recoverable by name
+      val dataAside = new org.apache.hadoop.fs.Path(s"$base/old_shard_$shard")
+      fs.delete(dataAside, true)
+      fs.rename(dataDir, dataAside)
+      fs.rename(stage, dataDir)
+      val provAside = new org.apache.hadoop.fs.Path(s"$base/old_prov_$shard")
+      fs.delete(provAside, true)
+      fs.rename(provDir, provAside)
       fs.rename(provStage, provDir)
+      fs.delete(dataAside, true)
+      fs.delete(provAside, true)
       fresh.unpersist()
     }
     shards.length.toLong

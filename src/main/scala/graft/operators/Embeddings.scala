@@ -559,6 +559,17 @@ object Embeddings {
   // over a recursive-free CTE chain. Output per dimension: the
   // second-moment diagonal and the direction in ppm of the max-|u|
   // component.
+  //
+  // Overflow posture (round-13 hardening): the distributed Σ qi·qj is
+  // accumulated in DECIMAL(38,0) — per-term |qi·qj| ≤ (10⁶·max|x|)²,
+  // so even at max|x| = 10 the 38-digit sum holds ~10²⁴ rows — and
+  // the oracle keeps DuckDB's native HUGEINT sum, casting to BIGINT
+  // only AFTER the ÷n (mij = Σ/n is bounded by the per-term max,
+  // corpus-independent). The driver's 3-round iteration runs in
+  // BigInt, so the w = Σ m·u accumulations and the ·1000 rescale
+  // cannot wrap for ANY input magnitude (DuckDB's side is HUGEINT
+  // throughout); after each rescale |u| ≤ 1000 again, so the final
+  // ppm projection stays within long.
   // ------------------------------------------------------------------
   val PdRounds = 3
 
@@ -574,22 +585,25 @@ object Embeddings {
             struct(i.as("i"), j.as("j"), (qi * qj).as("p")))))).as("c"))
       .select($"c.i", $"c.j", $"c.p")
     val nfr = base.agg(count(lit(1)).as("n"))
-    val mdf = cells.groupBy($"i", $"j").agg(sum($"p").as("s"))
+    val mdf = cells.groupBy($"i", $"j")
+      .agg(sum($"p".cast("decimal(38,0)")).as("s")) // wrap-proof sum (≈10²⁴-row headroom)
       .crossJoin(broadcast(nfr))
-      .select($"i", $"j", expr("s div n").as("mij"))
+      .select($"i", $"j", expr("s div n").as("mij")) // ÷n first ⇒ long-bounded result
     // bounded d²-cell model read; the iteration is O(d²·rounds) driver
-    // math over exact longs — corpus-independent
+    // math over BigInt — corpus-independent and wrap-proof for any
+    // input magnitude (matching the oracle's HUGEINT arithmetic)
     val m = Array.ofDim[Long](d, d)
     mdf.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    var u = Array.fill(d)(1000L)
+    var u = Array.fill(d)(BigInt(1000))
     for (_ <- 1 to PdRounds) {
-      val w = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * u(j)).sum)
-      val sMax = w.map(math.abs).max
-      require(sMax > 0L, "degenerate all-zero second moment")
-      u = w.map(x => x * 1000L / sMax) // Java / truncates ≡ Spark div ≡ DuckDB //
+      val w = Array.tabulate(d)(i => (0 until d).map(j => BigInt(m(i)(j)) * u(j)).sum)
+      val sMax = w.map(_.abs).max
+      require(sMax > 0, "degenerate all-zero second moment")
+      u = w.map(x => x * 1000 / sMax) // BigInt / truncates ≡ Spark div ≡ DuckDB //
     }
-    val uMax = u.map(math.abs).max
-    val rows = (0 until d).map(i => (i.toLong, m(i)(i), u(i) * 1000000L / uMax))
+    val uMax = u.map(_.abs).max
+    val rows = (0 until d).map(i =>
+      (i.toLong, m(i)(i), (u(i) * 1000000L / uMax).toLong))
     spark.createDataFrame(rows)
       .toDF("dim", "diag", "dir_ppm")
       .orderBy($"dim")
@@ -611,7 +625,7 @@ object Embeddings {
        |  FROM embeddings, range(0, $d) r(i)),
        |n AS (SELECT count(DISTINCT vec_id) AS n FROM q),
        |m AS (SELECT a.i AS i, b.i AS j,
-       |    CAST(sum(a.qv * b.qv) AS BIGINT) // n.n AS mij
+       |    CAST(sum(a.qv * b.qv) // n.n AS BIGINT) AS mij
        |  FROM q a JOIN q b USING (vec_id) CROSS JOIN n GROUP BY a.i, b.i, n.n),
        |u0 AS (SELECT i, 1000::BIGINT AS u FROM range(0, $d) r(i))$rounds,
        |uf AS (SELECT max(abs(u)) AS s FROM u$PdRounds)

@@ -311,34 +311,49 @@ object Graph {
       .select(expr("id div 2").as("s_suppkey"), $"r".as("auth_ppb"))
       .orderBy($"auth_ppb".desc, $"s_suppkey")
 
-  /** Oracle: the identical alternating walk unrolled (sum(BIGINT) is
-    * HUGEINT in DuckDB — cast back per half-round). */
+  /** Oracle, built INDEPENDENTLY of the Spark walk (the sqlPagerank
+    * stance, extended to the second walk family in round 13 — a shared
+    * misreading of the recurrence must fail one engine): the edge mass
+    * aggregates in a different tree (per-(order, supplier) line counts
+    * first, customers joined after, summed — vs the fact-join-then-
+    * group of [[transactionEdges]]), the transition structure is
+    * MATRIX-ROW form (per-source adjacency lists, each step a lateral
+    * gather-unnest — vs the flat edge-table contribution join), and
+    * the 2·K alternating half-rounds run as ONE data-driven
+    * `WITH RECURSIVE` walk on a step counter, authorities being the
+    * odd steps — vs the Spark side's per-round pair of joins. Only the
+    * recurrence's truncation point (per-edge `//wout`) is shared.
+    * sum(BIGINT) is HUGEINT in DuckDB — cast back per step. */
   val sqlSalsa: String = {
-    def half(out: String, in: String): String =
-      s"""$out AS (
-         |  SELECT e.dst AS id,
-         |    CAST(sum((r.r * e.w) // e.wout) AS BIGINT) AS r
-         |  FROM e JOIN $in r ON e.src = r.id
-         |  GROUP BY e.dst)""".stripMargin
-    val rounds = (1 to SalsaRounds).map(k =>
-      half(s"a$k", if (k == 1) "h0" else s"h${k - 1}") + ",\n" +
-        half(s"h$k", s"a$k")).mkString(",\n")
-    s"""WITH e0 AS (
-       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-       |    count(*) AS w
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    val steps = 2 * SalsaRounds - 1 // a_K lands on step 2K-1
+    s"""WITH RECURSIVE lc AS (
+       |  SELECT l_orderkey, l_suppkey, count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT o.o_custkey * 2 AS src, lc.l_suppkey * 2 + 1 AS dst,
+       |    CAST(sum(lc.c) AS BIGINT) AS w
+       |  FROM lc JOIN orders o ON lc.l_orderkey = o.o_orderkey
        |  GROUP BY 1, 2),
        |sym AS (
        |  SELECT src, dst, w FROM e0
        |  UNION ALL SELECT dst, src, w FROM e0),
-       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM sym GROUP BY 1),
-       |e AS (SELECT s.src, s.dst, s.w, o.wout
-       |      FROM sym s JOIN outw o ON s.src = o.src),
-       |n AS (SELECT count(*) AS n FROM outw WHERE src % 2 = 0),
-       |h0 AS (SELECT src AS id, $ScalePpb // n.n AS r FROM outw CROSS JOIN n
-       |       WHERE src % 2 = 0),
-       |$rounds
-       |SELECT id // 2 AS s_suppkey, r AS auth_ppb FROM a$SalsaRounds
+       |adj AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS wout,
+       |    list(struct_pack(dst := dst, w := w)) AS nbrs
+       |  FROM sym GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM adj WHERE src % 2 = 0),
+       |walk(s, id, r) AS (
+       |  SELECT 0, src, $ScalePpb // n.n FROM adj CROSS JOIN n
+       |  WHERE src % 2 = 0
+       |  UNION ALL
+       |  SELECT s + 1, u.dst,
+       |    CAST(sum((walk.r * u.w) // adj.wout) AS BIGINT)
+       |  FROM walk JOIN adj ON adj.src = walk.id,
+       |    unnest(adj.nbrs) AS t(u)
+       |  WHERE walk.s < $steps
+       |  GROUP BY s + 1, u.dst)
+       |SELECT id // 2 AS s_suppkey, r AS auth_ppb FROM walk
+       |WHERE s = $steps AND id % 2 = 1
        |ORDER BY auth_ppb DESC, s_suppkey""".stripMargin
   }
 
