@@ -35,6 +35,7 @@ object Bench {
     graft.operators.Scale.invalidateBucketed()
     graft.operators.Scale.invalidateDayStore()
     graft.operators.Scale.invalidateZorderStore()
+    graft.operators.Scale.invalidateBloomStore()
     graft.operators.Scale.invalidateWidenStore()
     graft.operators.Similarity.invalidateIvfArtifact()
     graft.operators.Clustering.releaseMergeClosures()
@@ -70,6 +71,7 @@ object Bench {
       graft.operators.Scale.evolvedStore(spark, sfDir)
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
       graft.operators.Scale.zorderStore(spark, sfDir)
+      graft.operators.Scale.bloomStore(spark, sfDir)
       graft.operators.Scale.widenedStore(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
       graft.operators.Similarity.ivfArtifactInc(spark, sfDir)

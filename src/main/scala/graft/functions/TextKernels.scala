@@ -88,6 +88,30 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** h60 of EVERY shingle occurrence, position order, duplicates kept
+    * — the term-frequency twin of [[shingleHashes]] for weighted
+    * (multiset) similarity: tf grids groupBy-count these, where the
+    * distinct-set kernel can only feed set math. */
+  def shingleHashesAll(text: UTF8String): ArrayData = {
+    val t = tokens(text)
+    if (t.length < ShingleN)
+      return new GenericArrayData(Array.empty[Long])
+    val md = MessageDigest.getInstance("SHA-256")
+    val out = new Array[Long](t.length - ShingleN + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      sb.append(t(i))
+      var j = 1
+      while (j < ShingleN) { sb.append(' ').append(t(i + j)); j += 1 }
+      md.reset()
+      out(i) = h60(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Anchor length for exact substring dedup (tokens per sliding
     * window) — operators reference this constant so the kernel and the
     * oracle SQL can never drift. */
@@ -280,6 +304,18 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr = copy(child = newChild)
 }
 
+/** `graft_shingle_hashes_all(text)`: h60 of every shingle occurrence,
+  * duplicates kept (the tf-grid feeder). */
+case class ShingleHashesAllExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "graft_shingle_hashes_all"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashesAll(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingleHashesAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAllExpr = copy(child = newChild)
+}
+
 /** `graft_minhash_sig(text)`: 8-member MinHash signature. */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType)
@@ -341,6 +377,7 @@ object TextKernelFunctions {
 
   def shingleSet(text: Column): Column = call_function("graft_shingle_set", text)
   def shingleHashes(text: Column): Column = call_function("graft_shingle_hashes", text)
+  def shingleHashesAll(text: Column): Column = call_function("graft_shingle_hashes_all", text)
   def anchorHashes(text: Column): Column = call_function("graft_anchor_hashes", text)
   def minhashSig(text: Column): Column = call_function("graft_minhash_sig", text)
   def simhash60(text: Column): Column = call_function("graft_simhash60", text)
@@ -358,6 +395,7 @@ object TextKernelFunctions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     reg1("graft_shingle_set", ShingleSetExpr),
     reg1("graft_shingle_hashes", ShingleHashesExpr),
+    reg1("graft_shingle_hashes_all", ShingleHashesAllExpr),
     reg1("graft_anchor_hashes", AnchorHashesExpr),
     reg1("graft_minhash_sig", MinHashSigExpr),
     reg1("graft_simhash60", SimHash60Expr),

@@ -811,4 +811,161 @@ object Analytics {
        |  FROM walk w JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
        |SELECT event_type, day, x AS x_cents, s AS ewma_cents
        |FROM walk ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Holt double exponential smoothing (X194 — Holt 1957, the
+  // trend-aware companion of X186's single EWMA: a plain EWMA lags a
+  // trending series by a constant offset, so every forecasting stack
+  // runs level+trend smoothing instead): over the per-(type, day)
+  // cents series,
+  //   l_1 = x_1,                b_1 = 0
+  //   l_t = (x_t + 3·(l_{t-1} + b_{t-1})) div 4   (α = 1/4)
+  //   b_t = ((l_t − l_{t-1}) + 3·b_{t-1}) div 4   (β = 1/4)
+  // with the one-step forecast f_t = l_t + b_t — all exact rationals
+  // in truncating integer division (Spark `div` ≡ Java `/` ≡ DuckDB
+  // `//`, including negatives — the trend term b CAN go negative).
+  // Same scale shape as qEwma: inherently sequential per key ⇒ the
+  // spillable secondary-sort FSM, one type-keyed shuffle, O(1) state;
+  // oracle = the two-state data-driven recursive CTE walk.
+  // ------------------------------------------------------------------
+  def qHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, rddToDatasetHolder}
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(cents).as("x"))
+      .select($"event_type", $"day", $"x")
+      .as[(String, Long, Long)]
+    daily
+      .repartition(col("event_type"))
+      .sortWithinPartitions($"event_type", $"day")
+      .mapPartitions { it =>
+        graft.core.SecondarySort.runs(it)(_._1).flatMap { case (t, rows) =>
+          var l = 0L
+          var b = 0L
+          var first = true
+          rows.map { case (_, d, x) =>
+            if (first) { first = false; l = x; b = 0L }
+            else {
+              val lPrev = l
+              l = (x + EwmaNum * (lPrev + b)) / EwmaDen
+              b = ((l - lPrev) + EwmaNum * b) / EwmaDen
+            }
+            (t, d, x, l, b, l + b)
+          }
+        }
+      }
+      .toDF("event_type", "day", "x_cents", "level_cents", "trend_cents",
+        "forecast_cents")
+      .orderBy($"event_type", $"day")
+  }
+
+  val sqlHolt: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |walk(event_type, rn, day, x, l, b) AS (
+       |  SELECT event_type, rn, day, x, x, 0::BIGINT FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.event_type, r.rn, r.day, r.x,
+       |    (r.x + $EwmaNum * (w.l + w.b)) // $EwmaDen,
+       |    (((r.x + $EwmaNum * (w.l + w.b)) // $EwmaDen - w.l)
+       |      + $EwmaNum * w.b) // $EwmaDen
+       |  FROM walk w JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
+       |SELECT event_type, day, x AS x_cents, l AS level_cents,
+       |  b AS trend_cents, l + b AS forecast_cents
+       |FROM walk ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Day-of-week seasonality profile (X193 — the seasonal-baseline
+  // monitoring face next to X157's Hampel days and X167's CUSUM: a
+  // Monday always looks anomalous against a flat weekly mean, so the
+  // alerting baseline must be per-weekday): per (type, weekday) over
+  // exact daily cents, the day count, the truncated mean, and the
+  // worst single-day deviation from that weekday's own mean in ppm.
+  // Weekday from pure epoch-day arithmetic — (day + 4) % 7 with
+  // 0 = Sunday (epoch day 0 = Thursday = 4) — no timezone/libc date
+  // functions in either engine. The ppm product is lifted to
+  // DECIMAL(38,0)/HUGEINT (X152 precedent: per-type daily cents reach
+  // ~10¹³ at 100 TB, ·10⁶ would wrap int64). One map-side-combinable
+  // (type, day) rollup, then mean and deviation share the same
+  // (type, dow) window partitioning before the final group-by.
+  // ------------------------------------------------------------------
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(cents).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val byDow = Window.partitionBy($"event_type", $"dow")
+    daily
+      .withColumn("sx", sum($"x".cast("decimal(38,0)")).over(byDow))
+      .withColumn("nx", count(lit(1)).over(byDow))
+      .withColumn("mean_cents", expr("sx div nx")) // truncating ≡ DuckDB //
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"),
+        max($"mean_cents").as("mean_cents"),
+        max(expr(
+          "(CAST(abs(x - mean_cents) AS DECIMAL(38,0)) * 1000000) div greatest(mean_cents, 1)"))
+          .cast("long").as("max_dev_ppm"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val sqlSeasonality: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |d AS (SELECT event_type, (day + 4) % 7 AS dow, x FROM daily),
+       |m AS (SELECT event_type, dow, x,
+       |    (sum(x) OVER (PARTITION BY event_type, dow)
+       |      // count(*) OVER (PARTITION BY event_type, dow))::BIGINT AS mean_cents
+       |  FROM d)
+       |SELECT event_type, dow, count(*) AS n_days,
+       |  max(mean_cents) AS mean_cents,
+       |  CAST(max((CAST(abs(x - mean_cents) AS HUGEINT) * 1000000)
+       |    // greatest(mean_cents, 1)) AS BIGINT) AS max_dev_ppm
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Grouping-sets rollup (X188 — the multi-level OLAP aggregation the
+  // reference's KPI dashboard implies, arch doc:2243-2249 "grouped by
+  // coin/reason/day": one scan produces the per-(nation, segment)
+  // cells, the per-nation subtotals AND the grand total via Spark's
+  // native ROLLUP — the partial-agg tree computes all three levels in
+  // one shuffle where three separate GROUP BYs would scan the fact
+  // table three times, THE reason grouping sets exist at 100 TB).
+  // Rolled-up levels surface as '*' through coalesce — the grouping
+  // columns themselves are never null in this schema.
+  // ------------------------------------------------------------------
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"c_mktsegment".as("segment"),
+        cents.as("cents"))
+      .rollup($"nation", $"segment")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("acctbal_cents"))
+      .select(coalesce($"nation", lit("*")).as("nation"),
+        coalesce($"segment", lit("*")).as("segment"),
+        $"n_customers", $"acctbal_cents")
+      .orderBy($"nation", $"segment")
+  }
+
+  val sqlGroupingSets: String =
+    s"""SELECT coalesce(n_name, '*') AS nation,
+       |  coalesce(c_mktsegment, '*') AS segment,
+       |  count(*) AS n_customers,
+       |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT)
+       |    AS acctbal_cents
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP (n_name, c_mktsegment)
+       |ORDER BY nation, segment""".stripMargin
 }

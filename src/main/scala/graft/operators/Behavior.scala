@@ -326,4 +326,201 @@ object Behavior {
        |FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path
        |LIMIT $PathTopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // RFM customer segmentation (X190 — Hughes 1994, the
+  // recency/frequency/monetary tiering every CRM and lifecycle-
+  // marketing stack computes over its order log; the reference's KPI
+  // family, arch doc:2243-2249, grouped per entity): per customer the
+  // three raw metrics, each mapped to a 1–5 quintile tier (1 = best),
+  // and the composite 3-digit segment code. NO corpus-wide rank
+  // window: tiers come from per-metric VALUE HISTOGRAMS — recency
+  // days bounded by the date span, frequency by the per-customer
+  // order cap, and monetary pre-quantized onto a 1000-cell grid via a
+  // broadcast max — so the cumulative windows run over bounded frames
+  // (the X57/X75 bucket-granular boundary pattern: ties share a
+  // bucket, the cut lands at bucket resolution, deterministically)
+  // and broadcast back onto the customer frame. Monetary grid math:
+  // m·1000 stays under 2⁶³ for per-customer lifetime value below
+  // ~9·10¹⁵ cents — documented headroom, not a corpus bound.
+  // ------------------------------------------------------------------
+  val RfmMonetaryGrid = 1000L
+
+  /** (value, tier) over the metric's value histogram: quintile
+    * boundaries at ceil(k·tot/5) cumulative docs in goodness order. */
+  private def rfmTiers(per: DataFrame, c: String, asc: Boolean): DataFrame = {
+    val ord = if (asc) col(c).asc else col(c).desc
+    val wCum = Window.orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    per.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wTot))
+      .select(col(c),
+        when($"cum" <= expr("(tot + 4) div 5"), 1L)
+          .when($"cum" <= expr("(2 * tot + 4) div 5"), 2L)
+          .when($"cum" <= expr("(3 * tot + 4) div 5"), 3L)
+          .when($"cum" <= expr("(4 * tot + 4) div 5"), 4L)
+          .otherwise(5L).as(s"${c}_tier"))
+  }
+
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"o_totalprice".cast(DecimalType(18, 6)) * 100).cast("long")
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey",
+        // o_orderdate is TIMESTAMP_NTZ; session tz UTC makes the cast
+        // an identity relabel (the qDateFuncs convention)
+        expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000").as("day"),
+        cents.as("cents"))
+    val anchor = o.agg(max($"day").as("maxday"))
+    val per0 = o.groupBy($"o_custkey")
+      .agg(max($"day").as("lastday"), count(lit(1)).as("freq"),
+        sum($"cents").as("m"))
+      .crossJoin(broadcast(anchor))
+      .select($"o_custkey".as("custkey"), ($"maxday" - $"lastday").as("r_days"),
+        $"freq", $"m")
+    val mMax = per0.agg(max($"m").as("maxm"))
+    val per = per0.crossJoin(broadcast(mMax))
+      .select($"custkey", $"r_days", $"freq", $"m",
+        expr(s"(m * $RfmMonetaryGrid) div (maxm + 1)").as("mb"))
+    per
+      .join(broadcast(rfmTiers(per, "r_days", asc = true)), "r_days")
+      .join(broadcast(rfmTiers(per, "freq", asc = false)), "freq")
+      .join(broadcast(rfmTiers(per, "mb", asc = false)), "mb")
+      .select($"custkey", $"r_days", $"freq", $"m".as("monetary_cents"),
+        $"r_days_tier".as("r_tier"), $"freq_tier".as("f_tier"),
+        $"mb_tier".as("m_tier"),
+        ($"r_days_tier" * 100 + $"freq_tier" * 10 + $"mb_tier").as("rfm"))
+      .orderBy($"custkey")
+  }
+
+  private def sqlRfmTier(src: String, v: String, goodOrd: String): String =
+    s"""SELECT $v AS v,
+       |    CASE WHEN cum <= (tot + 4) // 5 THEN 1
+       |         WHEN cum <= (2 * tot + 4) // 5 THEN 2
+       |         WHEN cum <= (3 * tot + 4) // 5 THEN 3
+       |         WHEN cum <= (4 * tot + 4) // 5 THEN 4
+       |         ELSE 5 END::BIGINT AS tier
+       |  FROM (SELECT $v, sum(n) OVER (ORDER BY $v $goodOrd
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |          sum(n) OVER () AS tot
+       |        FROM (SELECT $v, count(*)::BIGINT AS n FROM $src GROUP BY 1))""".stripMargin
+
+  val sqlRfm: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, (epoch_ms(o_orderdate) // 86400000) AS day,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |a AS (SELECT max(day) AS maxday FROM o),
+       |per0 AS (
+       |  SELECT o_custkey AS custkey, maxday - max(day) AS r_days,
+       |    count(*)::BIGINT AS freq, CAST(sum(cents) AS BIGINT) AS m
+       |  FROM o CROSS JOIN a GROUP BY 1, maxday),
+       |mm AS (SELECT max(m) AS maxm FROM per0),
+       |per AS (SELECT custkey, r_days, freq, m,
+       |    (m * $RfmMonetaryGrid) // (maxm + 1) AS mb
+       |  FROM per0 CROSS JOIN mm),
+       |rt AS (${sqlRfmTier("per", "r_days", "ASC")}),
+       |ft AS (${sqlRfmTier("per", "freq", "DESC")}),
+       |mt AS (${sqlRfmTier("per", "mb", "DESC")})
+       |SELECT custkey, r_days, freq, m AS monetary_cents,
+       |  rt.tier AS r_tier, ft.tier AS f_tier, mt.tier AS m_tier,
+       |  rt.tier * 100 + ft.tier * 10 + mt.tier AS rfm
+       |FROM per
+       |JOIN rt ON per.r_days = rt.v
+       |JOIN ft ON per.freq = ft.v
+       |JOIN mt ON per.mb = mt.v
+       |ORDER BY custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Peak session concurrency (X189 — the interval sweep-line query
+  // behind capacity planning and license/SLA audits: "how many
+  // sessions were open at once, per day"): sessions are the standard
+  // 30-min-gap islands (the qSessionize convention, all users), each
+  // contributing a +1 delta at its start second and a −1 at its end
+  // second; the open count at any boundary is the running sum. The
+  // DISTRIBUTED sweep never builds one global ordered stream: deltas
+  // key by epoch day, each day's running sum is a day-partitioned
+  // window, and the cross-day carry (sessions still open at
+  // midnight) is the cumulative delta sum over the DAY table — a
+  // bounded frame (date span), the two-level decomposition that keeps
+  // the sweep one keyed shuffle at any scale. Ties are total-ordered
+  // (second, +1 before −1, user, session): a session ending the exact
+  // second another starts counts as overlapping — closed-interval
+  // semantics, deterministic in both engines.
+  // ------------------------------------------------------------------
+  def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val sess = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("unix_millis(ts) div 1000").as("ts_s"))
+      .withColumn("gap", $"ts_s" - lag($"ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .withColumn("sess", sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts_s").as("start_s"), max($"ts_s").as("end_s"))
+    val deltas = sess
+      .select($"user_id", $"sess", $"start_s".as("t"), lit(1L).as("d"))
+      .unionByName(sess.select($"user_id", $"sess", $"end_s".as("t"),
+        lit(-1L).as("d")))
+      .withColumn("day", expr("t div 86400"))
+    // carry-in per day: cumulative delta mass of all PRIOR days —
+    // a window over the bounded day table only
+    val wDays = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy($"day").agg(sum($"d").as("dsum"))
+      .withColumn("carry", coalesce(sum($"dsum").over(wDays), lit(0L)))
+      .select($"day", $"carry")
+    // within-day running sum at every delta point, total tie order
+    val wSweep = Window.partitionBy($"day")
+      .orderBy($"t", $"d".desc, $"user_id", $"sess")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("run", sum($"d").over(wSweep))
+      .join(broadcast(carry), "day")
+      .groupBy($"day")
+      .agg(max($"run" + $"carry").as("max_concurrent"),
+        sum(when($"d" === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy($"day")
+  }
+
+  val sqlMaxConcurrency: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, (epoch_ms(ts) // 1000) AS ts_s,
+       |    CASE WHEN (epoch_ms(ts) // 1000)
+       |        - lag((epoch_ms(ts) // 1000)) OVER w IS NULL
+       |      OR (epoch_ms(ts) // 1000)
+       |        - lag((epoch_ms(ts) // 1000)) OVER w > 1800
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |s AS (
+       |  SELECT user_id, ts_s,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id
+       |      ORDER BY ts_s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+       |  FROM g),
+       |sb AS (SELECT user_id, sess, min(ts_s) AS start_s, max(ts_s) AS end_s
+       |  FROM s GROUP BY 1, 2),
+       |deltas AS (
+       |  SELECT user_id, sess, start_s AS t, 1::BIGINT AS d FROM sb
+       |  UNION ALL
+       |  SELECT user_id, sess, end_s AS t, -1::BIGINT AS d FROM sb),
+       |dd AS (SELECT *, t // 86400 AS day FROM deltas),
+       |carry AS (
+       |  SELECT day, coalesce(sum(dsum) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS carry
+       |  FROM (SELECT day, sum(d)::BIGINT AS dsum FROM dd GROUP BY 1)),
+       |run AS (
+       |  SELECT day, d,
+       |    CAST(sum(d) OVER (PARTITION BY day
+       |      ORDER BY t, d DESC, user_id, sess
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+       |  FROM dd)
+       |SELECT run.day, max(run.run + carry.carry) AS max_concurrent,
+       |  CAST(sum(CASE WHEN run.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       |FROM run JOIN carry USING (day)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

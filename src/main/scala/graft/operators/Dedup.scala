@@ -901,4 +901,88 @@ object Dedup {
        |FROM j WHERE $SsjDen * inter >= $SsjNum * uni
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Exact sparse-cosine similarity join (X191 — the WEIGHTED multiset
+  // companion of X174's set Jaccard: tf-weighted cosine over the
+  // shingle-frequency vectors, the Salton vector-space similarity
+  // (Salton & McGill 1983) that set measures miss — a doc that
+  // repeats a refrain 10× is cosine-close to one repeating it 9×,
+  // while their shingle SETS are identical to a one-occurrence copy).
+  // Pairs with cos ≥ 4/5, EXACTLY, with no square root anywhere: for
+  // non-negative tf vectors, cos ≥ t ⇔ den(t)²·dot² ≥ num(t)²·‖a‖²‖b‖²
+  // — an integer comparison both engines evaluate bit-identically
+  // (lifted to DECIMAL(38,0)/HUGEINT: dot² reaches 10²⁴ for 10⁶-token
+  // docs, past int64).
+  //
+  // Scale shape: the tf grid comes off the duplicates-kept codegen'd
+  // shingle kernel (text→long — the X174 lesson: hash postings should
+  // never materialize string arrays); candidates and the exact dot
+  // product are ONE h-keyed self-join with map-side tf products —
+  // fan-out bounded by the per-hash document frequency, with the
+  // df-cap boilerplate guard (X79 precedent, mirrored in the oracle)
+  // cutting the universal-shingle blowup a pathological corpus would
+  // produce. Shuffles carry (doc_id, h, tf) longs only. All-pairs
+  // exists only in the oracle.
+  // ------------------------------------------------------------------
+  val SpcNum = 4L
+  val SpcDen = 5L
+  val SpcDfCap = 20L
+
+  /** The testable core over a (doc_id, h, tf) term-frequency grid. */
+  def sparseCosinePairs(tf: DataFrame): DataFrame = {
+    val dfreq = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+    val norms = tf.groupBy($"doc_id")
+      .agg(sum($"tf" * $"tf").as("n2"))
+    val post = tf.join(dfreq.filter($"df" <= SpcDfCap), "h")
+      .select($"doc_id", $"h", $"tf")
+    val dot = post.as("a").join(post.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dot
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na2")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb2")), "doc_b")
+      .filter(expr(s"$SpcDen * $SpcDen * CAST(dot AS DECIMAL(38,0)) * dot" +
+        s" >= $SpcNum * $SpcNum * CAST(na2 AS DECIMAL(38,0)) * nb2"))
+      .select($"doc_a", $"doc_b", $"dot", $"na2", $"nb2",
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)" +
+          " div (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)").as("cos2_ppm"))
+  }
+
+  /** Gate: cos ≥ 4/5 pairs over the corpus tf vectors. */
+  def qSparseCosine(spark: SparkSession, dir: String): DataFrame =
+    sparseCosinePairs(Tables.documentsSharded(spark, dir)
+      .select($"doc_id",
+        explode(TextKernelFunctions.shingleHashesAll($"text")).as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf")))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** Oracle: the all-pairs formulation over the same tf grid (shared
+    * hashes only via the join, df-cap mirrored), exact integer
+    * threshold — no prefix/candidate machinery anywhere. */
+  val sqlSparseCosine: String = {
+    val strs = Hashing.sqlShingles(Hashing.sqlTokens("text"), ShingleN)
+    s"""WITH s0 AS (SELECT doc_id, $strs AS strs FROM documents),
+       |w AS (SELECT doc_id, ${Hashing.sqlH60("unnest(strs)")} AS h FROM s0),
+       |tf AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+       |dfreq AS (SELECT h, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+       |  FROM tf GROUP BY 1),
+       |post AS (SELECT doc_id, h, tf.tf AS tf FROM tf JOIN dfreq USING (h)
+       |  WHERE df <= $SpcDfCap),
+       |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+       |  CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+       |    // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_ppm
+       |FROM dot
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE $SpcDen * $SpcDen * CAST(dot AS HUGEINT) * dot
+       |  >= $SpcNum * $SpcNum * CAST(na.n2 AS HUGEINT) * nb.n2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

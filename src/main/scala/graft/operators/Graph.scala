@@ -768,6 +768,99 @@ object Graph {
        |ORDER BY s_suppkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // Cheapest trust path from the seed cohort (X192 — the WEIGHTED
+  // companion of X148's hop BFS: Bellman-Ford relaxation rounds,
+  // Bellman 1958, over per-edge integer costs cost(e) = 10⁶ div w, so
+  // a rare single-transaction link costs 10⁶ while a heavily-traded
+  // one is nearly free — the "strength of connection" semantics trust
+  // propagation and fraud-ring tracing run, where two strong hops
+  // genuinely beat one weak direct edge and plain hop distance gets
+  // the ranking wrong). d_{k+1}(v) = min(d_k(v), min over in-edges of
+  // d_k(u) + cost) for K rounds = exact cheapest cost over ≤K-edge
+  // paths; unreached stays −1. Reuses the SAME materialized edge and
+  // seed stores as X129/X137/X148 (zero parquet in the walk); because
+  // the carry term references the previous frontier alongside the
+  // relax join, each round's frame is RE-MATERIALIZED into a fresh
+  // FrameStore and the previous one released — flat O(1) plan depth
+  // (the connectedComponents discipline), where naive chaining doubles
+  // the plan per round. All-BIGINT: d ≤ K·10⁶, no overflow at any
+  // scale. Oracle = the identical recurrence as K unrolled CTE rounds
+  // with the same 2⁶²-sentinel min (the pre-independence sqlPagerank
+  // form; GraphSpec pins the multi-hop-beats-direct case on a
+  // synthetic weighted graph).
+  // ------------------------------------------------------------------
+  val CheapRounds = 4
+  val CostScale = 1000000L
+  private val CostInf = 1L << 62
+
+  /** Per-node cheapest ≤`rounds`-edge path cost from the seed set;
+    * INTERNAL sentinel 2⁶² = unreachable. */
+  def cheapestCosts(edges: EdgeStore, seedFlags: FrameStore,
+      rounds: Int = CheapRounds): DataFrame = {
+    def e(): DataFrame = edges.fresh()
+      .select($"src", $"dst", expr(s"${CostScale}L div w").as("cost"))
+    var store = materializeFrame(seedFlags.fresh().select($"id",
+      when($"is_seed" === 1, 0L).otherwise(CostInf).as("d")))
+    for (_ <- 1 to rounds) {
+      val dist = store.fresh()
+      val relax = e()
+        .join(dist.filter($"d" < CostInf).select($"id".as("rid"), $"d"),
+          $"src" === $"rid")
+        .groupBy($"dst").agg(min($"d" + $"cost").as("nd"))
+      val next = materializeFrame(
+        dist.join(relax, dist("id") === relax("dst"), "left")
+          .select(dist("id"),
+            least($"d", coalesce($"nd", lit(CostInf))).as("d")))
+      store.release()
+      store = next
+    }
+    store.fresh()
+  }
+
+  /** Gate: suppliers' cheapest trust-path cost from the nation-7
+    * customer cohort; −1 = unreachable within [[CheapRounds]] edges. */
+  def qCheapestPath(spark: SparkSession, dir: String): DataFrame =
+    cheapestCosts(transactionEdgeStore(spark, dir), seedStore(spark, dir))
+      .filter($"id" % 2 === 1)
+      .select(expr("id div 2").as("s_suppkey"),
+        when($"d" === CostInf, -1L).otherwise($"d").as("cost"))
+      .orderBy($"s_suppkey")
+
+  val sqlCheapestPath: String = {
+    val rounds = (1 to CheapRounds).map { k =>
+      s""",
+         |x$k AS (
+         |  SELECT e.dst AS id, min(p.d + e.cost) AS nd
+         |  FROM e JOIN d${k - 1} p ON e.src = p.id
+         |  WHERE p.d < $CostInf GROUP BY 1),
+         |d$k AS (
+         |  SELECT p.id, least(p.d, coalesce(x$k.nd, $CostInf)) AS d
+         |  FROM d${k - 1} p LEFT JOIN x$k ON p.id = x$k.id)""".stripMargin
+    }.mkString
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    count(*)::BIGINT AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst, src, w FROM e0),
+       |e AS (SELECT src, dst, $CostScale // w AS cost FROM sym),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |d0 AS (
+       |  SELECT n.id,
+       |    CASE WHEN c.c_custkey IS NOT NULL THEN 0::BIGINT
+       |         ELSE ${CostInf}::BIGINT END AS d
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = $SeedNation
+       |  ) c ON n.id = c.c_custkey * 2)$rounds
+       |SELECT id // 2 AS s_suppkey,
+       |  CASE WHEN d = $CostInf THEN -1 ELSE d END AS cost
+       |FROM d$CheapRounds WHERE id % 2 = 1
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Source-copying matrix (X155): which sources share near-dup
   // DOCUMENTS with which — the directional mirror/scrape report at
   // CLUSTER granularity, complementing X147's shingle-set overlap

@@ -1214,4 +1214,128 @@ object Scale {
        |WHERE user_id BETWEEN alo AND ahi
        |  AND epoch_us(ts) BETWEEN blo AND bhi
        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom-filter file skipping (X195 — the point-lookup companion of
+  // X176's min/max manifest, the bloom-filter index Delta/Iceberg and
+  // Parquet column indexes ship: min/max envelopes prune RANGE
+  // predicates on the layout's sort dims, but a point lookup of a few
+  // record ids in a store laid out by TIME hits every file's envelope
+  // — the needle-in-a-haystack audit/debug/takedown query that would
+  // otherwise scan 100 TB. Per data file, a 2¹⁶-bit Bloom filter
+  // (Bloom 1970; k = 3 sha-derived positions per id, the X63 bit
+  // machinery, packed into 1024 BIGINT words) over its event ids is
+  // built ONCE at write and persisted as a manifest sidecar; a probe
+  // turns its ids into the same k positions and keeps only files whose
+  // filter has ALL k bits set. No false negatives by construction —
+  // the gate's row equality against the raw-table oracle IS that
+  // proof; false positives cost one extra file read, never
+  // correctness. Manifest size: files × ≤1024 words — metadata,
+  // corpus-independent per file.
+  // ------------------------------------------------------------------
+  val BloomStoreFiles = 16
+  val BloomPruneK = 3
+  val BloomPruneBits = 65536L
+
+  private val bloomStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateBloomStore(): Unit = bloomStoreCache.clear()
+
+  /** The k sha-derived bit positions of an id (X63's position rule). */
+  private def bloomPositions(id: Column): Column =
+    array((0 until BloomPruneK).map(j =>
+      graft.functions.Hashing.h60Seeded(j, id) % BloomPruneBits): _*)
+
+  /** Build (once) the day-sharded event store: `data/` in
+    * [[BloomStoreFiles]] day-hashed files, `manifest/` with each
+    * file's packed Bloom words over its event ids, `bounds/` with the
+    * global id range the gate's probe set derives from. */
+  def bloomStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.core.Memo.once(bloomStoreCache, (spark, dir))({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/bloom_store$tag"
+      val e = graft.sources.Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          ($"value".cast(DEC) * 100).cast("long").as("cents"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+      e.repartition(BloomStoreFiles, $"day")
+        .write.mode("overwrite").parquet(s"$base/data")
+      // one scan builds every file's filter: id → k positions →
+      // (word, bit) → per-(file, word) bit_or — map-side combinable
+      spark.read.parquet(s"$base/data")
+        .select(input_file_name().as("path"), $"event_id")
+        .select(element_at(split($"path", "/"), -1).as("file"),
+          explode(bloomPositions($"event_id")).as("p"))
+        .select($"file", expr("p div 64").as("word"),
+          expr("shiftleft(1L, cast(p % 64 as int))").as("m"))
+        .groupBy($"file", $"word").agg(expr("bit_or(m)").as("bits"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      e.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bounds")
+      base
+    })
+
+  /** The gate's probe ids — {min, mid, max} of the id range from the
+    * store's 1-row bounds file, exact at any SF (the mid id need not
+    * exist: the bloom may read a file for it and find nothing, same
+    * as the oracle's join missing). */
+  def bloomProbeIds(spark: org.apache.spark.sql.SparkSession,
+      base: String): Seq[Long] = {
+    val b = spark.read.parquet(s"$base/bounds").head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    Seq(lo, (lo + hi) / 2, hi).distinct
+  }
+
+  /** Prune to files whose Bloom filter has all k bits of SOME probe
+    * id, then read only those with the residual id filter. Returns
+    * (frame, filesRead, filesTotal). The manifest work is
+    * O(files·probes) metadata; the matched-file list is bounded by
+    * k-position hits (≤ |probes| true files + FP strays), never the
+    * store. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession, base: String,
+      ids: Seq[Long]): (DataFrame, Long, Long) = {
+    val probe = spark.createDataFrame(ids.map(Tuple1(_))).toDF("pid")
+      .select($"pid", explode(bloomPositions($"pid")).as("p"))
+      .select($"pid", expr("p div 64").as("word"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("m"))
+    val man = spark.read.parquet(s"$base/manifest")
+    val hit = probe.join(man, "word")
+      .filter(expr("(bits & m) != 0"))
+      .groupBy($"pid", $"file").agg(count(lit(1)).as("k"))
+      .filter($"k" === BloomPruneK)
+      .select($"file").distinct().collect().map(_.getString(0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(s"$base/data")
+    val total = dataDir.getFileSystem(conf).listStatus(dataDir)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-")).toLong
+    val residual = (df: DataFrame) => df.filter($"event_id".isin(ids: _*))
+    val df =
+      if (hit.isEmpty) residual(spark.read.parquet(s"$base/data")).limit(0)
+      else residual(spark.read.parquet(hit.map(f => s"$base/data/$f").toSeq: _*))
+    (df, hit.length.toLong, total)
+  }
+
+  /** Gate: the probed events served through the Bloom-pruned file
+    * list; oracle = the id filter over raw `events`. Row equality is
+    * the no-false-negative proof; ScaleSpec pins files-read < total. */
+  def qBloomPrune(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = bloomStore(spark, dir)
+    val ids = bloomProbeIds(spark, base)
+    val (df, _, _) = bloomPrunedRead(spark, base, ids)
+    df.select($"event_id", $"user_id", $"event_type", $"cents")
+      .orderBy($"event_id")
+  }
+
+  val sqlBloomPrune: String =
+    s"""WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+       |p AS (SELECT lo AS pid FROM b
+       |  UNION SELECT (lo + hi) // 2 FROM b
+       |  UNION SELECT hi FROM b)
+       |SELECT e.event_id, e.user_id, e.event_type,
+       |  CAST(CAST(e.value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |FROM events e JOIN p ON e.event_id = p.pid
+       |ORDER BY e.event_id""".stripMargin
 }

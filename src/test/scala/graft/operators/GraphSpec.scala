@@ -670,4 +670,239 @@ class GraphSpec extends SparkSpec {
     // degree): no rounds-exhausted throw on the everything-peels path
     assert(Graph.kCoreEdges(sym, 10, maxRounds = 8).isEmpty)
   }
+
+  // X192 — weighted cheapest path (Bellman-Ford rounds)
+  private def cheapOf(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int = Graph.CheapRounds): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val es = Graph.materializeEdges(() => edges.toDF("src", "dst", "w"))
+    val sf = Graph.materializeFrame(
+      nodes.map(n => (n, if (seeds(n)) 1 else 0)).toDF("id", "is_seed"))
+    try Graph.cheapestCosts(es, sf, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally { es.release(); sf.release() }
+  }
+
+  test("cheapest path: two strong hops beat one weak direct edge") {
+    // s→v direct w=1 (cost 10^6); s→a→v both w=100 (cost 10^4 each)
+    val e = Seq((0L, 9L, 1L), (0L, 5L, 100L), (5L, 9L, 100L))
+    val d = cheapOf(e, Set(0L))
+    assert(d(0L) == 0L, "seed costs zero")
+    assert(d(9L) == 2L * (Graph.CostScale / 100L),
+      s"the 2-hop strong path must win, got ${d(9L)}")
+    assert(d(5L) == Graph.CostScale / 100L)
+  }
+
+  test("cheapest path: nodes beyond the round horizon stay unreached") {
+    // chain of 6 edges from the seed: node 6 needs 6 relaxation rounds
+    val e = (0L until 6L).map(i => (i, i + 1, 1000000L))
+    val d = cheapOf(e, Set(0L))
+    assert(d(4L) == 4L * (Graph.CostScale / 1000000L), "within horizon")
+    assert(d(5L) == 1L << 62, "beyond K=4 rounds stays at the sentinel")
+    assert(d(6L) == 1L << 62)
+  }
+
+  test("cheapest path: 1-Lipschitz under an extra round, and monotone in rounds") {
+    val e = Seq((0L, 1L, 2L), (1L, 2L, 2L), (2L, 3L, 2L), (0L, 3L, 1L))
+    val d4 = cheapOf(e, Set(0L))
+    val d5 = cheapOf(e, Set(0L), rounds = 5)
+    assert(d4.keySet == d5.keySet)
+    assert(d4.keySet.forall(k => d5(k) <= d4(k)), "more rounds never worsen")
+  }
+
+  test("cheapest path gate: every supplier row, costs -1 or within K*CostScale") {
+    val rows = Graph.qCheapestPath(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getLong(1)
+      c == -1L || (c >= 0L && c <= Graph.CheapRounds * Graph.CostScale)
+    })
+  }
+
+  // X191 — exact sparse-cosine similarity join
+  test("sparse cosine: pairs equal brute-force multiset cosine on random tf grids") {
+    // 30 docs with repeating shingle-hash multisets + planted pairs:
+    // an identical copy, a 2x-scaled copy (cosine exactly 1), a
+    // disjoint doc, and a heavy-overlap pair
+    val docs: Seq[(Long, Seq[(Long, Long)])] = (0 until 30).map { d =>
+      val tfs = (0 until 6 + d % 4)
+        .map(j => (((d * 11 + j * 5) % 40).toLong, (1L + (d + j) % 3)))
+      (d.toLong, tfs.groupBy(_._1).map { case (h, xs) => (h, xs.map(_._2).sum) }.toSeq)
+    } ++ Seq(
+      (200L, Seq((1L, 2L), (2L, 3L), (3L, 1L))),
+      (201L, Seq((1L, 2L), (2L, 3L), (3L, 1L))),  // identical
+      (202L, Seq((1L, 4L), (2L, 6L), (3L, 2L))),  // 2x-scaled: cos = 1
+      (203L, Seq((50L, 5L), (51L, 5L))),          // disjoint from 200
+      (204L, Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))))
+    val tf = docs.toDF("doc_id", "tfs")
+      .select($"doc_id", explode($"tfs").as("e"))
+      .select($"doc_id", $"e._1".as("h"), $"e._2".as("tf"))
+    val got = Dedup.sparseCosinePairs(tf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = docs.map { case (d, tfs) => d -> tfs.toMap }.toMap
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = vecs(ids(i)); b = vecs(ids(j))
+      dot = a.keysIterator.map(h => a(h) * b.getOrElse(h, 0L)).sum
+      na2 = a.valuesIterator.map(v => v * v).sum
+      nb2 = b.valuesIterator.map(v => v * v).sum
+      if BigInt(Dedup.SpcDen * Dedup.SpcDen) * BigInt(dot) * BigInt(dot) >=
+        BigInt(Dedup.SpcNum * Dedup.SpcNum) * BigInt(na2) * BigInt(nb2)
+    } yield (ids(i), ids(j))).toSet
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+    assert(want.contains((200L, 201L)) && want.contains((200L, 202L)),
+      "identical and scaled copies must pair")
+    assert(!want.contains((200L, 203L)), "disjoint docs must not pair")
+    // exact score: a scaled copy is cosine 1 -> cos2_ppm = 10^6 exactly
+    val scaled = Dedup.sparseCosinePairs(tf)
+      .filter($"doc_a" === 200L && $"doc_b" === 202L).head
+    assert(scaled.getLong(5) == 1000000L)
+  }
+
+  // X190 — RFM segmentation
+  test("rfm: tiers in 1..5, monotone in metric goodness, composite code consistent") {
+    val rows = Behavior.qRfm(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rt, ft, mt, code) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rt >= 1 && rt <= 5 && ft >= 1 && ft <= 5 && mt >= 1 && mt <= 5)
+      assert(code == rt * 100 + ft * 10 + mt)
+    }
+    // tier is a function of the metric value, monotone in goodness:
+    // smaller recency never tiers WORSE, larger frequency never WORSE
+    val byR = rows.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(4)).distinct).toMap
+    assert(byR.values.forall(_.size == 1), "r_tier must be a function of r_days")
+    val rPairs = byR.toSeq.sortBy(_._1).map(_._2.head)
+    assert(rPairs == rPairs.sorted, "recency tiers must be monotone in days")
+    val byF = rows.groupBy(_.getLong(2)).view
+      .mapValues(_.map(_.getLong(5)).distinct).toMap
+    assert(byF.values.forall(_.size == 1), "f_tier must be a function of freq")
+    val fPairs = byF.toSeq.sortBy(-_._1).map(_._2.head)
+    assert(fPairs == fPairs.sorted, "frequency tiers must be monotone desc")
+  }
+
+  // X189 — peak session concurrency
+  test("max_concurrency: equals a driver-side sweep over the collected session intervals") {
+    // independent truth: collect raw events, build 30-min-gap sessions
+    // in plain Scala, sweep ALL deltas in one global ordered pass (no
+    // day decomposition), take per-day maxima — must equal the gate's
+    // two-level carry construction exactly
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", expr("unix_millis(ts) div 1000").as("ts_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var sIdx = 0L
+      var start = 0L; var last = Long.MinValue
+      sorted.foreach { case (_, _, t) =>
+        if (last == Long.MinValue || t - last > 1800) {
+          if (last != Long.MinValue) bounds += ((u, sIdx, start, last))
+          sIdx += 1; start = t
+        }
+        last = t
+      }
+      bounds += ((u, sIdx, start, last))
+      bounds.toSeq
+    }
+    val deltas = sessions.flatMap { case (u, s, st, en) =>
+      Seq((st, 1L, u, s), (en, -1L, u, s)) }
+      .sortBy { case (t, d, u, s) => (t, -d, u, s) }
+    var run = 0L
+    val perDay = scala.collection.mutable.Map.empty[Long, Long]
+    val starts = scala.collection.mutable.Map.empty[Long, Long]
+    deltas.foreach { case (t, d, _, _) =>
+      run += d
+      val day = t / 86400
+      perDay(day) = math.max(perDay.getOrElse(day, Long.MinValue), run)
+      if (d == 1L) starts(day) = starts.getOrElse(day, 0L) + 1L
+    }
+    val got = Behavior.qMaxConcurrency(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == perDay.keySet)
+    got.foreach { case (day, mx, ns) =>
+      assert(mx == perDay(day), s"day $day: got $mx want ${perDay(day)}")
+      assert(ns == starts.getOrElse(day, 0L))
+    }
+    // structural bound: concurrent sessions can never exceed the
+    // number of distinct users (per-user sessions are disjoint)
+    val nUsers = ev.map(_._1).distinct.length
+    assert(got.forall(_._2 <= nUsers))
+  }
+
+  // X194 — Holt double exponential smoothing
+  test("holt: pipeline equals the literal two-state fold; flat series has zero trend") {
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(($"value".cast("decimal(18,6)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (t, xs) =>
+      var l = 0L; var b = 0L; var first = true
+      xs.sortBy(_._2).toSeq.map { case (_, d, x) =>
+        if (first) { first = false; l = x; b = 0L }
+        else {
+          val lp = l
+          l = (x + 3L * (lp + b)) / 4L
+          b = ((l - lp) + 3L * b) / 4L
+        }
+        ((t, d), (l, b))
+      }
+    }.toMap
+    val got = Analytics.qHolt(spark, Sf0001).collect()
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      assert((r.getLong(3), r.getLong(4)) == want(k), s"mismatch at $k")
+      assert(r.getLong(5) == r.getLong(3) + r.getLong(4), "forecast = level + trend")
+    }
+    // a constant series is a fixed point: level = x, trend = 0
+    var l = 100L; var b = 0L
+    (1 to 10).foreach { _ =>
+      val lp = l; l = (100L + 3L * (lp + b)) / 4L; b = ((l - lp) + 3L * b) / 4L
+    }
+    assert(l == 100L && b == 0L)
+  }
+
+  // X193 — day-of-week seasonality
+  test("seasonality: dow arithmetic and per-cell means recompute exactly") {
+    val daily = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(($"value".cast("decimal(18,6)") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = daily.groupBy { case (t, d, _) => (t, (d + 4) % 7) }
+    val got = Analytics.qSeasonality(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val xs = cells(k).map(_._3)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 6)
+      assert(r.getLong(2) == xs.length.toLong, "n_days")
+      val mean = (xs.map(BigInt(_)).sum / xs.length).toLong
+      assert(r.getLong(3) == mean, s"mean at $k")
+      val dev = xs.map(x => (BigInt((x - mean).abs) * 1000000 /
+        math.max(mean, 1L)).toLong).max
+      assert(r.getLong(4) == dev, s"dev at $k")
+    }
+  }
+
+  // X188 — grouping-sets rollup
+  test("grouping_sets: cells + nation subtotals + grand total, masses consistent") {
+    val rows = Analytics.qGroupingSets(spark, Sf0001).collect()
+    val cells = rows.filter(r => r.getString(0) != "*" && r.getString(1) != "*")
+    val nations = rows.filter(r => r.getString(0) != "*" && r.getString(1) == "*")
+    val grand = rows.filter(r => r.getString(0) == "*" && r.getString(1) == "*")
+    assert(grand.length == 1)
+    assert(rows.length == cells.length + nations.length + 1)
+    assert(rows.forall(r => !(r.getString(0) == "*" && r.getString(1) != "*")),
+      "ROLLUP never emits (all, segment) cells")
+    assert(grand.head.getLong(2) == cells.map(_.getLong(2)).sum)
+    assert(grand.head.getLong(3) == cells.map(_.getLong(3)).sum)
+    nations.foreach { n =>
+      val mine = cells.filter(_.getString(0) == n.getString(0))
+      assert(n.getLong(2) == mine.map(_.getLong(2)).sum)
+      assert(n.getLong(3) == mine.map(_.getLong(3)).sum)
+    }
+  }
 }

@@ -1294,7 +1294,9 @@ class PlanSpec extends SparkSpec {
       "q_budget_select",  // threshold pick over histogram-bucket boundaries (fixed bucket grid)
       "q_vocab_coverage", // cumulative coverage over the top-K vocab cut (K rows)
       "q_quantile_norm",  // value-level CDF over the distinct-length histogram (|distinct lengths| rows, corpus-independent)
-      "q_curation_e2e"    // mixture position offsets over the per-lang quota frame (|langs| rows)
+      "q_curation_e2e",   // mixture position offsets over the per-lang quota frame (|langs| rows)
+      "q_rfm",            // quintile boundaries over per-metric value histograms (date-span / order-cap / 1000-cell grid rows)
+      "q_max_concurrency" // cross-day carry over the per-day delta rollup (date-span rows)
     )
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val actual = scala.collection.mutable.Set.empty[String]

@@ -400,4 +400,48 @@ class ScaleSpec extends SparkSpec {
       }
     assert(viol == 0, s"$viol rows outside their file's manifest envelope")
   }
+
+  test("bloomPrunedRead: point probes open few files, never lose a row, absent ids find nothing") {
+    import spark.implicits._
+    val base = Scale.bloomStore(spark, Sf0001)
+    val ids = Scale.bloomProbeIds(spark, base)
+    val (pruned, read, total) = Scale.bloomPrunedRead(spark, base, ids)
+    // the skipping claim, actually served: 3 point probes against a
+    // 16-file day-sharded store must skip a strict majority of files
+    assert(total >= Scale.BloomStoreFiles / 2, s"store too small: $total files")
+    assert(read < total, s"bloom must prune: read $read of $total")
+    assert(read <= ids.length + 2, // true files + a small FP allowance
+      s"matched-file list should be probe-bounded: $read for ${ids.length} ids")
+    // no-false-negative proof: equality against the direct id filter
+    val full = spark.read.parquet(s"$base/data")
+      .filter($"event_id".isin(ids: _*))
+    assert(pruned.count() == full.count())
+    assert(pruned.select($"event_id").except(full.select($"event_id")).isEmpty)
+    assert(full.select($"event_id").except(pruned.select($"event_id")).isEmpty)
+    // an id outside the store: the bloom may false-positive a file
+    // open, but the residual filter guarantees zero rows either way
+    val absent = Seq(ids.max + 999983L)
+    val (none, _, _) = Scale.bloomPrunedRead(spark, base, absent)
+    assert(none.count() == 0L)
+    // the manifest really is a per-file filter: every stored id's k
+    // positions are set in its own file's words
+    val manifest = spark.read.parquet(s"$base/manifest").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    val sample = spark.read.parquet(s"$base/data")
+      .select(input_file_name().as("f"), $"event_id").limit(200).collect()
+    val posOf = (id: Long) => (0 until Scale.BloomPruneK).map { j =>
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$j|$id".getBytes("UTF-8"))
+      var v = 0L; (0 until 8).foreach(i => v = (v << 8) | (h(i) & 0xffL))
+      (v >>> 4) % Scale.BloomPruneBits
+    }
+    sample.foreach { r =>
+      val words = manifest(r.getString(0).split('/').last)
+      posOf(r.getLong(1)).foreach { p =>
+        assert((words(p / 64) & (1L << (p % 64).toInt)) != 0L,
+          s"id ${r.getLong(1)} bit $p missing from its file's filter")
+      }
+    }
+  }
 }

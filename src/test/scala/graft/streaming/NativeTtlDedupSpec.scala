@@ -10,9 +10,9 @@ import graft.streaming.IdempotentDedup.SignalRow
   * to run. In this sandbox the RocksDB provider stalls the first
   * micro-batch, so the default run cancels rather than hangs; re-try
   * each round — a green run is the signal to migrate T5. Retried
-  * rounds 4, 5, 6, 7, 8, 9, 10 (twice), 11, 12: still stalls (rounds
-  * 7-12: 300-480 s timeout, flag on, first micro-batch never
-  * completes; last retried 2026-08-15, round 12, 480 s). The
+  * rounds 4, 5, 6, 7, 8, 9, 10 (twice), 11, 12, 13: still stalls
+  * (rounds 7-13: 300-540 s timeout, flag on, first micro-batch never
+  * completes; last retried 2026-08-15, round 13, 540 s). The
   * built-in dropDuplicatesWithinWatermark path (test above) is green
   * on the default store and covers the within-watermark case
   * natively. */

@@ -394,6 +394,7 @@ object ScalingHarness {
     Scale.invalidateBucketed()
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
+    Scale.invalidateBloomStore()
     Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
