@@ -36,6 +36,8 @@ object Bench {
     graft.operators.Scale.invalidateDayStore()
     graft.operators.Scale.invalidateZorderStore()
     graft.operators.Scale.invalidateBloomStore()
+    graft.operators.Scale.invalidateTimeTravelStore()
+    graft.operators.Scale.invalidateUpsertStore()
     graft.operators.Scale.invalidateWidenStore()
     graft.operators.Similarity.invalidateIvfArtifact()
     graft.operators.Clustering.releaseMergeClosures()
@@ -72,6 +74,8 @@ object Bench {
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
       graft.operators.Scale.zorderStore(spark, sfDir)
       graft.operators.Scale.bloomStore(spark, sfDir)
+      graft.operators.Scale.timeTravelStore(spark, sfDir)
+      graft.operators.Scale.upsertStore(spark, sfDir)
       graft.operators.Scale.widenedStore(spark, sfDir)
       graft.operators.Similarity.ivfArtifact(spark, sfDir)
       graft.operators.Similarity.ivfArtifactInc(spark, sfDir)

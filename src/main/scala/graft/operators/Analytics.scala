@@ -968,4 +968,72 @@ object Analytics {
        |FROM customer JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY ROLLUP (n_name, c_mktsegment)
        |ORDER BY nation, segment""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Rolling regression slope (X200 — the WINDOWED form of X151's
+  // global OLS: one slope per (type, day) over that day's trailing 7
+  // observed days, the local-trend feature drift monitors and feature
+  // pipelines materialize where a whole-history slope smears regime
+  // changes away): x = day − the type's first day (a per-type
+  // unbounded-min window sharing the partitioning — keeps every
+  // product small), rolling Σx/Σy/Σxy/Σx² over ROWS BETWEEN 6
+  // PRECEDING AND CURRENT, emitted only for full 7-row windows;
+  // slope_ppm = (10⁶·(nΣxy − ΣxΣy)) div (nΣx² − (Σx)²), numerator
+  // lifted to DECIMAL(38,0)/HUGEINT (y is daily cents — 10¹³ at
+  // 100 TB — and x is bounded by the store's retention in days, so
+  // the raw rolling sums stay in int64 but the ppm product cannot).
+  // Truncating division verified identical on negative slopes. ONE
+  // (type)-keyed shuffle: the min window, the rolling sums and the
+  // final projection all share hashpartitioning(event_type).
+  // ------------------------------------------------------------------
+  val SlopeWin = 7
+
+  def qRollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))
+      * 100).cast("long")
+    val byType = Window.partitionBy($"event_type")
+    val roll = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-(SlopeWin - 1), Window.currentRow)
+    val cnt = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy($"event_type", expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(sum(cents).as("y"))
+      .withColumn("x", $"day" - min($"day").over(byType))
+      .withColumn("rn", count(lit(1)).over(cnt))
+      .withColumn("sx", sum($"x").over(roll))
+      .withColumn("sy", sum($"y").over(roll))
+      .withColumn("sxy", sum($"x" * $"y").over(roll))
+      .withColumn("sxx", sum($"x" * $"x").over(roll))
+      .filter($"rn" >= SlopeWin)
+      .select($"event_type", $"day",
+        expr(s"(CAST($SlopeWin * sxy - sx * sy AS DECIMAL(38,0)) * 1000000)" +
+          s" div ($SlopeWin * sxx - sx * sx)").cast("long").as("slope_ppm"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val sqlRollingSlope: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |x AS (SELECT event_type, day, y,
+       |    day - min(day) OVER (PARTITION BY event_type) AS x
+       |  FROM daily),
+       |r AS (SELECT event_type, day,
+       |    count(*) OVER w_all AS rn,
+       |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+       |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+       |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+       |  FROM x
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN ${SlopeWin - 1} PRECEDING AND CURRENT ROW),
+       |    w_all AS (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day,
+       |  CAST((CAST($SlopeWin * sxy - sx * sy AS HUGEINT) * 1000000)
+       |    // ($SlopeWin * sxx - sx * sx) AS BIGINT) AS slope_ppm
+       |FROM r WHERE rn >= $SlopeWin
+       |ORDER BY event_type, day""".stripMargin
 }

@@ -925,6 +925,139 @@ object Graph {
        |LIMIT 100""".stripMargin
 
   // ------------------------------------------------------------------
+  // Label-propagation communities (X196 — Raghavan, Albert & Kumara
+  // 2007, the near-linear community detector production graph stacks
+  // run where modularity optimization is too expensive: connected
+  // components (X5) answer "reachable at all", LPA answers "densely
+  // interacting cohort" — a single weak bridge no longer glues two
+  // cliques together). K fixed synchronous rounds; label_0(v) = v;
+  // each round every node adopts the label with the largest incident
+  // EDGE-WEIGHT mass among its neighbors, ties to the smallest label
+  // — fully deterministic, no random visit order (the asynchronous
+  // variant's nondeterminism is exactly what a cross-engine gate
+  // cannot tolerate). Runs over the SAME materialized transaction
+  // edge store (zero parquet in the walk); each round is one
+  // contribution join + one (dst, label) mass aggregate + one per-dst
+  // rank window sharing the aggregate's partitioning. Labels stay in
+  // the node-id space. Oracle = K unrolled CTE round pairs with the
+  // identical window rule.
+  // ------------------------------------------------------------------
+  val LpaRounds = 3
+
+  /** Final (id, lbl) after K synchronous weighted-vote rounds. */
+  def lpaLabels(edges: EdgeStore, rounds: Int = LpaRounds): DataFrame = {
+    def e(): DataFrame = edges.fresh()
+    var labels = e().select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = e().join(labels.select($"id".as("vid"), $"lbl"),
+          $"src" === $"vid")
+        .groupBy($"dst", $"lbl").agg(sum($"w").as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"dst").orderBy($"m".desc, $"lbl")
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"dst".as("id"), $"lbl")
+    }
+    labels
+  }
+
+  /** Gate: supplier community assignment after K rounds. */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(transactionEdgeStore(spark, dir))
+      .filter($"id" % 2 === 1)
+      .select(expr("id div 2").as("s_suppkey"), $"lbl".as("community"))
+      .orderBy($"s_suppkey")
+
+  val sqlCommunities: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s""",
+         |v$k AS (
+         |  SELECT e.dst, l.lbl, CAST(sum(e.w) AS BIGINT) AS m
+         |  FROM e JOIN l${k - 1} l ON e.src = l.id
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT dst AS id, lbl FROM (
+         |    SELECT dst, lbl,
+         |      row_number() OVER (PARTITION BY dst ORDER BY m DESC, lbl) AS rn
+         |    FROM v$k) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH e0 AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    count(*)::BIGINT AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (
+       |  SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst, src, w FROM e0),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)$rounds
+       |SELECT id // 2 AS s_suppkey, lbl AS community FROM l$LpaRounds
+       |WHERE id % 2 = 1 ORDER BY s_suppkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Co-purchase recommendations (X197 — the item-item collaborative
+  // filter SERVED, Linden/Smith/York 2003 "Amazon.com recommendations":
+  // X136 builds the similarity matrix; this is the query a
+  // recommendation service actually answers — for each customer, the
+  // top-N suppliers they have NOT bought from, scored by summed
+  // co-purchase counts against everything they have. score(c, s) =
+  // Σ_{s' ∈ items(c)} cooc(s', s), owned items excluded by anti-join,
+  // top-3 per customer with the (score desc, supplier asc)
+  // deterministic cut. Reuses the CoCap-capped incidence store (the
+  // X136 hub-blowup guard, mirrored in the oracle); the scoring join
+  // fans out by items-per-customer × cooc-row degree — both capped —
+  // and the rank window shares the (customer) aggregate partitioning.
+  // ------------------------------------------------------------------
+  val RecTopK = 3
+
+  def qRecommend(spark: SparkSession, dir: String): DataFrame = {
+    val store = coIncidenceStore(spark, dir)
+    def inc(): DataFrame = store.fresh()
+    // symmetric co-occurrence counts over the capped incidence
+    val cooc = inc().select($"c", $"s".as("s1"))
+      .join(inc().select($"c".as("c2"), $"s".as("s2")),
+        $"c" === $"c2" && $"s1" =!= $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("cooc"))
+    val scores = inc().join(cooc, $"s" === $"s1")
+      .groupBy($"c", $"s2").agg(sum($"cooc").as("score"))
+      .join(inc().select($"c".as("oc"), $"s".as("os")),
+        $"c" === $"oc" && $"s2" === $"os", "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c").orderBy($"score".desc, $"s2")
+    scores.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= RecTopK)
+      .select($"c".as("custkey"), $"s2".as("s_suppkey"), $"score", $"rk")
+      .orderBy($"custkey", $"rk")
+  }
+
+  val sqlRecommend: String =
+    s"""WITH inc0 AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |inc AS (
+       |  SELECT c, s FROM (
+       |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
+       |    FROM inc0) WHERE rn <= $CoCap),
+       |cooc AS (
+       |  SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS cooc
+       |  FROM inc a JOIN inc b ON a.c = b.c AND a.s <> b.s
+       |  GROUP BY 1, 2),
+       |scores AS (
+       |  SELECT i.c, cooc.s2, CAST(sum(cooc.cooc) AS BIGINT) AS score
+       |  FROM inc i JOIN cooc ON i.s = cooc.s1
+       |  GROUP BY 1, 2),
+       |unowned AS (
+       |  SELECT sc.c, sc.s2, sc.score FROM scores sc
+       |  LEFT JOIN inc o ON sc.c = o.c AND sc.s2 = o.s
+       |  WHERE o.c IS NULL)
+       |SELECT c AS custkey, s2 AS s_suppkey, score, rk FROM (
+       |  SELECT c, s2, score,
+       |    row_number() OVER (PARTITION BY c ORDER BY score DESC, s2) AS rk
+       |  FROM unowned) WHERE rk <= $RecTopK
+       |ORDER BY custkey, rk""".stripMargin
+
+  // ------------------------------------------------------------------
   // k-core decomposition (X182; Seidman 1983, "Network structure and
   // minimum degree" — the maximal subgraph where every node keeps ≥ k
   // neighbors): iterative peeling, the degree-cascade primitive behind

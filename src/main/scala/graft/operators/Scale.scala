@@ -1338,4 +1338,252 @@ object Scale {
        |  CAST(CAST(e.value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
        |FROM events e JOIN p ON e.event_id = p.pid
        |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Snapshot time travel (X198 — the table-format versioning posture
+  // of Delta/Iceberg, completing the manifest story X176/X195 started:
+  // every COMMIT writes its files into a fresh generation directory
+  // and a new manifest (the file LIST that is the snapshot — data
+  // files are immutable and never deleted by writes), so reading AS OF
+  // version v is just "read manifest v's files". Compaction is a new
+  // manifest too: the rewritten files join, the old ones stay on disk
+  // and v1/v2 remain readable — the isolation property that makes
+  // concurrent readers safe under maintenance at 100 TB. `vacuum`
+  // is the only deleter: it drops files unreferenced by any kept
+  // manifest, the explicit retention trade (ScaleSpec pins that
+  // time travel works after compaction and dies only at vacuum).
+  // Gate reads ALL THREE snapshots through their manifests against a
+  // day-derived oracle replay — the manifests, not the directory
+  // tree, define every result.
+  // ------------------------------------------------------------------
+  private val ttStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateTimeTravelStore(): Unit = ttStoreCache.clear()
+
+  private def ttListFiles(spark: org.apache.spark.sql.SparkSession,
+      base: String, sub: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => s"$sub/${f.getPath.getName}").sorted
+  }
+
+  private def ttWriteManifest(spark: org.apache.spark.sql.SparkSession,
+      base: String, v: Int, files: Seq[String]): Unit =
+    spark.createDataFrame(files.map(Tuple1(_))).toDF("file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/manifests/v$v")
+
+  /** Build (once) the three-snapshot store: v1 = the first-20-days
+    * slice, v2 = v1 + the remaining days appended as new files,
+    * v3 = compaction (v2's content rewritten into 2 files; the old
+    * files stay). Returns the base path. */
+  def timeTravelStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.core.Memo.once(ttStoreCache, (spark, dir))({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/tt_store$tag"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val e = graft.sources.Tables.events(spark, dir)
+        .select($"event_id", $"event_type",
+          ($"value".cast(DEC) * 100).cast("long").as("cents"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+      // bounded 1-row model read: the day cutoff of the v1 commit
+      val cut = e.agg(min($"day")).head.getLong(0) + 20L
+      e.filter($"day" < cut).repartition(4, $"day")
+        .write.parquet(s"$base/add1")
+      val v1 = ttListFiles(spark, base, "add1")
+      ttWriteManifest(spark, base, 1, v1)
+      e.filter($"day" >= cut).repartition(4, $"day")
+        .write.parquet(s"$base/add2")
+      ttWriteManifest(spark, base, 2, v1 ++ ttListFiles(spark, base, "add2"))
+      readAsOf(spark, base, 2).repartition(2)
+        .write.parquet(s"$base/compact3")
+      ttWriteManifest(spark, base, 3, ttListFiles(spark, base, "compact3"))
+      base
+    })
+
+  /** Read snapshot `v`: the manifest's file list IS the table. */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, base: String,
+      v: Int): DataFrame = {
+    val files = spark.read.parquet(s"$base/manifests/v$v")
+      .collect().map(_.getString(0)).sorted
+    spark.read.parquet(files.map(f => s"$base/$f").toSeq: _*)
+  }
+
+  /** Drop every data file unreferenced by manifests ≥ `keepFrom` —
+    * the retention trade that ends time travel below it. Returns the
+    * number of files deleted. */
+  def vacuumBefore(spark: org.apache.spark.sql.SparkSession, base: String,
+      keepFrom: Int, maxVersion: Int = 3): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keep = (keepFrom to maxVersion).flatMap(v =>
+      spark.read.parquet(s"$base/manifests/v$v")
+        .collect().map(_.getString(0))).toSet
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    val gens = fs.listStatus(basePath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName != "manifests")
+    var dropped = 0L
+    gens.foreach { g =>
+      fs.listStatus(g.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .foreach { f =>
+          val rel = s"${g.getPath.getName}/${f.getPath.getName}"
+          if (!keep(rel)) { fs.delete(f.getPath, false); dropped += 1 }
+        }
+    }
+    dropped
+  }
+
+  /** Gate: the per-type rollup of all three snapshots, read through
+    * their manifests; oracle replays the commit slices from raw
+    * events (v1 = the sub-cutoff days, v2 ≡ v3 ≡ everything). */
+  def qTimeTravel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = timeTravelStore(spark, dir)
+    (1 to 3).map { v =>
+      readAsOf(spark, base, v)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .select(lit(v.toLong).as("version"), $"event_type", $"n", $"cents")
+    }.reduce(_ unionByName _)
+      .orderBy($"version", $"event_type")
+  }
+
+  val sqlTimeTravel: String =
+    s"""WITH e AS (
+       |  SELECT event_type, (epoch_ms(ts) // 86400000) AS day,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |b AS (SELECT min(day) + 20 AS cut FROM e),
+       |full_v AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS cents
+       |  FROM e GROUP BY 1)
+       |SELECT 1::BIGINT AS version, event_type, count(*) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS cents
+       |FROM e CROSS JOIN b WHERE day < cut GROUP BY 1, 2
+       |UNION ALL
+       |SELECT 2::BIGINT, event_type, n, cents FROM full_v
+       |UNION ALL
+       |SELECT 3::BIGINT, event_type, n, cents FROM full_v
+       |ORDER BY version, event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Keyed MERGE / CDC upsert (X199 — the one DML shape the day-store
+  // lifecycle family was still missing: applying a change batch of
+  // deletes, updates and inserts to a keyed 100 TB table, the Delta
+  // `MERGE INTO` / Hudi upsert posture. The store is sharded on
+  // key % 16 into partition directories; a merge batch touches only
+  // the shards its keys hash to — each is read, anti-joined against
+  // the batch's delete+update keys, unioned with the batch's rows and
+  // stage-swapped (the X171 repair primitive), so merge cost is
+  // O(touched shards), never a table rewrite, and untouched shards
+  // stay byte-identical (ScaleSpec pins it). Precedence: delete beats
+  // update on the same key; inserts carry fresh keys by construction.
+  // The gate derives a deterministic CDC batch from the data itself
+  // (delete keys %101, double-cents updates %97, shifted-key inserts
+  // %103, keyed past max+1 so they are genuinely new keys) and rolls up the merged store against the oracle's replay
+  // of those semantics over raw `orders`.
+  // ------------------------------------------------------------------
+  val UpsertShards = 16
+
+  private val upsertStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateUpsertStore(): Unit = upsertStoreCache.clear()
+
+  /** Apply a CDC batch to the keyed store at `base`: rows of
+    * `deletes` (k) and `upserts` (k, prio, cents) — update if the key
+    * exists, insert otherwise. Only shards carrying batch keys are
+    * rewritten. Returns the number of shards touched. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, base: String,
+      deletes: DataFrame, upserts: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val touched = deletes.select($"k").unionByName(upserts.select($"k"))
+      .select(pmod($"k", lit(UpsertShards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val delK = deletes.select($"k".as("dk"))
+    val upK = upserts.select($"k".as("uk"))
+    touched.foreach { shard =>
+      val dirP = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
+      val fs = dirP.getFileSystem(conf)
+      val cur = spark.read.parquet(dirP.toString)
+      val merged = cur
+        .join(delK, $"k" === $"dk", "left_anti")
+        .join(upK, $"k" === $"uk", "left_anti")
+        .unionByName(upserts
+          .filter(pmod($"k", lit(UpsertShards.toLong)) === shard)
+          .join(delK, $"k" === $"dk", "left_anti"))
+        .coalesce(1)
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage_upsert_$shard")
+      merged.write.mode("overwrite").parquet(stage.toString)
+      val aside = new org.apache.hadoop.fs.Path(s"$base/old_upsert_$shard")
+      fs.delete(aside, true)
+      fs.rename(dirP, aside)
+      fs.rename(stage, dirP)
+      fs.delete(aside, true)
+    }
+    touched.length.toLong
+  }
+
+  /** Build (once) the merged store: base = orders keyed on o_orderkey
+    * in 16 `shard=` directories, then the deterministic CDC batch
+    * applied through [[mergeUpsert]]. */
+  def upsertStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.core.Memo.once(upsertStoreCache, (spark, dir))({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/upsert_store$tag"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val o = graft.sources.Tables.orders(spark, dir)
+        .select($"o_orderkey".as("k"), $"o_orderpriority".as("prio"),
+          ($"o_totalprice".cast(DEC) * 100).cast("long").as("cents"))
+      o.withColumn("shard", pmod($"k", lit(UpsertShards.toLong)))
+        .repartition(UpsertShards, $"shard")
+        .write.partitionBy("shard").parquet(s"$base/data")
+      val mx = o.agg(max($"k").as("mk"))
+      val deletes = o.filter($"k" % 101 === 0).select($"k")
+      val updates = o.filter($"k" % 97 === 0 && $"k" % 101 =!= 0)
+        .select($"k", $"prio", ($"cents" * 2).as("cents"))
+      val inserts = o.filter($"k" % 103 === 0).crossJoin(broadcast(mx))
+        .select(($"k" + $"mk" + 1).as("k"), $"prio", ($"cents" + 1).as("cents"))
+      mergeUpsert(spark, base, deletes, updates.unionByName(inserts))
+      base
+    })
+
+  /** Gate: per-priority rollup of the merged store vs the oracle's
+    * semantic replay over raw orders. */
+  def qMergeUpsert(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = upsertStore(spark, dir)
+    spark.read.parquet(s"$base/data")
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents"),
+        sum($"k").as("key_mass"))
+      .orderBy($"prio")
+  }
+
+  val sqlMergeUpsert: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |mx AS (SELECT max(k) AS mk FROM o),
+       |surv AS (
+       |  SELECT k, prio,
+       |    CASE WHEN k % 97 = 0 THEN cents * 2 ELSE cents END AS cents
+       |  FROM o WHERE k % 101 <> 0),
+       |ins AS (
+       |  SELECT k + mk + 1 AS k, prio, cents + 1 AS cents
+       |  FROM o CROSS JOIN mx WHERE k % 103 = 0),
+       |m AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+       |SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+       |  CAST(sum(k) AS BIGINT) AS key_mass
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -671,6 +671,81 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCoreEdges(sym, 10, maxRounds = 8).isEmpty)
   }
 
+  // X196 — label-propagation communities
+  private def lpaOf(edges: Seq[(Long, Long, Long)],
+      rounds: Int = Graph.LpaRounds): Map[Long, Long] = {
+    def mk() = {
+      val e = edges.toDF("src", "dst", "w")
+      e.unionByName(e.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    }
+    val store = Graph.materializeEdges(() => mk())
+    try Graph.lpaLabels(store, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally store.release()
+  }
+
+  test("lpa: disjoint triangles each converge to their own min label") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (7L, 8L, 1L), (8L, 9L, 1L), (9L, 7L, 1L))
+    val l = lpaOf(e)
+    assert(Seq(1L, 2L, 3L).forall(l(_) == 1L), s"triangle A: $l")
+    assert(Seq(7L, 8L, 9L).forall(l(_) == 7L), s"triangle B: $l")
+  }
+
+  test("lpa: a weight-1 bridge cannot glue two heavy cliques — where components would") {
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 1L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (6L, 4L, 10L),
+      (3L, 4L, 1L)) // the bridge: one weak edge
+    val l = lpaOf(e)
+    assert(Seq(1L, 2L, 3L).map(l).distinct == Seq(1L), s"clique A split: $l")
+    assert(Seq(4L, 5L, 6L).map(l).distinct == Seq(4L), s"clique B split: $l")
+    assert(l(1L) != l(4L), "the bridge must NOT merge the communities")
+    // labels always live in the node-id space
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).toSet
+    assert(l.values.forall(nodes))
+    // synchronous deterministic rule: a re-run is bit-identical
+    assert(lpaOf(e) == l)
+  }
+
+  test("lpa gate: one row per supplier, community labels from the node-id space") {
+    val rows = Graph.qCommunities(spark, Sf0001).collect()
+    val nSupp = graft.sources.Tables.supplier(spark, Sf0001).count()
+    assert(rows.length == nSupp)
+    assert(rows.forall(_.getLong(1) >= 0L))
+  }
+
+  // X197 — co-purchase recommendations
+  test("recommend: top-3 per customer, never an owned item, scores recompute from the capped incidence") {
+    val rows = Graph.qRecommend(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= Graph.RecTopK))
+    assert(rows.groupBy(_._1).values.forall(_.length <= Graph.RecTopK))
+    // recompute the whole scoring in plain Scala from the SAME capped
+    // incidence the operator reads
+    val inc = Graph.coIncidenceStore(spark, Sf0001).fresh()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val items = inc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    items.values.foreach { ss =>
+      for (a <- ss; b <- ss if a != b)
+        cooc((a, b)) = cooc.getOrElse((a, b), 0L) + 1L
+    }
+    val want = items.flatMap { case (c, owned) =>
+      val scores = scala.collection.mutable.Map.empty[Long, Long]
+      owned.foreach { s =>
+        cooc.keysIterator.filter(_._1 == s).foreach { case (_, t) =>
+          if (!owned(t)) scores(t) = scores.getOrElse(t, 0L) + cooc((s, t))
+        }
+      }
+      scores.toSeq.sortBy { case (t, sc) => (-sc, t) }
+        .take(Graph.RecTopK).zipWithIndex
+        .map { case ((t, sc), i) => (c, t, sc, i + 1L) }
+    }.toSet
+    assert(rows.toSet == want,
+      s"missing: ${want -- rows.toSet}; extra: ${rows.toSet -- want}")
+  }
+
   // X192 — weighted cheapest path (Bellman-Ford rounds)
   private def cheapOf(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
       rounds: Int = Graph.CheapRounds): Map[Long, Long] = {

@@ -1262,6 +1262,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_cheapest_path: the relaxation rounds read only materialized stores") {
+    val plan = executedCold(Graph.qCheapestPath(spark, Sf0001))
+    // stores materialize at construction and each round re-materializes
+    // its frontier: the executed walk touches no parquet at all
+    assert(!plan.contains("Scan parquet"))
+    assert(plan.contains("Scan ExistingRDD"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_sparse_cosine: postings join carries longs only, no cross product") {
+    val plan = executedCold(Dedup.qSparseCosine(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the pair join and every shuffle move (doc_id, h, tf) longs —
+    // document text never enters a partitioning expression
+    assert(!plan.contains("hashpartitioning(text"),
+      "text must not key a shuffle")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), // AQE broadcasts the small SF sides
+      "the candidate join must be a keyed equi-join")
+  }
+
+  test("q_bloom_prune: the probe read opens only bloom-matched files") {
+    val base = Scale.bloomStore(spark, Sf0001)
+    val ids = Scale.bloomProbeIds(spark, base)
+    val (_, read, total) = Scale.bloomPrunedRead(spark, base, ids)
+    assert(read < total, s"expected a pruned file list, read=$read total=$total")
+    val plan = executedCold(Scale.qBloomPrune(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_zorder_prune: the rollup scans only the manifest-selected files") {
     val base = Scale.zorderStore(spark, Sf0001)
     val (aLo, aHi, bLo, bHi) = Scale.zorderBox(spark, base)

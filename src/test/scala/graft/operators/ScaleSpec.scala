@@ -444,4 +444,84 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("time travel: snapshots isolate — compaction keeps v1/v2 readable, vacuum is the only deleter") {
+    import spark.implicits._
+    val base = Scale.timeTravelStore(spark, Sf0001)
+    val v1 = Scale.readAsOf(spark, base, 1)
+    val v2 = Scale.readAsOf(spark, base, 2)
+    val v3 = Scale.readAsOf(spark, base, 3)
+    // v2 = v1 + the appended days; v3 is a pure rewrite of v2
+    assert(v1.count() < v2.count())
+    assert(v2.count() == v3.count())
+    assert(v2.select($"event_id").except(v3.select($"event_id")).isEmpty)
+    assert(v3.select($"event_id").except(v2.select($"event_id")).isEmpty)
+    assert(v1.select($"event_id").except(v2.select($"event_id")).isEmpty,
+      "a commit may only add")
+    // compaction shrank the file count without touching old snapshots
+    def filesOf(v: Int): Seq[String] = spark.read
+      .parquet(s"$base/manifests/v$v").collect().map(_.getString(0)).toSeq
+    assert(filesOf(3).length < filesOf(2).length)
+    assert(filesOf(3).toSet.intersect(filesOf(2).toSet).isEmpty,
+      "compaction writes a new generation, never mutates old files")
+    // vacuum on a COPY (the memoized store must stay intact): dropping
+    // everything below v3 deletes files yet v3 still serves
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val copy = s"target/tt_vacuum_copy"
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
+      fs, new org.apache.hadoop.fs.Path(copy), false, conf)
+    val dropped = Scale.vacuumBefore(spark, copy, keepFrom = 3)
+    assert(dropped > 0, "vacuum must reclaim the pre-compaction files")
+    assert(Scale.readAsOf(spark, copy, 3).count() == v3.count())
+    val v1Gone = intercept[Exception] {
+      Scale.readAsOf(spark, copy, 1).count()
+    }
+    assert(v1Gone != null, "time travel below the vacuum horizon must fail loudly")
+    fs.delete(new org.apache.hadoop.fs.Path(copy), true)
+  }
+
+  test("mergeUpsert: deletes/updates/inserts land, precedence holds, untouched shards stay byte-identical") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = "target/upsert_spec_store"
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    fs.delete(basePath, true)
+    // keys 0..63 -> shards 0..15, four keys each
+    val rows = (0L until 64L).map(k => (k, s"P${k % 3}", k * 100L + 7L))
+    rows.toDF("k", "prio", "cents")
+      .withColumn("shard", pmod($"k", lit(Scale.UpsertShards.toLong)))
+      .repartition(Scale.UpsertShards, $"shard")
+      .write.partitionBy("shard").parquet(s"$base/data")
+    def snap(shard: Long): Seq[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
+      fs.listStatus(p).toSeq.filter(_.isFile).map(f =>
+        (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    }
+    val untouchedBefore = (0L until 16L).filterNot(Set(1L, 2L, 3L))
+      .map(s => s -> snap(s)).toMap
+    // batch: delete 17 (shard 1), update 18 (shard 2), upsert-insert
+    // 1000003 (shard 3), and delete+update 33 (shard 1) - delete wins
+    val deletes = Seq(17L, 33L).toDF("k")
+    val upserts = Seq((18L, "PX", 999L), (33L, "PY", 111L),
+      (1000003L, "PN", 42L)).toDF("k", "prio", "cents")
+    val touched = Scale.mergeUpsert(spark, base, deletes, upserts)
+    assert(touched == 3L, s"three shards carry batch keys, got $touched")
+    val after = spark.read.parquet(s"$base/data")
+      .select($"k", $"prio", $"cents")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!after.contains(17L), "deleted key must be gone")
+    assert(!after.contains(33L), "delete beats update on the same key")
+    assert(after(18L) == ("PX", 999L), "updated key carries the new row")
+    assert(after(1000003L) == ("PN", 42L), "fresh key inserted")
+    assert(after(16L) == ("P1", 1607L), "sibling rows in touched shards survive")
+    assert(after.size == 64 - 2 + 1)
+    // untouched shards: identical file names, lengths AND mtimes
+    untouchedBefore.foreach { case (s, before) =>
+      assert(snap(s) == before, s"shard $s was rewritten")
+    }
+    fs.delete(basePath, true)
+  }
 }

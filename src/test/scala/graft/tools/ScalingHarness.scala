@@ -395,6 +395,8 @@ object ScalingHarness {
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
     Scale.invalidateBloomStore()
+    Scale.invalidateTimeTravelStore()
+    Scale.invalidateUpsertStore()
     Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
