@@ -970,6 +970,79 @@ object Analytics {
        |ORDER BY nation, segment""".stripMargin
 
   // ------------------------------------------------------------------
+  // Data-contract expectation suite (X203 — the declarative
+  // data-quality checklist the Great Expectations / dbt-test /
+  // Deequ (Schelter et al., VLDB 2018) family runs before a table is
+  // allowed downstream; complements X153's discovered FDs with
+  // DECLARED per-column contracts): seven rules over `orders` —
+  // not-null, positivity, set membership, regex format, key
+  // uniqueness, referential integrity into `customer`, and a
+  // deliberately-violated value-range rule so BOTH verdicts are
+  // value-gated (the X153 stance). Scale shape: six rules fold into
+  // ONE map-side-combinable scan aggregate; the referential rule is
+  // one anti-join count against the broadcast dimension; the suite
+  // emits one row per rule regardless of table size.
+  // ------------------------------------------------------------------
+  def qExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val orphan = o.join(Tables.customer(spark, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("v_ref"))
+    val base = o.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when($"o_totalprice".isNull || $"o_totalprice" <= 0, 1L)
+        .otherwise(0L)).as("v_pos"),
+      sum(when($"o_totalprice" >= 300000.0, 1L).otherwise(0L)).as("v_range"),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L)).as("v_set"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("v_uniq"),
+      sum(when(!$"o_orderpriority".rlike("^[1-5]-"), 1L).otherwise(0L)).as("v_fmt"))
+    base.crossJoin(broadcast(orphan))
+      .select(expr("stack(7, " +
+        "'o_custkey_in_customer', v_ref, " +
+        "'o_custkey_not_null', v_null, " +
+        "'o_orderkey_unique', v_uniq, " +
+        "'o_orderpriority_format', v_fmt, " +
+        "'o_orderstatus_in_set', v_set, " +
+        "'o_totalprice_below_300k', v_range, " +
+        "'o_totalprice_positive', v_pos) as (rule, n_violations)"),
+        $"n".as("n_checked"))
+      .select($"rule", $"n_checked", $"n_violations",
+        when($"n_violations" === 0, 1L).otherwise(0L).as("pass"))
+      .orderBy($"rule")
+  }
+
+  val sqlExpectations: String =
+    s"""WITH ref AS (
+       |  SELECT count(*)::BIGINT AS v_ref FROM orders o
+       |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       |  WHERE c.c_custkey IS NULL),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null,
+       |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+       |      THEN 1 ELSE 0 END)::BIGINT AS v_pos,
+       |    sum(CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS v_range,
+       |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+       |      THEN 1 ELSE 0 END)::BIGINT AS v_set,
+       |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_uniq,
+       |    sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+       |      THEN 1 ELSE 0 END)::BIGINT AS v_fmt
+       |  FROM orders),
+       |rules(rule, n_violations, n_checked) AS (
+       |  SELECT 'o_custkey_in_customer', v_ref, n FROM agg CROSS JOIN ref
+       |  UNION ALL SELECT 'o_custkey_not_null', v_null, n FROM agg
+       |  UNION ALL SELECT 'o_orderkey_unique', v_uniq, n FROM agg
+       |  UNION ALL SELECT 'o_orderpriority_format', v_fmt, n FROM agg
+       |  UNION ALL SELECT 'o_orderstatus_in_set', v_set, n FROM agg
+       |  UNION ALL SELECT 'o_totalprice_below_300k', v_range, n FROM agg
+       |  UNION ALL SELECT 'o_totalprice_positive', v_pos, n FROM agg)
+       |SELECT rule, n_checked, n_violations,
+       |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END::BIGINT AS pass
+       |FROM rules ORDER BY rule""".stripMargin
+
+  // ------------------------------------------------------------------
   // Rolling regression slope (X200 — the WINDOWED form of X151's
   // global OLS: one slope per (type, day) over that day's trailing 7
   // observed days, the local-trend feature drift monitors and feature

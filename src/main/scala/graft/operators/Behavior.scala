@@ -328,6 +328,62 @@ object Behavior {
        |LIMIT $PathTopK""".stripMargin
 
   // ------------------------------------------------------------------
+  // Cohort lifetime value (X202 — the revenue companion of X105's
+  // retention triangle: retention counts WHO came back, LTV integrates
+  // WHAT they spent — cumulative purchase cents per (signup-cohort,
+  // week-offset) divided by cohort size, the payback-curve every
+  // growth/finance dashboard plots against acquisition cost. Cohort =
+  // the user's first PURCHASE week (exact integer week arithmetic,
+  // the X105 convention); cells aggregate map-side to |cohorts|×
+  // |offsets| rows, the cumulative window and the per-cohort size
+  // join run over that tiny frame only; ltv is truncating integer
+  // division of exact cents — hash-exact cross-engine.
+  // ------------------------------------------------------------------
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(DecimalType(18, 6)) * 100).cast("long")
+    val p = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", weekCol.as("week"), cents.as("cents"))
+    val cohort = p.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = p.join(cohort, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+      .agg(sum($"cents").as("cents"))
+    val cum = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum($"cents").over(cum))
+      .join(broadcast(sizes), "cohort_week")
+      .select($"cohort_week", $"week_offset", $"cents", $"cum_cents",
+        $"cohort_size", expr("cum_cents div cohort_size").as("ltv_cents"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val sqlCohortLtv: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekMicros AS week,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |coh AS (SELECT user_id, min(week) AS cohort_week FROM p GROUP BY 1),
+       |sizes AS (SELECT cohort_week, count(*)::BIGINT AS cohort_size
+       |  FROM coh GROUP BY 1),
+       |cells AS (
+       |  SELECT cohort_week, week - cohort_week AS week_offset,
+       |    CAST(sum(cents) AS BIGINT) AS cents
+       |  FROM p JOIN coh USING (user_id) GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT cohort_week, week_offset, cents,
+       |    CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_cents
+       |  FROM cells)
+       |SELECT cohort_week, week_offset, cents, cum_cents, cohort_size,
+       |  cum_cents // cohort_size AS ltv_cents
+       |FROM cum JOIN sizes USING (cohort_week)
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ------------------------------------------------------------------
   // RFM customer segmentation (X190 — Hughes 1994, the
   // recency/frequency/monetary tiering every CRM and lifecycle-
   // marketing stack computes over its order log; the reference's KPI

@@ -288,4 +288,60 @@ object Temporal {
       |    AS is_current
       |FROM iv WINDOW w AS (PARTITION BY o_custkey ORDER BY island)
       |ORDER BY c_custkey, version""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Point-in-time dimension snapshot (X201 — the query the X131 SCD2
+  // intervals exist to serve, Kimball's "as-of" dimension read: which
+  // version of every customer was ACTIVE at instant t — the join key
+  // a reproducible backtest or a late-arriving-fact enrichment needs,
+  // where reading the current dimension silently leaks the future.
+  // One interval per customer matches by construction (intervals
+  // partition [first_order, ∞)); customers whose history starts after
+  // t are absent — the dimension genuinely did not know them yet. The
+  // probe instant is data-derived (min order date + 15 days, exact ms
+  // arithmetic, broadcast 1-row) so the gate is meaningful at every
+  // SF; the filter rides the interval frame, no extra shuffle.
+  // ------------------------------------------------------------------
+  val SnapshotOffsetMs: Long = 15L * 86400000L
+
+  def qScd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.orders(spark, dir)
+      .agg((min(unix_millis($"o_orderdate".cast("timestamp")))
+        + SnapshotOffsetMs).as("t"))
+    qScd2(spark, dir).crossJoin(broadcast(probe))
+      .filter($"valid_from_ms" <= $"t" &&
+        ($"valid_to_ms".isNull || $"valid_to_ms" > $"t"))
+      .select($"c_custkey", $"version", $"prio", $"t".as("as_of_ms"))
+      .orderBy($"c_custkey")
+  }
+
+  val sqlScd2Snapshot: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS d_ms,
+       |    o_orderpriority AS prio
+       |  FROM orders),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+       |      OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
+       |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d_ms, o_orderkey)),
+       |islands AS (
+       |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+       |    ORDER BY d_ms, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS island
+       |  FROM flagged),
+       |iv AS (
+       |  SELECT o_custkey, island, max(prio) AS prio,
+       |    min(d_ms) AS valid_from_ms
+       |  FROM islands GROUP BY 1, 2),
+       |ivx AS (
+       |  SELECT o_custkey AS c_custkey, island AS version, prio,
+       |    valid_from_ms, lead(valid_from_ms) OVER w AS valid_to_ms
+       |  FROM iv WINDOW w AS (PARTITION BY o_custkey ORDER BY island)),
+       |p AS (SELECT min(epoch_ms(o_orderdate)) + $SnapshotOffsetMs AS t
+       |  FROM orders)
+       |SELECT c_custkey, version, prio, t AS as_of_ms
+       |FROM ivx CROSS JOIN p
+       |WHERE valid_from_ms <= t AND (valid_to_ms IS NULL OR valid_to_ms > t)
+       |ORDER BY c_custkey""".stripMargin
 }

@@ -962,6 +962,67 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // X201 — point-in-time dimension snapshot
+  test("scd2_snapshot: recomputes exactly from the interval table at the probe instant") {
+    val iv = Temporal.qScd2(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    val t = graft.sources.Tables.orders(spark, Sf0001)
+      .agg(min(unix_millis($"o_orderdate".cast("timestamp")))).head.getLong(0) +
+      Temporal.SnapshotOffsetMs
+    val want = iv.filter(x => x._4 <= t && x._5 > t)
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val got = Temporal.qScd2Snapshot(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == want)
+    // the snapshot is a FUNCTION: at most one active version per key
+    val perKey = Temporal.qScd2Snapshot(spark, Sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(perKey.values.forall(_.length == 1))
+    assert(got.nonEmpty, "15 days in, some customers must exist")
+  }
+
+  // X202 — cohort lifetime value
+  test("cohort_ltv: cumulative cents are monotone and conserve each cohort's purchase mass") {
+    val rows = Behavior.qCohortLtv(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val sorted = cells.sortBy(_._2)
+      assert(sorted.head._2 == 0L, "offset 0 = the cohort's own first week")
+      val cums = sorted.map(_._4).toSeq
+      assert(cums == cums.sorted, "cumulative LTV must be monotone")
+      assert(sorted.map(_._3).sum == cums.last, "cum = running sum of cells")
+      sorted.foreach(c => assert(c._6 == c._4 / c._5, "ltv = cum div size"))
+    }
+    // mass conservation: total over all cohorts = total purchase cents
+    val total = graft.sources.Tables.events(spark, Sf0001)
+      .filter($"event_type" === "purchase")
+      .agg(sum(($"value".cast("decimal(18,6)") * 100).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_._3).sum == total)
+  }
+
+  // X203 — data-contract expectation suite
+  test("expectations: clean rules pass, the planted range rule fails with the exact count") {
+    val rows = Analytics.qExpectations(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 7)
+    val n = graft.sources.Tables.orders(spark, Sf0001).count()
+    assert(rows.values.forall(_._1 == n), "every rule checked the whole table")
+    val clean = Seq("o_custkey_in_customer", "o_custkey_not_null",
+      "o_orderkey_unique", "o_orderpriority_format", "o_orderstatus_in_set",
+      "o_totalprice_positive")
+    clean.foreach { r =>
+      assert(rows(r)._2 == 0L && rows(r)._3 == 1L, s"$r must pass clean")
+    }
+    val wantRange = graft.sources.Tables.orders(spark, Sf0001)
+      .filter($"o_totalprice" >= 300000.0).count()
+    assert(wantRange > 0, "the range rule must be genuinely violated")
+    assert(rows("o_totalprice_below_300k") == ((n, wantRange, 0L)))
+  }
+
   // X188 — grouping-sets rollup
   test("grouping_sets: cells + nation subtotals + grand total, masses consistent") {
     val rows = Analytics.qGroupingSets(spark, Sf0001).collect()
