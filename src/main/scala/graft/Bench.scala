@@ -36,6 +36,7 @@ object Bench {
     graft.operators.Scale.invalidateDayStore()
     graft.operators.Scale.invalidateZorderStore()
     graft.operators.Scale.invalidateBloomStore()
+    graft.operators.Scale.invalidateBloomIncStore()
     graft.operators.Scale.invalidateTimeTravelStore()
     graft.operators.Scale.invalidateUpsertStore()
     graft.operators.Scale.invalidateWidenStore()
@@ -74,6 +75,7 @@ object Bench {
       graft.operators.Scale.bucketedCompactTable(spark, sfDir)
       graft.operators.Scale.zorderStore(spark, sfDir)
       graft.operators.Scale.bloomStore(spark, sfDir)
+      graft.operators.Scale.bloomIncStore(spark, sfDir)
       graft.operators.Scale.timeTravelStore(spark, sfDir)
       graft.operators.Scale.upsertStore(spark, sfDir)
       graft.operators.Scale.widenedStore(spark, sfDir)

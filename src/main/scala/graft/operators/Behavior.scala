@@ -384,6 +384,69 @@ object Behavior {
        |ORDER BY cohort_week, week_offset""".stripMargin
 
   // ------------------------------------------------------------------
+  // Conversion-latency percentiles (X204 — the time-to-convert
+  // distribution behind funnel SLOs and attribution windows: "how
+  // long from the last view to the purchase", the latency twin of
+  // X103's ordered funnel and X121's last-touch credit. Each purchase
+  // pairs with its user's LATEST preceding view via the running
+  // max-of-view-timestamps window (the X121 running-last shape —
+  // view timestamps are increasing in event order, so max ≡ last,
+  // sidestepping IGNORE NULLS dialect differences entirely); per
+  // purchase DAY, exact order-statistic p50/p95 of the latency in
+  // micros (the X158 rank ≥ ceil(q·n) pattern, deterministic
+  // tie-break, no interpolation). Day-partitioned windows; one
+  // user-keyed shuffle then one day-keyed shuffle of slim rows.
+  // ------------------------------------------------------------------
+  def qConvertLatency(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("ts_us"))
+      .withColumn("view_us",
+        max(when($"event_type" === "view", $"ts_us")).over(wu))
+      .filter($"event_type" === "purchase" && $"view_us".isNotNull)
+      .select($"user_id", $"event_id",
+        ($"ts_us" - $"view_us").as("lat_us"),
+        expr("ts_us div 86400000000").as("day"))
+    val w = Window.partitionBy($"day").orderBy($"lat_us", $"user_id", $"event_id")
+    val ranked = lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"day")))
+    def orderStat(q: Double) =
+      min(when($"rn" >= ceil(lit(q) * $"n").cast("long"), $"lat_us"))
+    ranked.groupBy($"day")
+      .agg(count(lit(1)).as("n_conversions"),
+        orderStat(0.5).as("p50_us"), orderStat(0.95).as("p95_us"),
+        max($"lat_us").as("max_us"))
+      .orderBy($"day")
+  }
+
+  val sqlConvertLatency: String = {
+    def os(q: Double) =
+      s"min(lat_us) FILTER (WHERE rn >= CAST(ceil($q * n) AS BIGINT))"
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+       |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER
+       |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_us
+       |  FROM events),
+       |lat AS (
+       |  SELECT user_id, event_id, ts_us - view_us AS lat_us,
+       |    ts_us // 86400000000 AS day
+       |  FROM ev WHERE event_type = 'purchase' AND view_us IS NOT NULL),
+       |r AS (
+       |  SELECT day, lat_us,
+       |    row_number() OVER (PARTITION BY day
+       |      ORDER BY lat_us, user_id, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY day) AS n
+       |  FROM lat)
+       |SELECT day, count(*)::BIGINT AS n_conversions,
+       |  ${os(0.5)} AS p50_us, ${os(0.95)} AS p95_us, max(lat_us) AS max_us
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // RFM customer segmentation (X190 — Hughes 1994, the
   // recency/frequency/monetary tiering every CRM and lifecycle-
   // marketing stack computes over its order log; the reference's KPI

@@ -1247,6 +1247,18 @@ object Scale {
     array((0 until BloomPruneK).map(j =>
       graft.functions.Hashing.h60Seeded(j, id) % BloomPruneBits): _*)
 
+  /** One scan builds every file's filter: id → k positions →
+    * (word, bit) → per-(file, word) bit_or — map-side combinable.
+    * Input must carry `event_id` and be a plain file scan (the
+    * input_file_name projection sits before any join). */
+  private def bloomManifestFrame(df: DataFrame): DataFrame =
+    df.select(input_file_name().as("path"), $"event_id")
+      .select(element_at(split($"path", "/"), -1).as("file"),
+        explode(bloomPositions($"event_id")).as("p"))
+      .select($"file", expr("p div 64").as("word"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("m"))
+      .groupBy($"file", $"word").agg(expr("bit_or(m)").as("bits"))
+
   /** Build (once) the day-sharded event store: `data/` in
     * [[BloomStoreFiles]] day-hashed files, `manifest/` with each
     * file's packed Bloom words over its event ids, `bounds/` with the
@@ -1262,15 +1274,7 @@ object Scale {
           expr("unix_millis(ts) div 86400000").as("day"))
       e.repartition(BloomStoreFiles, $"day")
         .write.mode("overwrite").parquet(s"$base/data")
-      // one scan builds every file's filter: id → k positions →
-      // (word, bit) → per-(file, word) bit_or — map-side combinable
-      spark.read.parquet(s"$base/data")
-        .select(input_file_name().as("path"), $"event_id")
-        .select(element_at(split($"path", "/"), -1).as("file"),
-          explode(bloomPositions($"event_id")).as("p"))
-        .select($"file", expr("p div 64").as("word"),
-          expr("shiftleft(1L, cast(p % 64 as int))").as("m"))
-        .groupBy($"file", $"word").agg(expr("bit_or(m)").as("bits"))
+      bloomManifestFrame(spark.read.parquet(s"$base/data"))
         .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
       e.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
         .coalesce(1).write.mode("overwrite").parquet(s"$base/bounds")
@@ -1338,6 +1342,79 @@ object Scale {
        |  CAST(CAST(e.value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
        |FROM events e JOIN p ON e.event_id = p.pid
        |ORDER BY e.event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental Bloom-manifest maintenance (X205 — the ingest-batch
+  // half of the X195 index lifecycle, the X154/X165 append argument on
+  // the bloom sidecar: an arriving batch lands as NEW data files plus
+  // manifest rows for ONLY those files — the existing files' filters
+  // are immutable and never recomputed, so index maintenance is
+  // O(batch), not O(store). The append is a manifest-parquet `append`
+  // write (the base manifest file is untouched bytes, ScaleSpec pins
+  // it) and the probe path is byte-for-byte the X195 reader — a probe
+  // cannot tell an incrementally-maintained store from a rebuilt one,
+  // which is exactly what the shared-oracle gate proves.
+  // ------------------------------------------------------------------
+  private val bloomIncCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  def invalidateBloomIncStore(): Unit = bloomIncCache.clear()
+
+  /** Build (once) the incrementally-maintained store: the first 24
+    * days as the base build, the remaining days appended as a batch
+    * through the new-files + manifest-append path. */
+  def bloomIncStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.core.Memo.once(bloomIncCache, (spark, dir))({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/bloom_inc_store$tag"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(conf)
+      fs.delete(basePath, true)
+      val e = graft.sources.Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          ($"value".cast(DEC) * 100).cast("long").as("cents"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+      val cut = e.agg(min($"day")).head.getLong(0) + 24L
+      e.filter($"day" < cut).repartition(12, $"day")
+        .write.parquet(s"$base/data")
+      bloomManifestFrame(spark.read.parquet(s"$base/data"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      // the arriving batch: new files moved in under the part- prefix,
+      // filter rows computed for THOSE files only, manifest appended
+      val stage = new org.apache.hadoop.fs.Path(s"$base/stage_inc")
+      e.filter($"day" >= cut).repartition(4, $"day")
+        .write.parquet(stage.toString)
+      val dataP = new org.apache.hadoop.fs.Path(s"$base/data")
+      val moved = fs.listStatus(stage).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map { f =>
+          val dst = new org.apache.hadoop.fs.Path(dataP,
+            "part-inc-" + f.getPath.getName.stripPrefix("part-"))
+          fs.rename(f.getPath, dst)
+          dst.toString
+        }
+      fs.delete(stage, true)
+      bloomManifestFrame(spark.read.parquet(moved: _*))
+        .coalesce(1).write.mode("append").parquet(s"$base/manifest")
+      e.agg(min($"event_id").as("lo"), max($"event_id").as("hi"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/bounds")
+      base
+    })
+
+  /** Gate: the X195 probe served from the incrementally-maintained
+    * store — same probe rule, same reader, same oracle; agreement
+    * proves the appended files and their filter rows serve identically
+    * to a full rebuild. */
+  def qBloomInc(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = bloomIncStore(spark, dir)
+    val ids = bloomProbeIds(spark, base)
+    val (df, _, _) = bloomPrunedRead(spark, base, ids)
+    df.select($"event_id", $"user_id", $"event_type", $"cents")
+      .orderBy($"event_id")
+  }
 
   // ------------------------------------------------------------------
   // Snapshot time travel (X198 — the table-format versioning posture

@@ -1023,6 +1023,33 @@ class GraphSpec extends SparkSpec {
     assert(rows("o_totalprice_below_300k") == ((n, wantRange, 0L)))
   }
 
+  // X204 — conversion-latency percentiles
+  test("convert_latency: equals a driver-side replay of last-view pairing and exact order stats") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lats = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var lastView = Option.empty[Long]
+      es.sortBy(e => (e._4, e._2)).toSeq.flatMap { case (_, eid, tpe, ts) =>
+        val out = if (tpe == "purchase" && lastView.isDefined)
+          Some((ts / 86400000000L, ts - lastView.get, u, eid)) else None
+        if (tpe == "view") lastView = Some(ts)
+        out
+      }
+    }
+    val want = lats.groupBy(_._1).view.mapValues { xs =>
+      val sorted = xs.sortBy(x => (x._2, x._3, x._4)).map(_._2)
+      val n = sorted.length
+      def os(q: Double) = sorted(math.ceil(q * n).toInt - 1)
+      (n.toLong, os(0.5), os(0.95), sorted.max)
+    }.toMap
+    val got = Behavior.qConvertLatency(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   // X188 — grouping-sets rollup
   test("grouping_sets: cells + nation subtotals + grand total, masses consistent") {
     val rows = Analytics.qGroupingSets(spark, Sf0001).collect()

@@ -445,6 +445,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bloomIncStore: the appended batch lands as new files + appended manifest rows, base manifest untouched") {
+    import spark.implicits._
+    val base = Scale.bloomIncStore(spark, Sf0001)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataP = new org.apache.hadoop.fs.Path(s"$base/data")
+    val fs = dataP.getFileSystem(conf)
+    val files = fs.listStatus(dataP).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+    val incFiles = files.filter(_.startsWith("part-inc-"))
+    assert(incFiles.nonEmpty, "the batch must land as its own files")
+    assert(files.size > incFiles.size, "base files must still be there")
+    // manifest: one parquet file per build step (append, not rewrite)
+    val manP = new org.apache.hadoop.fs.Path(s"$base/manifest")
+    val manParts = fs.listStatus(manP).toSeq
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    assert(manParts >= 2, "the increment must APPEND manifest rows")
+    // every data file (old and new) carries filter rows
+    val manFiles = spark.read.parquet(s"$base/manifest")
+      .select($"file").distinct().collect().map(_.getString(0)).toSet
+    assert(files.toSet == manFiles,
+      s"manifest files ${manFiles.size} != data files ${files.size}")
+    // the probe path cannot tell increment from rebuild: equality
+    // against the direct filter, incl. an id that lives in an inc file
+    val incId = spark.read.parquet(s"$base/data/${incFiles.head}")
+      .agg(min($"event_id")).head.getLong(0)
+    val ids = Scale.bloomProbeIds(spark, base) :+ incId
+    val (pruned, read, total) = Scale.bloomPrunedRead(spark, base, ids)
+    assert(read < total)
+    val full = spark.read.parquet(s"$base/data")
+      .filter($"event_id".isin(ids: _*))
+    assert(pruned.count() == full.count() && pruned.count() >= ids.length - 1)
+    assert(pruned.select($"event_id").except(full.select($"event_id")).isEmpty)
+    assert(full.select($"event_id").except(pruned.select($"event_id")).isEmpty)
+  }
+
   test("time travel: snapshots isolate — compaction keeps v1/v2 readable, vacuum is the only deleter") {
     import spark.implicits._
     val base = Scale.timeTravelStore(spark, Sf0001)

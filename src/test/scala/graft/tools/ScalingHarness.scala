@@ -395,6 +395,7 @@ object ScalingHarness {
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
     Scale.invalidateBloomStore()
+    Scale.invalidateBloomIncStore()
     Scale.invalidateTimeTravelStore()
     Scale.invalidateUpsertStore()
     Scale.invalidateWidenStore()
