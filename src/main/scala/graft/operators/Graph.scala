@@ -1010,15 +1010,29 @@ object Graph {
   // and the rank window shares the (customer) aggregate partitioning.
   // ------------------------------------------------------------------
   val RecTopK = 3
+  // The truncated "similar-items table" cut (Linden et al.'s shipped
+  // shape): the raw co-occurrence matrix of a popular catalog is
+  // DENSE, and joining it whole fans the scoring join out by |items|
+  // per owned item — the first sf0.1 bench fold measured 65 s on
+  // exactly that shape. Each item keeps only its RecNbrCap strongest
+  // neighbors ((cooc desc, s2) deterministic cut, mirrored in the
+  // oracle — the cut is part of the operator's contract), making the
+  // fan-out CoCap·RecNbrCap slim rows per customer, flat in catalog
+  // size.
+  val RecNbrCap = 20
 
   def qRecommend(spark: SparkSession, dir: String): DataFrame = {
     val store = coIncidenceStore(spark, dir)
     def inc(): DataFrame = store.fresh()
     // symmetric co-occurrence counts over the capped incidence
-    val cooc = inc().select($"c", $"s".as("s1"))
+    val cooc0 = inc().select($"c", $"s".as("s1"))
       .join(inc().select($"c".as("c2"), $"s".as("s2")),
         $"c" === $"c2" && $"s1" =!= $"s2")
       .groupBy($"s1", $"s2").agg(count(lit(1)).as("cooc"))
+    val wNbr = org.apache.spark.sql.expressions.Window
+      .partitionBy($"s1").orderBy($"cooc".desc, $"s2")
+    val cooc = cooc0.withColumn("nr", row_number().over(wNbr))
+      .filter($"nr" <= RecNbrCap).drop("nr")
     val scores = inc().join(cooc, $"s" === $"s1")
       .groupBy($"c", $"s2").agg(sum($"cooc").as("score"))
       .join(inc().select($"c".as("oc"), $"s".as("os")),
@@ -1039,10 +1053,15 @@ object Graph {
        |  SELECT c, s FROM (
        |    SELECT c, s, row_number() OVER (PARTITION BY c ORDER BY s) AS rn
        |    FROM inc0) WHERE rn <= $CoCap),
-       |cooc AS (
+       |cooc0 AS (
        |  SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS cooc
        |  FROM inc a JOIN inc b ON a.c = b.c AND a.s <> b.s
        |  GROUP BY 1, 2),
+       |cooc AS (
+       |  SELECT s1, s2, cooc FROM (
+       |    SELECT s1, s2, cooc, row_number() OVER (
+       |      PARTITION BY s1 ORDER BY cooc DESC, s2) AS nr
+       |    FROM cooc0) WHERE nr <= $RecNbrCap),
        |scores AS (
        |  SELECT i.c, cooc.s2, CAST(sum(cooc.cooc) AS BIGINT) AS score
        |  FROM inc i JOIN cooc ON i.s = cooc.s1

@@ -731,11 +731,17 @@ class GraphSpec extends SparkSpec {
       for (a <- ss; b <- ss if a != b)
         cooc((a, b)) = cooc.getOrElse((a, b), 0L) + 1L
     }
+    // the truncated similar-items table: top-RecNbrCap neighbors per
+    // item by (cooc desc, neighbor asc) — the operator's contract
+    val nbrs = cooc.toSeq.groupBy(_._1._1).view.mapValues { xs =>
+      xs.map { case ((_, t), n) => (t, n) }
+        .sortBy { case (t, n) => (-n, t) }.take(Graph.RecNbrCap).toMap
+    }.toMap
     val want = items.flatMap { case (c, owned) =>
       val scores = scala.collection.mutable.Map.empty[Long, Long]
       owned.foreach { s =>
-        cooc.keysIterator.filter(_._1 == s).foreach { case (_, t) =>
-          if (!owned(t)) scores(t) = scores.getOrElse(t, 0L) + cooc((s, t))
+        nbrs.getOrElse(s, Map.empty).foreach { case (t, n) =>
+          if (!owned(t)) scores(t) = scores.getOrElse(t, 0L) + n
         }
       }
       scores.toSeq.sortBy { case (t, sc) => (-sc, t) }

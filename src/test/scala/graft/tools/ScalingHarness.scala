@@ -379,7 +379,29 @@ object ScalingHarness {
     "curation_e2e" ->
       (dir => graft.operators.Curation.qCurationE2e(spark, dir).count()),
     "kcore" ->
-      (dir => Graph.qKCore(spark, dir).count()))
+      (dir => Graph.qKCore(spark, dir).count()),
+    // round-13: sparse_cosine is the df-capped tf-postings self-join —
+    // the weighted twin of ssjoin, same (long, long, long) shuffle
+    // budget, candidates bounded by hash df. merge_upsert pays the
+    // 16-shard store write cold, then the O(touched shards) merge —
+    // write-dominated; the merge itself is flat per shard. bloom_prune
+    // pays store + manifest build cold; the probe is a 3-file read at
+    // ANY corpus size — the flattest serving path in the suite.
+    // communities is 2K contribution joins + rank windows over the
+    // cached edge store (store cold).
+    "sparse_cosine" ->
+      (dir => Dedup.qSparseCosine(spark, dir).count()),
+    "merge_upsert" ->
+      (dir => Scale.qMergeUpsert(spark, dir).count()),
+    "bloom_prune" ->
+      (dir => Scale.qBloomPrune(spark, dir).count()),
+    "communities" ->
+      (dir => Graph.qCommunities(spark, dir).count()),
+    // recommend joins the truncated similar-items table (RecNbrCap
+    // strongest neighbors per item) — the cap that took the uncut
+    // dense-matrix scoring join from 65 s to ~1 s at sf0.1
+    "recommend" ->
+      (dir => Graph.qRecommend(spark, dir).count()))
   }
 
   private def resetCaches(spark: SparkSession): Unit = {
