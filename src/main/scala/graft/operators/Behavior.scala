@@ -447,6 +447,82 @@ object Behavior {
   }
 
   // ------------------------------------------------------------------
+  // User feature-store materialization (X207 — the composition a
+  // feature-engineering pipeline actually ships to a training run or
+  // online store: ONE row per user carrying the engagement features
+  // the individual gates compute separately — event/view/purchase
+  // counts, 30-min-gap session count (the qSessionize convention),
+  // purchase cents, recency vs the corpus clock, and the exact-ppm
+  // view→purchase conversion rate. The integration risks a composed
+  // feature job carries (clock anchoring, per-user joins drifting,
+  // ratio denominators) get one gate here, the X175 capstone stance
+  // applied to the behavioral family. Scale shape: the session count
+  // and the aggregate family share ONE hashpartitioning(user_id) —
+  // the lag window, its rollup and the count aggregate all key the
+  // same way, and the final join is user-keyed; the clock is a
+  // broadcast 1-row max.
+  // ------------------------------------------------------------------
+  def qFeatureStore(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ($"value".cast(DecimalType(18, 6)) * 100).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_millis(ts) div 1000").as("ts_s"), cents.as("cents"))
+    val anchor = ev.agg(max(expr("ts_s div 86400")).as("maxday"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val sess = ev
+      .withColumn("gap", $"ts_s" - lag($"ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        when($"gap".isNull || $"gap" > 1800, 1L).otherwise(0L))
+      .groupBy($"user_id").agg(sum($"new_session").as("n_sessions"))
+    val agg = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when($"event_type" === "purchase", $"cents").otherwise(0L))
+          .as("purchase_cents"),
+        max(expr("ts_s div 86400")).as("lastday"))
+    agg.join(sess, "user_id")
+      .crossJoin(broadcast(anchor))
+      .select($"user_id", $"n_events", $"n_sessions", $"n_views",
+        $"n_purchases", $"purchase_cents",
+        ($"maxday" - $"lastday").as("recency_days"),
+        expr("(n_purchases * 1000000) div greatest(n_views, 1)")
+          .as("conv_ppm"))
+      .orderBy($"user_id")
+  }
+
+  val sqlFeatureStore: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    (epoch_ms(ts) // 1000) AS ts_s,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |a AS (SELECT max(ts_s // 86400) AS maxday FROM ev),
+       |g AS (
+       |  SELECT user_id,
+       |    CASE WHEN ts_s - lag(ts_s) OVER w IS NULL
+       |      OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |sess AS (SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions
+       |  FROM g GROUP BY 1),
+       |agg AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_events,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_views,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_purchases,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+       |      ELSE 0 END) AS BIGINT) AS purchase_cents,
+       |    max(ts_s // 86400) AS lastday
+       |  FROM ev GROUP BY 1)
+       |SELECT user_id, n_events, n_sessions, n_views, n_purchases,
+       |  purchase_cents, maxday - lastday AS recency_days,
+       |  (n_purchases * 1000000) // greatest(n_views, 1) AS conv_ppm
+       |FROM agg JOIN sess USING (user_id) CROSS JOIN a
+       |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // RFM customer segmentation (X190 — Hughes 1994, the
   // recency/frequency/monetary tiering every CRM and lifecycle-
   // marketing stack computes over its order log; the reference's KPI

@@ -1056,6 +1056,29 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // X207 — user feature-store materialization
+  test("feature_store: features agree with the gates they compose") {
+    val rows = Behavior.qFeatureStore(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.nonEmpty)
+    // session counts equal the sessionize gate's per-user session census
+    val sess = EventWindows.qSessionize(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    sess.foreach { case (u, n) =>
+      assert(rows(u)._2 == n, s"user $u session count")
+    }
+    // event mass conservation + ratio law
+    val total = graft.sources.Tables.events(spark, Sf0001).count()
+    assert(rows.values.map(_._1).sum == total)
+    rows.values.foreach { f =>
+      assert(f._7 == f._4 * 1000000L / math.max(f._3, 1L), "conv_ppm law")
+      assert(f._2 >= 1L && f._2 <= f._1, "sessions within [1, events]")
+      assert(f._6 >= 0L, "recency non-negative")
+    }
+  }
+
   // X188 — grouping-sets rollup
   test("grouping_sets: cells + nation subtotals + grand total, masses consistent") {
     val rows = Analytics.qGroupingSets(spark, Sf0001).collect()
