@@ -85,4 +85,86 @@ object GraphProps extends Properties("GraphKernels") {
         } finally s.release()
       }
     }
+
+  // ------------------------------------------------------------------
+  // Round-13 kernels: sparse-cosine pairs (X191) and Bellman-Ford
+  // cheapest costs (X192) against brute references on random inputs —
+  // random tf grids exercise scaled/partial-overlap vectors beyond the
+  // planted families, random weighted graphs exercise multi-hop
+  // shortcuts and horizon cuts beyond the fixture's shapes.
+  // ------------------------------------------------------------------
+
+  private val genTfDocs: Gen[Seq[(Long, Map[Long, Long])]] = for {
+    nDocs <- Gen.choose(3, 12)
+    docs <- Gen.sequence[Seq[(Long, Map[Long, Long])], (Long, Map[Long, Long])](
+      (0 until nDocs).map { d =>
+        for {
+          nT <- Gen.choose(1, 6)
+          hs <- Gen.listOfN(nT, Gen.zip(Gen.choose(0L, 15L), Gen.choose(1L, 4L)))
+        } yield (d.toLong, hs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+      })
+  } yield docs
+
+  property("sparseCosinePairs == brute multiset cosine at t = 4/5 (df-cap not binding)") =
+    forAll(genTfDocs) { docs =>
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      import org.apache.spark.sql.functions.{col, explode}
+      // n <= 12 docs < SpcDfCap = 20, so the boilerplate guard never
+      // binds and the brute reference is the pure cosine predicate
+      val tf = docs.flatMap { case (d, m) => m.map { case (h, t) => (d, h, t) } }
+        .toDF("doc_id", "h", "tf")
+      val got = Dedup.sparseCosinePairs(tf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = docs.map(_._1)
+      val want = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = docs(i)._2; b = docs(j)._2
+        dot = a.keysIterator.map(h => a(h) * b.getOrElse(h, 0L)).sum
+        na2 = a.valuesIterator.map(v => v * v).sum
+        nb2 = b.valuesIterator.map(v => v * v).sum
+        if BigInt(25) * BigInt(dot) * BigInt(dot) >=
+          BigInt(16) * BigInt(na2) * BigInt(nb2)
+      } yield (ids(i), ids(j))).toSet
+      got == want
+    }
+
+  private val genWeighted: Gen[(Seq[(Long, Long, Long)], Set[Long])] = for {
+    n <- Gen.choose(3, 8)
+    m <- Gen.choose(2, 14)
+    raw <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong),
+      Gen.choose(0L, n.toLong), Gen.choose(1L, 50L)))
+    edges = raw.collect { case (a, b, w) if a != b => (a, b, w) }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+    seeds <- Gen.nonEmptyListOf(Gen.oneOf(edges.flatMap(e => Seq(e._1, e._2)).distinct))
+  } yield (edges, seeds.toSet)
+
+  property("cheapestCosts == brute Bellman-Ford over <= K-edge paths") =
+    forAll(genWeighted) { case (edges, seeds) =>
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      edges.isEmpty || {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val es = Graph.materializeEdges(() => edges.toDF("src", "dst", "w"))
+        val sf = Graph.materializeFrame(
+          nodes.map(n => (n, if (seeds(n)) 1 else 0)).toDF("id", "is_seed"))
+        try {
+          val got = Graph.cheapestCosts(es, sf)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // brute: K rounds of relaxation over the directed edge list
+          val inf = 1L << 62
+          var d = nodes.map(n => n -> (if (seeds(n)) 0L else inf)).toMap
+          (1 to Graph.CheapRounds).foreach { _ =>
+            val relax = edges.groupBy(_._2).map { case (v, in) =>
+              v -> in.map(e => d(e._1) match {
+                case x if x >= inf => inf
+                case x => x + Graph.CostScale / e._3
+              }).min
+            }
+            d = d.map { case (v, dv) =>
+              v -> math.min(dv, relax.getOrElse(v, inf))
+            }
+          }
+          got == d
+        } finally { es.release(); sf.release() }
+      }
+    }
 }
