@@ -1292,6 +1292,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_recommend: similar-items truncation keeps every join keyed, no cross product") {
+    val plan = executedCold(Graph.qRecommend(spark, Sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    // the scoring path reads the memoized incidence store, not parquet
+    assert(plan.contains("Scan ExistingRDD"))
+  }
+
+  test("q_grouping_sets: one Expand feeds one aggregation — no multi-scan rollup") {
+    val plan = executedCold(Analytics.qGroupingSets(spark, Sf0001))
+    // Spark plans ROLLUP as Expand (3 projections of one scan) into a
+    // single partial-agg tree — exactly the one-shuffle multi-level
+    // shape the operator exists for; three separate GROUP BYs would
+    // show three scans
+    assert(plan.contains("Expand"))
+    assert(plan.split("Scan parquet").length - 1 <= 2,
+      "the rollup must not re-scan the fact table per level")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_merge_upsert / q_time_travel: manifest- and shard-scoped reads, no cross product") {
+    val p1 = executedCold(Scale.qMergeUpsert(spark, Sf0001))
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = executedCold(Scale.qTimeTravel(spark, Sf0001))
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("q_zorder_prune: the rollup scans only the manifest-selected files") {
     val base = Scale.zorderStore(spark, Sf0001)
     val (aLo, aHi, bLo, bHi) = Scale.zorderBox(spark, base)
