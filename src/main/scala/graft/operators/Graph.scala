@@ -794,9 +794,13 @@ object Graph {
   private val CostInf = 1L << 62
 
   /** Per-node cheapest ≤`rounds`-edge path cost from the seed set;
-    * INTERNAL sentinel 2⁶² = unreachable. */
+    * INTERNAL sentinel 2⁶² = unreachable. Returns the final round's
+    * [[FrameStore]] — ownership transfers to the caller, who must
+    * `release()` it (the gate memoizes its instance in [[frameCache]]
+    * so [[invalidateEdgeStore]] drops it; earlier rounds' intermediate
+    * stores are released inside the loop as before). */
   def cheapestCosts(edges: EdgeStore, seedFlags: FrameStore,
-      rounds: Int = CheapRounds): DataFrame = {
+      rounds: Int = CheapRounds): FrameStore = {
     def e(): DataFrame = edges.fresh()
       .select($"src", $"dst", expr(s"${CostScale}L div w").as("cost"))
     var store = materializeFrame(seedFlags.fresh().select($"id",
@@ -814,13 +818,18 @@ object Graph {
       store.release()
       store = next
     }
-    store.fresh()
+    store
   }
 
   /** Gate: suppliers' cheapest trust-path cost from the nation-7
-    * customer cohort; −1 = unreachable within [[CheapRounds]] edges. */
+    * customer cohort; −1 = unreachable within [[CheapRounds]] edges.
+    * The final-round store is memoized per (session, dir) so repeated
+    * gate calls reuse one persisted frame and [[invalidateEdgeStore]]
+    * can drop its blocks (no leaked persists in a long-lived session). */
   def qCheapestPath(spark: SparkSession, dir: String): DataFrame =
-    cheapestCosts(transactionEdgeStore(spark, dir), seedStore(spark, dir))
+    cachedFrame(spark, dir, "cheapest_costs")(
+      cheapestCosts(transactionEdgeStore(spark, dir), seedStore(spark, dir)))
+      .fresh()
       .filter($"id" % 2 === 1)
       .select(expr("id div 2").as("s_suppkey"),
         when($"d" === CostInf, -1L).otherwise($"d").as("cost"))

@@ -1588,19 +1588,26 @@ object Scale {
     touched.foreach { shard =>
       val dirP = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
       val fs = dirP.getFileSystem(conf)
-      val cur = spark.read.parquet(dirP.toString)
-      val merged = cur
+      // A missing shard dir (possible for sparse keyed stores built
+      // through this same API: a fresh key can hash to a shard no row
+      // ever landed in) is an empty current frame — the merge becomes
+      // insert-only and CREATES the shard via the same stage-swap.
+      val shardExists = fs.exists(dirP)
+      val shardUpserts = upserts
+        .filter(pmod($"k", lit(UpsertShards.toLong)) === shard)
         .join(delK, $"k" === $"dk", "left_anti")
-        .join(upK, $"k" === $"uk", "left_anti")
-        .unionByName(upserts
-          .filter(pmod($"k", lit(UpsertShards.toLong)) === shard)
-          .join(delK, $"k" === $"dk", "left_anti"))
+      val merged = (if (shardExists)
+        spark.read.parquet(dirP.toString)
+          .join(delK, $"k" === $"dk", "left_anti")
+          .join(upK, $"k" === $"uk", "left_anti")
+          .unionByName(shardUpserts)
+      else shardUpserts)
         .coalesce(1)
       val stage = new org.apache.hadoop.fs.Path(s"$base/stage_upsert_$shard")
       merged.write.mode("overwrite").parquet(stage.toString)
       val aside = new org.apache.hadoop.fs.Path(s"$base/old_upsert_$shard")
       fs.delete(aside, true)
-      fs.rename(dirP, aside)
+      if (shardExists) fs.rename(dirP, aside)
       fs.rename(stage, dirP)
       fs.delete(aside, true)
     }

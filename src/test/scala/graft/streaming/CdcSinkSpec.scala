@@ -9,8 +9,9 @@ import graft.operators.Scale
 /** Production contract of the streaming CDC apply face (X206, the
   * foreachBatch productization of X199's keyed MERGE): streamed change
   * batches leave the store equal to a driver-side sequential replay of
-  * the same changes, redelivered batches are byte-stable no-ops, and
-  * only touched shards ever rewrite. */
+  * the same changes IN seq ORDER (latest-wins per key), redelivered
+  * batches are byte-stable no-ops, and only touched shards ever
+  * rewrite. */
 class CdcSinkSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,17 +31,21 @@ class CdcSinkSpec extends SparkSpec {
       .select($"k", $"prio", $"cents")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
 
-  test("streamed CDC batches equal the sequential driver-side replay of the same changes") {
+  test("streamed CDC batches equal the sequential seq-order replay of the same changes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = freshStore()
     val sink = new CdcSink(base)
     // batch 1: delete 5, update 6; batch 2: insert 1001, re-update 6,
-    // delete-and-upsert 7 in ONE batch (delete must win)
-    val b1 = Seq(("D", 5L, "", 0L), ("U", 6L, "PX", 111L))
-    val b2 = Seq(("I", 1001L, "PN", 42L), ("U", 6L, "PY", 222L),
-      ("D", 7L, "", 0L), ("U", 7L, "PZ", 333L))
-    val input = MemoryStream[(String, Long, String, Long)]
-    val q = input.toDF().toDF("op", "k", "prio", "cents")
+    // upsert-then-delete 7 in ONE batch (the later delete must win),
+    // and TWO sequential updates to 8 in one batch (the later value —
+    // seq 14's PB — must land, where a (prio, cents)-min collapse
+    // would wrongly keep PA)
+    val b1 = Seq(("D", 5L, "", 0L, 1L), ("U", 6L, "PX", 111L, 2L))
+    val b2 = Seq(("I", 1001L, "PN", 42L, 10L), ("U", 6L, "PY", 222L, 11L),
+      ("U", 7L, "PZ", 333L, 12L), ("D", 7L, "", 0L, 15L),
+      ("U", 8L, "PA", 1L, 13L), ("U", 8L, "PB", 2L, 14L))
+    val input = MemoryStream[(String, Long, String, Long, Long)]
+    val q = input.toDF().toDF("op", "k", "prio", "cents", "seq")
       .writeStream
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("cdc_ckpt").toString)
@@ -49,29 +54,25 @@ class CdcSinkSpec extends SparkSpec {
       input.addData(b1); q.processAllAvailable()
       input.addData(b2); q.processAllAvailable()
     } finally q.stop()
-    // driver-side sequential replay: per batch, deletes apply and beat
-    // that batch's upserts on the same key (X199 precedence); later
-    // batches overwrite earlier ones
+    // driver-side replay: apply every change row one at a time in seq
+    // order — the ground truth the collapsed batch apply must equal
     val want = scala.collection.mutable.Map.empty[Long, (String, Long)]
     (0L until 64L).foreach(k => want(k) = (s"P${k % 3}", k * 100L + 7L))
-    Seq(b1, b2).foreach { batch =>
-      val dels = batch.filter(_._1 == "D").map(_._2).toSet
-      dels.foreach(want.remove)
-      batch.foreach { case (op, k, p, c) =>
-        if (op != "D" && !dels(k)) want(k) = (p, c)
-      }
+    (b1 ++ b2).sortBy(_._5).foreach { case (op, k, p, c, _) =>
+      if (op == "D") want.remove(k) else want(k) = (p, c)
     }
-    // b2's 6 -> PY overwrote b1's PX; 7 deleted despite the upsert row
+    // b2's 6 -> PY overwrote b1's PX; 7 deleted (seq 15 > 12); 8 -> PB
     assert(!want.contains(5L) && !want.contains(7L))
     assert(want(6L) == ("PY", 222L) && want(1001L) == ("PN", 42L))
+    assert(want(8L) == ("PB", 2L), "later in-batch update must win")
     assert(content(base) == want.toMap)
   }
 
   test("redelivered change batches are byte-stable no-ops on untouched shards and value-stable everywhere") {
     val base = freshStore()
     val sink = new CdcSink(base)
-    val batch = Seq(("D", 17L, "", 0L), ("U", 18L, "PX", 999L),
-      ("I", 1003L, "PN", 42L)).toDF("op", "k", "prio", "cents")
+    val batch = Seq(("D", 17L, "", 0L, 1L), ("U", 18L, "PX", 999L, 2L),
+      ("I", 1003L, "PN", 42L, 3L)).toDF("op", "k", "prio", "cents", "seq")
     sink.apply(batch)
     val after1 = content(base)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -399,7 +399,7 @@ object ScalingHarness {
       (dir => Graph.qCommunities(spark, dir).count()),
     // recommend joins the truncated similar-items table (RecNbrCap
     // strongest neighbors per item) — the cap that took the uncut
-    // dense-matrix scoring join from 65 s to ~1 s at sf0.1
+    // dense-matrix scoring join from 65 s to ~5 s at sf0.1
     "recommend" ->
       (dir => Graph.qRecommend(spark, dir).count()))
   }
