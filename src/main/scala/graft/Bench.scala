@@ -39,6 +39,7 @@ object Bench {
     graft.operators.Scale.invalidateBloomIncStore()
     graft.operators.Scale.invalidateTimeTravelStore()
     graft.operators.Scale.invalidateUpsertStore()
+    graft.operators.Temporal.invalidateScd2Store()
     graft.operators.Scale.invalidateWidenStore()
     graft.operators.Similarity.invalidateIvfArtifact()
     graft.operators.Clustering.releaseMergeClosures()

@@ -344,4 +344,283 @@ object Temporal {
        |FROM ivx CROSS JOIN p
        |WHERE valid_from_ms <= t AND (valid_to_ms IS NULL OR valid_to_ms > t)
        |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // SCD2 as-of fact enrichment (X208 — the query the interval
+  // dimension exists to SERVE, Kimball's standard fact-to-type-2-
+  // dimension read and the reference's v_trade_performance join shape,
+  // arch doc:2254-2272: every fact row joined to the dimension version
+  // valid AT ITS OWN timestamp, `fact.ts >= valid_from AND fact.ts <
+  // valid_to` — reading the current dimension instead silently leaks
+  // the future into a backtest. Scale shape: the naive inequality-only
+  // join plans as a nested-loop over the full fact table; here the
+  // join keeps its EQUI key (custkey) with the interval predicate as
+  // the residual, and the dimension — |keys|·versions slim rows, tiny
+  // next to the fact — is broadcast, so the fact table never shuffles
+  // at all (PlanSpec pins BroadcastHashJoin, no BNLJ/cartesian; at
+  // fact-dimension ratios where broadcast no longer fits, the same
+  // query rides the X17 bucketed-range-join shape). Exactly one
+  // version matches per fact row (intervals partition [first_order,
+  // ∞) and half-open [from, to) makes same-ms version stacks
+  // unambiguous), so inner ≡ left and row count is preserved.
+  // ------------------------------------------------------------------
+  def qScd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = qScd2(spark, dir)
+      .select($"c_custkey", $"version", $"prio",
+        $"valid_from_ms", $"valid_to_ms")
+    val fact = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        unix_millis($"o_orderdate".cast("timestamp")).as("d_ms"))
+    fact.join(broadcast(dim),
+        fact("o_custkey") === dim("c_custkey") &&
+        $"d_ms" >= $"valid_from_ms" &&
+        ($"valid_to_ms".isNull || $"d_ms" < $"valid_to_ms"))
+      .select($"o_orderkey", $"o_custkey", $"d_ms", $"version",
+        $"prio".as("prio_at_order"))
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlScd2Join: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS d_ms,
+      |    o_orderpriority AS prio
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+      |      OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS chg
+      |  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d_ms, o_orderkey)),
+      |islands AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY d_ms, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS island
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT o_custkey, island, max(prio) AS prio,
+      |    min(d_ms) AS valid_from_ms
+      |  FROM islands GROUP BY 1, 2),
+      |ivx AS (
+      |  SELECT o_custkey AS c_custkey, island AS version, prio,
+      |    valid_from_ms, lead(valid_from_ms) OVER w AS valid_to_ms
+      |  FROM iv WINDOW w AS (PARTITION BY o_custkey ORDER BY island))
+      |SELECT f.o_orderkey, f.o_custkey, epoch_ms(f.o_orderdate) AS d_ms,
+      |  x.version, x.prio AS prio_at_order
+      |FROM orders f JOIN ivx x ON f.o_custkey = x.c_custkey
+      |  AND epoch_ms(f.o_orderdate) >= x.valid_from_ms
+      |  AND (x.valid_to_ms IS NULL OR epoch_ms(f.o_orderdate) < x.valid_to_ms)
+      |ORDER BY f.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Incremental SCD2 maintenance (X209 — the production job behind
+  // X131: the nightly dimension build does NOT rebuild from the full
+  // change log, it applies one day's changes to the PERSISTED interval
+  // store — close the open interval of each changed key, append its
+  // new versions, touch nothing else. The X125/X199 incremental stance
+  // applied to dimensions, and the dimension-side consumer of the X206
+  // CDC sink. Exactness argument: islands depend only on the PREVIOUS
+  // row's priority, and the stored open interval carries exactly that
+  // (priority is constant within an island), so collapsing the batch
+  // into islands and deciding "merge into the open interval vs close
+  // it" per key replays the global gaps-and-islands construction —
+  // the gate proves it by hash-matching the maintained store against
+  // the full-rebuild oracle over log ∪ batch. Store layout: 16
+  // custkey-hashed `shard=` dirs (the X199 layout); an apply rewrites
+  // only shards carrying changed keys via stage-swap, untouched shards
+  // stay byte-identical (Scd2ApplySpec pins it). Replay safety: a
+  // (d_ms, o_orderkey) high-water mark filters already-applied rows,
+  // so redelivered batches touch zero shards (same batch-granularity
+  // crash posture as mergeUpsert: per-shard swaps are atomic, the
+  // watermark lands after the data). Contract: batches arrive in
+  // event-time order — every fresh row is later than the key's stored
+  // history, which the time-cut batching guarantees.
+  // ------------------------------------------------------------------
+  val Scd2Shards = 16
+  val Scd2TailDays = 30L
+
+  private val scd2StoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  def invalidateScd2Store(): Unit = scd2StoreCache.clear()
+
+  /** The qScd2 construction over an arbitrary change-log frame of
+    * (o_custkey, o_orderkey, d_ms, prio) — X131 factored so the store
+    * build, the spec's synthetic logs and the gate share it. */
+  def scd2Intervals(log: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+    val run = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = log
+      .withColumn("chg",
+        when(lag($"prio", 1).over(wSeq).isNull ||
+          lag($"prio", 1).over(wSeq) =!= $"prio", 1).otherwise(0))
+      .withColumn("island", sum($"chg").over(run))
+    val wNext = Window.partitionBy($"o_custkey").orderBy($"island")
+    islands.groupBy($"o_custkey", $"island")
+      .agg(max($"prio").as("prio"), min($"d_ms").as("valid_from_ms"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to_ms", lead($"valid_from_ms", 1).over(wNext))
+      .select($"o_custkey".as("c_custkey"), $"island".as("version"), $"prio",
+        $"valid_from_ms", $"valid_to_ms", $"n_orders",
+        when($"valid_to_ms".isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  private def scd2Watermark(spark: SparkSession, base: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/wm")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      (Long.MinValue, Long.MinValue)
+    else {
+      val r = spark.read.parquet(p.toString).head
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** Apply one change batch of (o_custkey, o_orderkey, d_ms, prio) to
+    * the persisted interval store at `base`. Returns shards touched
+    * (0 for a fully-replayed batch). */
+  def scd2Apply(spark: SparkSession, base: String, batch: DataFrame): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (wmMs, wmKey) = scd2Watermark(spark, base)
+    val fresh0 = batch.filter($"d_ms" > wmMs ||
+      ($"d_ms" === wmMs && $"o_orderkey" > wmKey))
+    // collapse the batch into per-key islands ONCE (bidx 1..m in time
+    // order), with the per-key first-island summary the merge decision
+    // needs; both frames are reused per touched shard, so persist
+    val wSeq = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+    val run = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy($"o_custkey").orderBy($"bidx")
+    val bi = fresh0
+      .withColumn("chg", when(lag($"prio", 1).over(wSeq).isNull ||
+        lag($"prio", 1).over(wSeq) =!= $"prio", 1).otherwise(0))
+      .withColumn("bidx", sum($"chg").over(run))
+      .groupBy($"o_custkey", $"bidx")
+      .agg(max($"prio").as("bprio"), min($"d_ms").as("bfrom"),
+        count(lit(1)).as("bn"))
+      .withColumn("bto", lead($"bfrom", 1).over(wB))
+      .withColumn("m", max($"bidx").over(
+        Window.partitionBy($"o_custkey")))
+      .persist()
+    val touched = bi.select(pmod($"o_custkey", lit(Scd2Shards.toLong)).as("shard"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (touched.nonEmpty) {
+      val wmRow = fresh0.agg(max(struct($"d_ms", $"o_orderkey")).as("s"))
+        .select($"s.d_ms".as("wm_ms"), $"s.o_orderkey".as("wm_key"))
+      // first-island summary per key: what the open-interval merge needs
+      val bi1 = bi.filter($"bidx" === 1)
+        .select($"o_custkey".as("k"), $"bprio".as("p1"), $"bfrom".as("f1"),
+          $"bn".as("n1"), $"m",
+          $"bto".as("f2")) // from of island 2 (null when m = 1)
+      touched.foreach { shard =>
+        val dirP = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
+        val fs = dirP.getFileSystem(conf)
+        // a missing shard dir (sparse keyed store) is an empty current
+        // frame — the mergeUpsert posture: insert-only, shard created
+        // by the same stage-swap
+        val shardExists = fs.exists(dirP)
+        val cur =
+          if (shardExists) spark.read.parquet(dirP.toString)
+          else spark.emptyDataFrame
+            .select(lit(0L).as("c_custkey"), lit(0L).as("version"),
+              lit("").as("prio"), lit(0L).as("valid_from_ms"),
+              lit(null).cast("long").as("valid_to_ms"),
+              lit(0L).as("n_orders"), lit(0).as("is_current"))
+            .limit(0)
+        val shardKeys = bi1.filter(pmod($"k", lit(Scd2Shards.toLong)) === shard)
+        // untouched keys and already-closed versions pass through as-is
+        val untouched = cur.join(shardKeys.select($"k"),
+          cur("c_custkey") === $"k", "left_anti")
+        val closed = cur.filter($"is_current" === 0)
+          .join(shardKeys.select($"k"), cur("c_custkey") === $"k", "left_semi")
+        // the open interval of each changed key, joined with the merge
+        // decision: same priority in the first batch island extends it,
+        // a different one closes it at the island's start
+        val open = cur.filter($"is_current" === 1)
+          .join(shardKeys, cur("c_custkey") === $"k", "right")
+        val kinfo = open.select($"k", $"m", $"f1", $"f2", $"n1",
+          coalesce($"version", lit(0L)).as("v0"),
+          $"prio".as("p0"), $"valid_from_ms".as("vf0"),
+          coalesce($"n_orders", lit(0L)).as("n0"),
+          $"version".isNotNull.as("has_open"),
+          ($"version".isNotNull && $"prio" === $"p1").as("merge"))
+        val replacedOpen = kinfo.filter($"has_open")
+          .select($"k".as("c_custkey"), $"v0".as("version"), $"p0".as("prio"),
+            $"vf0".as("valid_from_ms"),
+            when($"merge" && $"m" === 1, lit(null).cast("long"))
+              .when($"merge", $"f2").otherwise($"f1").as("valid_to_ms"),
+            when($"merge", $"n0" + $"n1").otherwise($"n0").as("n_orders"),
+            when($"merge" && $"m" === 1, 1).otherwise(0).as("is_current"))
+        val appended = bi
+          .filter(pmod($"o_custkey", lit(Scd2Shards.toLong)) === shard)
+          .join(kinfo.select($"k", $"v0", $"merge"), $"o_custkey" === $"k")
+          .filter(!$"merge" || $"bidx" > 1)
+          .select($"o_custkey".as("c_custkey"),
+            when($"merge", $"v0" + $"bidx" - 1).otherwise($"v0" + $"bidx")
+              .as("version"),
+            $"bprio".as("prio"), $"bfrom".as("valid_from_ms"),
+            $"bto".as("valid_to_ms"), $"bn".as("n_orders"),
+            when($"bto".isNull, 1).otherwise(0).as("is_current"))
+        val merged = untouched.unionByName(closed)
+          .unionByName(replacedOpen).unionByName(appended)
+          .coalesce(1)
+        val stage = new org.apache.hadoop.fs.Path(s"$base/stage_scd2_$shard")
+        merged.write.mode("overwrite").parquet(stage.toString)
+        val aside = new org.apache.hadoop.fs.Path(s"$base/old_scd2_$shard")
+        fs.delete(aside, true)
+        if (shardExists) fs.rename(dirP, aside)
+        fs.rename(stage, dirP)
+        fs.delete(aside, true)
+      }
+      wmRow.coalesce(1).write.mode("overwrite").parquet(s"$base/wm")
+    }
+    bi.unpersist()
+    touched.length.toLong
+  }
+
+  /** Initialize the sharded interval store from a change log. */
+  def scd2InitStore(spark: SparkSession, base: String, log: DataFrame): Unit = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    scd2Intervals(log)
+      .withColumn("shard", pmod($"c_custkey", lit(Scd2Shards.toLong)))
+      .repartition(Scd2Shards, $"shard")
+      .write.partitionBy("shard").parquet(s"$base/data")
+    log.agg(max(struct($"d_ms", $"o_orderkey")).as("s"))
+      .select($"s.d_ms".as("wm_ms"), $"s.o_orderkey".as("wm_key"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/wm")
+  }
+
+  private def ordersLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        unix_millis($"o_orderdate".cast("timestamp")).as("d_ms"),
+        $"o_orderpriority".as("prio"))
+
+  /** Build (once) the maintained store: intervals from all orders
+    * EXCEPT the last [[Scd2TailDays]] days, then that tail applied as
+    * one incremental change batch. */
+  def scd2Store(spark: SparkSession, dir: String): String =
+    graft.core.Memo.once(scd2StoreCache, (spark, dir))({
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"target/scd2_store$tag"
+      val log = ordersLog(spark, dir)
+      // bounded 1-row model read: the tail cut of the initial build
+      val cut = log.agg(max($"d_ms")).head.getLong(0) -
+        Scd2TailDays * 86400000L
+      scd2InitStore(spark, base, log.filter($"d_ms" < cut))
+      scd2Apply(spark, base, log.filter($"d_ms" >= cut))
+      base
+    })
+
+  /** Gate: the incrementally-maintained interval store must equal the
+    * full rebuild over log ∪ batch — the oracle is X131's full-log
+    * SQL verbatim. */
+  def qScd2Apply(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${scd2Store(spark, dir)}/data")
+      .select($"c_custkey", $"version", $"prio", $"valid_from_ms",
+        $"valid_to_ms", $"n_orders", $"is_current")
+      .orderBy($"c_custkey", $"version")
+
+  /** Full-rebuild oracle — identical to [[sqlScd2]] by construction. */
+  val sqlScd2Apply: String = sqlScd2
 }

@@ -42,6 +42,7 @@ class PlanSpec extends SparkSpec {
     Scale.invalidateDayStore()
     Scale.invalidateZorderStore()
     Scale.invalidateWidenStore()
+    Temporal.invalidateScd2Store()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
     df.queryExecution.executedPlan.toString
@@ -1309,6 +1310,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("Scan parquet").length - 1 <= 2,
       "the rollup must not re-scan the fact table per level")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_scd2_join: the as-of enrichment broadcasts the interval dimension, no BNLJ over the fact") {
+    val plan = executedCold(Temporal.qScd2Join(spark, Sf0001))
+    // equi key (custkey) + interval residual must plan as a broadcast
+    // hash join of the slim dimension — the naive inequality-only
+    // encoding nested-loops the whole fact table
+    assert(plan.contains("BroadcastHashJoin"),
+      "the interval dimension must broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the fact side must never nested-loop")
   }
 
   test("q_merge_upsert / q_time_travel: manifest- and shard-scoped reads, no cross product") {

@@ -420,6 +420,7 @@ object ScalingHarness {
     Scale.invalidateBloomIncStore()
     Scale.invalidateTimeTravelStore()
     Scale.invalidateUpsertStore()
+    Temporal.invalidateScd2Store()
     Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
