@@ -1417,6 +1417,78 @@ object Scale {
   }
 
   // ------------------------------------------------------------------
+  // Runtime bloom-join prefilter (X210 — the classic 100 TB join
+  // lever, the deterministic twin of Spark's runtime row-level
+  // filtering and the dynamic semi-join filters Trino/Delta push:
+  // when a selective dimension joins a huge fact, the fact's rows are
+  // shuffled BEFORE the join decides most of them match nothing. The
+  // build side's join keys are folded into one 2¹⁶-bit Bloom filter
+  // (the X63/X195 bit rule: k = 3 sha-derived positions, 1024 packed
+  // BIGINT words — 8 KB, a literal in the probe's filter expression,
+  // evaluated inside whole-stage codegen before the exchange), so
+  // non-matching fact rows die at the scan and never shuffle. False
+  // positives only cost shuffle rows (the exact join removes them);
+  // false negatives are impossible by construction — the gate's
+  // row-equality against the direct-join oracle IS that proof, and
+  // ScaleSpec measures the shuffled-row cut via SQL metrics. Like
+  // X102/X120 salting, the filter is stated explicitly rather than
+  // left to the optimizer, so the plan is deterministic at any scale;
+  // the 2¹⁶ bits suit build sides to ~10⁴ keys (FP ≈ (1-e^(-3n/m))³),
+  // and the word count scales with the build side the same way the
+  // per-file manifests do.
+  // ------------------------------------------------------------------
+
+  /** Fold a frame of join keys (column `k`) into 1024 packed Bloom
+    * words — one aggregation, map-side combinable, 8 KB out. */
+  def bloomOfKeys(keys: org.apache.spark.sql.DataFrame): Array[Long] = {
+    val words = keys.select(explode(bloomPositions($"k")).as("p"))
+      .select(expr("p div 64").as("word"),
+        expr("shiftleft(1L, cast(p % 64 as int))").as("m"))
+      .groupBy($"word").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val arr = Array.fill((BloomPruneBits / 64).toInt)(0L)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership predicate over the packed words: all k bit positions
+    * of `key` set. Pure column expression — codegen'd, no UDF. */
+  def bloomMightContain(words: Array[Long], key: Column): Column =
+    (0 until BloomPruneK).map { j =>
+      val p = graft.functions.Hashing.h60Seeded(j, key) % BloomPruneBits
+      element_at(lit(words), shiftrightunsigned(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+
+  /** Gate: orders of nation-3 customers, probe side prefiltered by the
+    * build side's Bloom before the join; oracle = the direct join —
+    * row equality is the no-false-negative proof. */
+  def qBloomJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .filter($"c_nationkey" === 3)
+      .select($"c_custkey",
+        ($"c_acctbal".cast(DEC) * 100).cast("long").as("acct_cents"))
+    val words = bloomOfKeys(cust.select($"c_custkey".as("k")))
+    val fact = graft.sources.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice".cast(DEC) * 100).cast("long").as("cents"))
+      .filter(bloomMightContain(words, $"o_custkey"))
+    fact.join(cust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"cents", $"acct_cents")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlBloomJoin: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+      |  CAST(CAST(c.c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) AS acct_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_nationkey = 3
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // Snapshot time travel (X198 — the table-format versioning posture
   // of Delta/Iceberg, completing the manifest story X176/X195 started:
   // every COMMIT writes its files into a fresh generation directory

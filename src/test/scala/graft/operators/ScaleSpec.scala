@@ -559,4 +559,80 @@ class ScaleSpec extends SparkSpec {
     }
     fs.delete(basePath, true)
   }
+
+  test("mergeUpsert: an insert whose key hashes to a missing shard creates it insert-only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sparse").toString
+    val base = s"$dir/store"
+    // sparse store: only keys ≡ 0 (mod 16) exist, so shard 0 is the
+    // ONLY partition directory on disk
+    (0L until 64L by 16L).map(k => (k, s"P${k % 3}", k + 7L))
+      .toDF("k", "prio", "cents")
+      .withColumn("shard", pmod($"k", lit(Scale.UpsertShards.toLong)))
+      .repartition(1, $"shard")
+      .write.partitionBy("shard").parquet(s"$base/data")
+    val touched = Scale.mergeUpsert(spark, base,
+      spark.emptyDataFrame.select(lit(0L).as("k")).limit(0),
+      Seq((21L, "PN", 42L)).toDF("k", "prio", "cents")) // 21 % 16 = 5
+    assert(touched == 1L)
+    val after = spark.read.parquet(s"$base/data")
+      .select($"k", $"prio", $"cents")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(after(21L) == ("PN", 42L), "fresh key lands in the created shard")
+    assert(after.size == 5, "existing rows untouched")
+  }
+
+  // X210 — runtime bloom-join prefilter (the explicit deterministic
+  // twin of the optimizer's runtime filtering pinned above)
+  test("bloomMightContain: no false negatives, and the prefilter kills most non-matching probe rows") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, Sf0001).filter($"c_nationkey" === 3)
+      .select($"c_custkey".as("k"))
+    val keys = cust.collect().map(_.getLong(0)).toSet
+    val words = Scale.bloomOfKeys(cust)
+    val probes = Tables.orders(spark, Sf0001)
+      .select($"o_custkey", Scale.bloomMightContain(words, $"o_custkey").as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    probes.filter(p => keys(p._1)).foreach { case (k, hit) =>
+      assert(hit, s"false negative on build key $k")
+    }
+    val survivors = probes.count(_._2)
+    val matches = probes.count(p => keys(p._1))
+    assert(survivors < probes.length / 5,
+      s"prefilter must cut most probe rows: $survivors of ${probes.length}")
+    assert(survivors >= matches)
+  }
+
+  test("bloom-join prefilter cuts shuffled probe records vs the direct join (SQL metrics)") {
+    import spark.implicits._
+    // AQE off + broadcast off so both plans shuffle both sides and the
+    // exchange write metrics are directly comparable
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cust = Tables.customer(spark, Sf0001).filter($"c_nationkey" === 3)
+        .select($"c_custkey")
+      val words = Scale.bloomOfKeys(cust.select($"c_custkey".as("k")))
+      val fact = Tables.orders(spark, Sf0001)
+        .select($"o_orderkey", $"o_custkey")
+      def shuffled(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        }.sum
+      }
+      val direct = shuffled(
+        fact.join(cust, $"o_custkey" === $"c_custkey"))
+      val pre = shuffled(
+        fact.filter(Scale.bloomMightContain(words, $"o_custkey"))
+          .join(cust, $"o_custkey" === $"c_custkey"))
+      assert(pre < direct / 5,
+        s"prefilter must cut shuffled records 5x+: pre=$pre direct=$direct")
+      assert(pre > 0, "the filtered fact still shuffles its matches")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
