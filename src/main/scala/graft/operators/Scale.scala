@@ -1686,6 +1686,40 @@ object Scale {
     touched.length.toLong
   }
 
+  /** Complete the upsert-store lifecycle (X211 — the compactDayStore
+    * discipline applied to the keyed store: appends and parallel
+    * writers leave multi-file shards behind; compaction folds each
+    * back to one file via the SAME per-shard stage-swap, so readers
+    * never see a half-compacted shard and single-file shards stay
+    * byte-identical — cost is O(multi-file shards), never a table
+    * rewrite). Returns the number of shards compacted. */
+  def compactUpsertShards(spark: org.apache.spark.sql.SparkSession,
+      base: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataP = new org.apache.hadoop.fs.Path(s"$base/data")
+    val fs = dataP.getFileSystem(conf)
+    var n = 0L
+    fs.listStatus(dataP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .foreach { s =>
+        val files = fs.listStatus(s.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        if (files > 1) {
+          val shard = s.getPath.getName.stripPrefix("shard=")
+          val merged = spark.read.parquet(s.getPath.toString).coalesce(1)
+          val stage = new org.apache.hadoop.fs.Path(s"$base/stage_compact_$shard")
+          merged.write.mode("overwrite").parquet(stage.toString)
+          val aside = new org.apache.hadoop.fs.Path(s"$base/old_compact_$shard")
+          fs.delete(aside, true)
+          fs.rename(s.getPath, aside)
+          fs.rename(stage, s.getPath)
+          fs.delete(aside, true)
+          n += 1
+        }
+      }
+    n
+  }
+
   /** Build (once) the merged store: base = orders keyed on o_orderkey
     * in 16 `shard=` directories, then the deterministic CDC batch
     * applied through [[mergeUpsert]]. */

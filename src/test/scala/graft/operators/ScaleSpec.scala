@@ -517,6 +517,99 @@ class ScaleSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(copy), true)
   }
 
+  // X211 — upsert-store lifecycle completion: per-shard compaction +
+  // vacuum on the LIVE time-travel store under a concurrent reader
+  test("compactUpsertShards: multi-file shards fold to one file, content and single-file shards untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_compact").toString
+    val base = s"$dir/store"
+    (0L until 64L).map(k => (k, s"P${k % 3}", k + 7L))
+      .toDF("k", "prio", "cents")
+      .withColumn("shard", pmod($"k", lit(Scale.UpsertShards.toLong)))
+      .repartition(Scale.UpsertShards, $"shard")
+      .write.partitionBy("shard").parquet(s"$base/data")
+    // two parallel-writer appends grow shard 5 to three files
+    (1 to 2).foreach { i =>
+      Seq((64L * i + 5L, "PX", 1L)).toDF("k", "prio", "cents").coalesce(1)
+        .write.mode("append").parquet(s"$base/data/shard=5")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    def snap(shard: Long) = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/data/shard=$shard")
+      p.getFileSystem(conf).listStatus(p).toSeq.filter(_.isFile)
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+        .sortBy(_._1)
+    }
+    def content() = spark.read.parquet(s"$base/data")
+      .select($"k", $"prio", $"cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def partFiles(shard: Long) =
+      snap(shard).count(_._1.startsWith("part-"))
+    val before = content()
+    assert(partFiles(5L) == 3)
+    val others = (0L until 16L).filterNot(_ == 5L).map(s => s -> snap(s)).toMap
+    assert(Scale.compactUpsertShards(spark, base) == 1L,
+      "only the grown shard compacts")
+    assert(content() == before, "compaction must not change the data")
+    assert(partFiles(5L) == 1, "the grown shard folds to one file")
+    others.foreach { case (s, b) =>
+      assert(snap(s) == b, s"single-file shard $s rewritten")
+    }
+    // the lifecycle composes: a merge after compaction behaves normally
+    Scale.mergeUpsert(spark, base, Seq(5L).toDF("k"),
+      Seq((21L, "PN", 42L)).toDF("k", "prio", "cents"))
+    val after = content()
+    assert(!after.exists(_._1 == 5L) && after.exists(_._1 == 21L))
+  }
+
+  test("gate store survives compaction: q_merge_upsert rows identical before and after") {
+    val before = Scale.qMergeUpsert(spark, Sf0001).collect().toSeq
+    val base = Scale.upsertStore(spark, Sf0001)
+    Scale.compactUpsertShards(spark, base)
+    assert(Scale.qMergeUpsert(spark, Sf0001).collect().toSeq == before)
+  }
+
+  test("vacuum on the LIVE time-travel store: a concurrent v3 reader is isolated, v1 dies, the gate rebuilds") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Scale.timeTravelStore(spark, Sf0001)
+    val v3Before = Scale.readAsOf(spark, base, 3)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // reader thread loops over v3 (manifest-scoped reads) WHILE the
+    // vacuum deletes every pre-v3 generation on the same live store
+    val reader = Future {
+      (1 to 5).map { _ =>
+        Scale.readAsOf(spark, base, 3)
+          .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    }
+    val dropped = Scale.vacuumBefore(spark, base, keepFrom = 3)
+    val reads = Await.result(reader, 120.seconds)
+    assert(dropped > 0, "vacuum must reclaim pre-v3 files")
+    reads.zipWithIndex.foreach { case (r, i) =>
+      assert(r == v3Before, s"concurrent v3 read $i diverged under vacuum")
+    }
+    assert(Scale.readAsOf(spark, base, 3)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == v3Before, "v3 serves identically after the vacuum")
+    assert(intercept[Exception] {
+      Scale.readAsOf(spark, base, 1).count()
+    } != null, "v1 must fail loudly below the vacuum horizon")
+    // restore the shared store for the gate: drop the memo + dir so the
+    // next qTimeTravel call rebuilds from scratch — and prove it does
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Scale.invalidateTimeTravelStore()
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    assert(Scale.qTimeTravel(spark, Sf0001).count() > 0,
+      "the gate must rebuild green after a live vacuum")
+  }
+
   test("mergeUpsert: deletes/updates/inserts land, precedence holds, untouched shards stay byte-identical") {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
