@@ -462,11 +462,19 @@ object Behavior {
   // same way, and the final join is user-keyed; the clock is a
   // broadcast 1-row max.
   // ------------------------------------------------------------------
-  def qFeatureStore(spark: SparkSession, dir: String): DataFrame = {
+  /** The X207 event projection — shared with the streaming
+    * maintenance spec so online and offline read the same rows. */
+  def featureEvents(spark: SparkSession, dir: String): DataFrame = {
     val cents = ($"value".cast(DecimalType(18, 6)) * 100).cast("long")
-    val ev = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type",
         expr("unix_millis(ts) div 1000").as("ts_s"), cents.as("cents"))
+  }
+
+  /** The X207 feature construction over an arbitrary event frame —
+    * factored so the gate and the X212 streaming-maintenance pin
+    * share it. */
+  def featureFrame(ev: DataFrame): DataFrame = {
     val anchor = ev.agg(max(expr("ts_s div 86400")).as("maxday"))
     val byUser = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
     val sess = ev
@@ -491,6 +499,9 @@ object Behavior {
           .as("conv_ppm"))
       .orderBy($"user_id")
   }
+
+  def qFeatureStore(spark: SparkSession, dir: String): DataFrame =
+    featureFrame(featureEvents(spark, dir))
 
   val sqlFeatureStore: String =
     s"""WITH ev AS (

@@ -1141,4 +1141,48 @@ class ReplayEquivalenceSpec extends SparkSpec {
     assert(invScan.contains("PartitionFilters: [cell") && invScan.contains(" IN ("),
       "post-ingest probe must keep the literal cell partition filter:\n" + plan)
   }
+
+  test("FeatureMaintenance: streamed per-batch store maintenance equals the batch materialization at every cut") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Behavior
+
+    val events = Behavior.featureEvents(spark, graft.SparkSpec.Sf0001)
+      .as[(Long, Long, String, Long, Long)]
+      .collect().toSeq.sortBy(e => (e._4, e._2)) // (ts_s, event_id) order
+    val base = java.nio.file.Files.createTempDirectory("feat_store").toString + "/store"
+    val maint = new FeatureMaintenance(base)
+    val input = MemoryStream[(Long, Long, String, Long, Long)]
+    val q = input.toDF()
+      .toDF("user_id", "event_id", "event_type", "ts_s", "cents")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("feat_ckpt").toString)
+      .foreachBatch(maint.sink).start()
+    val chunks = timeChunks[(Long, Long, String, Long, Long)](events, _._4, 4)
+    try {
+      var seen = Seq.empty[(Long, Long, String, Long, Long)]
+      chunks.foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+        seen ++= chunk
+        // online store ≡ offline materialization over the SAME prefix —
+        // the feature-consistency contract, checked at every cut, not
+        // just the end (sessions crossing the cut are the hard part)
+        val online = maint.read(spark).collect().toSeq.map(_.toSeq)
+        val offline = Behavior.featureFrame(
+          seen.toDF("user_id", "event_id", "event_type", "ts_s", "cents"))
+          .collect().toSeq.map(_.toSeq)
+        assert(online == offline,
+          s"online store diverged from offline batch at ${seen.size} events")
+      }
+      // the final store equals the gate itself
+      assert(maint.read(spark).collect().toSeq.map(_.toSeq) ==
+        Behavior.qFeatureStore(spark, graft.SparkSpec.Sf0001)
+          .collect().toSeq.map(_.toSeq))
+      // redelivery of the last chunk is a zero-shard no-op
+      assert(maint.apply(chunks.last
+        .toDF("user_id", "event_id", "event_type", "ts_s", "cents")) == 0L)
+    } finally q.stop()
+  }
 }
