@@ -320,6 +320,72 @@ object Analytics {
        |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // Consistent PII pseudonymization (X213 — the third leg of the
+  // privacy family next to redaction (X23) and k-anonymity (X133),
+  // and the posture data clean rooms require: entity identifiers are
+  // replaced by a DETERMINISTIC keyed surrogate — sha-256 of a secret
+  // salt + the id, the F13 machinery — applied consistently across
+  // EVERY table that carries the id, so referential integrity
+  // survives: the fact-dimension join on tokens returns exactly the
+  // raw join's rows, and distinct-entity counts are preserved (sha-256
+  // collisions don't exist at any realistic cardinality). The gate
+  // output carries BOTH the token-side and raw-side distinct counts,
+  // so their equality is pinned in the hashed data itself; the join
+  // runs on 64-hex-char tokens — same shuffle shape as the raw join,
+  // just wider keys (the real deployment cost, stated not hidden).
+  // ------------------------------------------------------------------
+  val PiiSalt = "graft-pii-v1"
+
+  /** The keyed surrogate of an id column (deterministic, one-way). */
+  def pseudonym(id: Column): Column =
+    sha2(concat_ws("|", lit(PiiSalt), id.cast("string")), 256)
+
+  def qPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(pseudonym($"o_custkey").as("tok"),
+        ($"o_totalprice".cast("decimal(18,6)") * 100).cast("long").as("cents"))
+    val c = Tables.customer(spark, dir)
+      .select(pseudonym($"c_custkey").as("ctok"), $"c_mktsegment")
+    val tokenSide = o.join(c, $"tok" === $"ctok")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents"),
+        countDistinct($"tok").as("n_tok"))
+    // independent raw-key twin: only its distinct-entity count joins
+    // the output — equality with n_tok IS the preservation pin
+    val rawSide = Tables.orders(spark, dir).select($"o_custkey")
+      .join(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"o_custkey").as("n_raw"))
+    tokenSide.join(rawSide, Seq("c_mktsegment"))
+      .select($"c_mktsegment", $"n_orders", $"cents", $"n_tok", $"n_raw")
+      .orderBy($"c_mktsegment")
+  }
+
+  val sqlPseudonymize: String =
+    s"""WITH o AS (
+       |  SELECT sha256('$PiiSalt' || '|' || o_custkey::VARCHAR) AS tok,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |c AS (
+       |  SELECT sha256('$PiiSalt' || '|' || c_custkey::VARCHAR) AS ctok,
+       |    c_mktsegment
+       |  FROM customer),
+       |tok_side AS (
+       |  SELECT c_mktsegment, count(*) AS n_orders,
+       |    CAST(sum(cents) AS BIGINT) AS cents,
+       |    count(DISTINCT tok) AS n_tok
+       |  FROM o JOIN c ON o.tok = c.ctok GROUP BY 1),
+       |raw_side AS (
+       |  SELECT c.c_mktsegment, count(DISTINCT o.o_custkey) AS n_raw
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1)
+       |SELECT c_mktsegment, n_orders, cents, n_tok, n_raw
+       |FROM tok_side JOIN raw_side USING (c_mktsegment)
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------------
   // Cross-source quantile normalization (X139): map each source's
   // length distribution onto the GLOBAL distribution by rank — the
   // rank-based calibration that makes heterogeneous sources' scores

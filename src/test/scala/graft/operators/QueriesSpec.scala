@@ -126,4 +126,29 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() <= nDocs)
     } finally df.unpersist()
   }
+
+  test("pseudonymization: token join returns exactly the raw join's rows, tokens injective on the key domain") {
+    import spark.implicits._
+    val o = graft.sources.Tables.orders(spark, Sf0001)
+      .select($"o_orderkey", $"o_custkey",
+        Analytics.pseudonym($"o_custkey").as("tok"))
+    val c = graft.sources.Tables.customer(spark, Sf0001)
+      .select($"c_custkey", Analytics.pseudonym($"c_custkey").as("ctok"),
+        $"c_mktsegment")
+    val viaTok = o.join(c, $"tok" === $"ctok")
+      .select($"o_orderkey", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaRaw = o.join(c, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaTok == viaRaw, "referential integrity must survive tokenization")
+    // injective on the union of both key domains: distinct tokens ==
+    // distinct keys, and re-tokenizing is stable (deterministic)
+    val keys = c.select($"c_custkey".as("k"))
+      .unionByName(o.select($"o_custkey".as("k"))).distinct()
+    val n = keys.count()
+    assert(keys.select(Analytics.pseudonym($"k")).distinct().count() == n)
+    assert(keys.select(Analytics.pseudonym($"k")).distinct()
+      .intersect(keys.select(Analytics.pseudonym($"k")).distinct()).count() == n)
+  }
 }
