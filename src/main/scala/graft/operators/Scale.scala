@@ -1588,6 +1588,64 @@ object Scale {
     dropped
   }
 
+  /** Latest committed manifest version at `base` (0 = none yet). */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      base: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/manifests")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** Optimistic-concurrency commit (X214 — the Delta-style loop that
+    * completes X198's single-writer table format: data files land
+    * first in a private immutable generation dir, then the committer
+    * CLAIMS version v+1 with an atomic create-if-absent marker; the
+    * loser re-reads the new latest manifest — which now carries the
+    * winner's files — rebases its file list on top and retries, so
+    * concurrent commits serialize without locks and NEITHER is lost.
+    * The staged manifest is renamed into place only by the claim
+    * winner, so readers never observe a half-written version (the
+    * stage-swap rule). Returns the version this commit landed as. */
+  def commitOcc(spark: org.apache.spark.sql.SparkSession, base: String,
+      adds: DataFrame, gen: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    adds.write.mode("overwrite").parquet(s"$base/$gen")
+    val newFiles = ttListFiles(spark, base, gen)
+    var committed = -1
+    while (committed < 0) {
+      val v = latestVersion(spark, base)
+      val baseFiles =
+        if (v == 0) Seq.empty[String]
+        else spark.read.parquet(s"$base/manifests/v$v")
+          .collect().map(_.getString(0)).toSeq
+      val cand = v + 1
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$base/manifests/stage_${gen}_v$cand")
+      spark.createDataFrame((baseFiles ++ newFiles).sorted.map(Tuple1(_)))
+        .toDF("file")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val claim = new org.apache.hadoop.fs.Path(s"$base/manifests/claim_v$cand")
+      val won =
+        try { fs.create(claim, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        fs.rename(stage, new org.apache.hadoop.fs.Path(s"$base/manifests/v$cand"))
+        committed = cand
+      } else {
+        fs.delete(stage, true)
+        // the winner holds the claim but may not have published yet —
+        // wait for its manifest before rebasing
+        while (latestVersion(spark, base) < cand) Thread.sleep(10)
+      }
+    }
+    committed
+  }
+
   /** Gate: the per-type rollup of all three snapshots, read through
     * their manifests; oracle replays the commit slices from raw
     * events (v1 = the sub-cutoff days, v2 ≡ v3 ≡ everything). */

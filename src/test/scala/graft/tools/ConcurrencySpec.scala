@@ -63,4 +63,31 @@ class ConcurrencySpec extends SparkSpec {
         s"${names(i)} must serve identical rows under concurrency")
     }
   }
+
+  test("OCC commit: two racing committers both land, the table equals sequential application") {
+    import spark.implicits._
+    import graft.operators.Scale
+    val base = java.nio.file.Files.createTempDirectory("occ_store").toString + "/t"
+    def rows(lo: Long, hi: Long) = (lo until hi).map(i => (i, i * 7L)).toDF("id", "v")
+    assert(Scale.commitOcc(spark, base, rows(0L, 10L), "gen_init") == 1)
+    // barrier-released race: each committer stages its own generation,
+    // then fights for the claim; the loser must rebase and land too
+    val landed = inParallel(2) { i =>
+      i -> Scale.commitOcc(spark, base,
+        rows(100L * (i + 1), 100L * (i + 1) + 5), s"gen_race_$i")
+    }.toMap
+    assert(landed.values.toSet == Set(2, 3),
+      s"both commits must land as consecutive versions: $landed")
+    def ids(v: Int) = Scale.readAsOf(spark, base, v)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // v3 = base + BOTH committers' rows, regardless of claim order
+    assert(ids(3) == (0L until 10L).toSet ++ Set(100L, 101L, 102L, 103L, 104L)
+      ++ Set(200L, 201L, 202L, 203L, 204L))
+    // v2 = base + exactly the claim winner's rows
+    val winner = landed.collectFirst { case (i, 2) => i }.get
+    assert(ids(2) == (0L until 10L).toSet ++
+      (100L * (winner + 1) until 100L * (winner + 1) + 5).toSet)
+    // snapshots still time-travel: v1 is the pre-race table
+    assert(ids(1) == (0L until 10L).toSet)
+  }
 }
