@@ -978,20 +978,14 @@ object Graph {
       .select(expr("id div 2").as("s_suppkey"), $"lbl".as("community"))
       .orderBy($"s_suppkey")
 
-  val sqlCommunities: String = {
-    val rounds = (1 to LpaRounds).map { k =>
-      s""",
-         |v$k AS (
-         |  SELECT e.dst, l.lbl, CAST(sum(e.w) AS BIGINT) AS m
-         |  FROM e JOIN l${k - 1} l ON e.src = l.id
-         |  GROUP BY 1, 2),
-         |l$k AS (
-         |  SELECT dst AS id, lbl FROM (
-         |    SELECT dst, lbl,
-         |      row_number() OVER (PARTITION BY dst ORDER BY m DESC, lbl) AS rn
-         |    FROM v$k) WHERE rn = 1)""".stripMargin
-    }.mkString
-    s"""WITH e0 AS (
+  /** Oracle: a structurally INDEPENDENT data-driven recursive
+    * adjacency walk (the X148/X129/X168 oracle stance — not the
+    * unrolled mirror of the Scala round construction): the working
+    * table carries (round, id, lbl); each recursive step aggregates
+    * the weighted votes of the previous round's labels and ranks per
+    * node inside the recursive term, capped at [[LpaRounds]]. */
+  val sqlCommunities: String =
+    s"""WITH RECURSIVE e0 AS (
        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
        |    count(*)::BIGINT AS w
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -999,10 +993,21 @@ object Graph {
        |e AS (
        |  SELECT src, dst, w FROM e0
        |  UNION ALL SELECT dst, src, w FROM e0),
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)$rounds
-       |SELECT id // 2 AS s_suppkey, lbl AS community FROM l$LpaRounds
-       |WHERE id % 2 = 1 ORDER BY s_suppkey""".stripMargin
-  }
+       |lab AS (
+       |  SELECT 0 AS r, src AS id, src AS lbl
+       |  FROM (SELECT DISTINCT src FROM e)
+       |  UNION ALL
+       |  SELECT r, id, lbl FROM (
+       |    SELECT v.r, v.dst AS id, v.lbl,
+       |      row_number() OVER (PARTITION BY v.r, v.dst
+       |        ORDER BY v.m DESC, v.lbl) AS rn
+       |    FROM (
+       |      SELECT l.r + 1 AS r, e.dst, l.lbl, CAST(sum(e.w) AS BIGINT) AS m
+       |      FROM lab l JOIN e ON e.src = l.id
+       |      WHERE l.r < $LpaRounds
+       |      GROUP BY 1, 2, 3) v) WHERE rn = 1)
+       |SELECT id // 2 AS s_suppkey, lbl AS community FROM lab
+       |WHERE r = $LpaRounds AND id % 2 = 1 ORDER BY s_suppkey""".stripMargin
 
   // ------------------------------------------------------------------
   // Co-purchase recommendations (X197 — the item-item collaborative

@@ -170,4 +170,31 @@ object GraphProps extends Properties("GraphKernels") {
         } finally { es.release(); sf.release() }
       }
     }
+
+  property("lpaLabels == brute synchronous weighted-vote LPA on random directed weighted graphs") =
+    forAll(genWeighted) { case (edges, _) =>
+      import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      edges.isEmpty || {
+        val es = Graph.materializeEdges(() => edges.toDF("src", "dst", "w"))
+        try {
+          val got = Graph.lpaLabels(es)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // brute: label_0(v) = v over DISTINCT sources (lpaLabels'
+          // node set); each round every dst with incoming votes adopts
+          // the label with max incident weight mass, ties to min label;
+          // dsts without votes drop out (same as the frame semantics)
+          var lbl = edges.map(_._1).distinct.map(v => v -> v).toMap
+          (1 to Graph.LpaRounds).foreach { _ =>
+            lbl = edges.filter(e => lbl.contains(e._1))
+              .groupBy(_._2).map { case (v, in) =>
+                val mass = in.groupBy(e => lbl(e._1))
+                  .view.mapValues(_.map(_._3).sum).toMap
+                val best = mass.toSeq.sortBy { case (l, m) => (-m, l) }.head._1
+                v -> best
+              }
+          }
+          got == lbl
+        } finally es.release()
+      }
+    }
 }
