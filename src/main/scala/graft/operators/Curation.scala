@@ -109,8 +109,15 @@ object Curation {
     * contiguous global position (per-lang offset + in-lang rank) the
     * pack shards on. Columns: doc_id, lang, source, n_tokens, pos. */
   def selectedDocs(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted survivor frame (the ssjoinPairs stance): the quota
+    // aggregate and the ranked selection below both consume it —
+    // unpersisted, the ENTIRE trainDocs pipeline (Gopher stats, sha
+    // canonicalization, cluster keep, decontamination) runs once per
+    // reference (the round-14 before-plan carried 51 parquet scans).
     val keyed = trainDocs(spark, dir)
       .withColumn("sample_key", Sampling.sampleKey(Sampling.Seed, $"doc_id"))
+      .persist()
+    keyed.count()
     val counts = keyed.groupBy($"lang").agg(count(lit(1)).as("cnt"))
       .withColumn("w", floor(sqrt($"cnt".cast("double"))).cast("long"))
     val tot = counts.agg(sum($"w").as("w_tot"))

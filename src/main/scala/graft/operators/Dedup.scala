@@ -841,16 +841,29 @@ object Dedup {
 
   /** The testable core over (doc_id, h) distinct postings. */
   def ssjoinPairs(post0: DataFrame): DataFrame = {
-    val post = post0.select($"doc_id", $"h").distinct()
+    // Persisted posting store (the candidateJaccardCore stance): the
+    // plan below references the distinct postings FIVE times (df rank,
+    // sizes, prefix self-join, two verify joins) — without the persist
+    // each reference re-runs the scan + shingle-hash kernel + explode
+    // + distinct (the round-14 before-plan carried 16 parquet scans).
+    // At cluster scale this is the postings-to-storage materialization
+    // every AllPairs implementation ships.
+    val post = post0.select($"doc_id", $"h").distinct().persist()
+    post.count()
     val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
     val ranked = post.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
     // p = n − ceil(t·n) + 1, ceil in exact integer arithmetic
+    // The candidate self-join references the prefix frame twice; an
+    // unpersisted prefix recomputes the df-rank window (and its dfreq
+    // aggregate) once PER SIDE — the before-plan carried two full
+    // Window pairs. Materialized it is one window pass over slim rows.
     val prefix = ranked
       .filter($"rn" <= $"n" - expr(s"($SsjNum * n + $SsjDen - 1) div $SsjDen") + 1)
-      .select($"doc_id", $"h")
+      .select($"doc_id", $"h").persist()
+    prefix.count()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -930,12 +943,17 @@ object Dedup {
   val SpcDfCap = 20L
 
   /** The testable core over a (doc_id, h, tf) term-frequency grid. */
-  def sparseCosinePairs(tf: DataFrame): DataFrame = {
+  def sparseCosinePairs(tf0: DataFrame): DataFrame = {
+    // Persisted tf grid (the ssjoinPairs stance): referenced by dfreq,
+    // norms and the capped postings — one kernel pass, not three.
+    val tf = tf0.persist()
+    tf.count()
     val dfreq = tf.groupBy($"h").agg(count(lit(1)).as("df"))
     val norms = tf.groupBy($"doc_id")
       .agg(sum($"tf" * $"tf").as("n2"))
     val post = tf.join(dfreq.filter($"df" <= SpcDfCap), "h")
-      .select($"doc_id", $"h", $"tf")
+      .select($"doc_id", $"h", $"tf").persist()
+    post.count() // eager: both self-join sides read the materialized grid
     val dot = post.as("a").join(post.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

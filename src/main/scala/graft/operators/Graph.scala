@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
@@ -25,9 +24,9 @@ import graft.sources.Tables
  *  - The graph is EDGES IN A DATAFRAME, never an adjacency structure
  *    on the driver, and the prepared edge frame (src, dst, w, wout) is
  *    MATERIALIZED ONCE before iteration: the fact join + out-weight
- *    aggregation run exactly one pass over the facts, land in an
- *    RDD-level persist (MEMORY_AND_DISK), and every PageRank round
- *    re-wraps the SAME persisted rows in a fresh flat DataFrame
+ *    aggregation run exactly one pass over the facts, land in a
+ *    scratch parquet store, and every PageRank round
+ *    re-scans the SAME materialized rows as a fresh flat DataFrame
  *    ([[EdgeStore.fresh]] — the `connectedComponents` loop discipline,
  *    Clustering.scala). Each round is then one equi-join
  *    (ranks ⋈ edges on src) + one aggregation (sum by dst) — the
@@ -73,50 +72,96 @@ object Graph {
     * product that overflows under ANSI. */
   val BasePpb: Long = (DampDen - DampNum) * ScalePpb / DampDen
 
-  /** Frame rows persisted once at the RDD level. [[fresh]] mints an
-    * independent flat DataFrame (fresh attribute ids, O(1) plan depth)
-    * over the same blocks per call — the safe way to reference one
-    * materialized subtree many times in a plan (self-joins, iteration
-    * rounds) without re-executing it or tripping Catalyst's Union
-    * constraint rewrite; [[release]] drops the blocks (recompute
-    * through RDD lineage remains possible on the recovery path). */
-  final class FrameStore(rows: RDD[Row], schema: StructType,
+  /** Frame materialized ONCE into a session-scratch parquet directory.
+    * [[fresh]] mints an independent columnar scan (fresh attribute
+    * ids, O(1) plan depth, whole-stage codegen + per-reference column
+    * pruning) per call — the safe way to reference one materialized
+    * subtree many times in a plan (self-joins, iteration rounds)
+    * without re-executing it or tripping Catalyst's Union constraint
+    * rewrite; [[release]] deletes the directory.
+    *
+    * Round-14 optimization (guide §4/§6): the previous representation
+    * was an RDD[Row] persist re-wrapped via createDataFrame — every
+    * scan paid a row-at-a-time Row→InternalRow conversion OUTSIDE
+    * whole-stage codegen (q_pagerank's plan carried 24 `Scan
+    * ExistingRDD` nodes). A parquet-backed store reads vectorized and
+    * code-generated, prunes columns per reference, and is the posture
+    * an iterative job at 100 TB ships anyway (materialized
+    * intermediates on storage, not executor memory). The schema is
+    * pinned at write time so empty frames round-trip. */
+  final class FrameStore(dir: java.nio.file.Path, schema: StructType,
       spark: SparkSession) {
-    def fresh(): DataFrame = spark.createDataFrame(rows, schema)
-    def release(): Unit = { rows.unpersist(); () }
+    // One columnar in-memory mirror of the store: every [[fresh]] scan
+    // is plan-equal to this one, so the CacheManager substitutes the
+    // cached relation at planning time — iteration rounds read
+    // compressed column batches instead of re-opening parquet footers
+    // per reference (and, pre-round-14, row-at-a-time ExistingRDD
+    // conversions). The parquet directory stays the source of truth:
+    // if the session cache is cleared the scans silently fall back to
+    // the files.
+    private val cached = spark.read.schema(schema).parquet(dir.toString)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def fresh(): DataFrame =
+      spark.read.schema(schema).parquet(dir.toString)
+    def release(): Unit = {
+      cached.unpersist()
+      FrameStore.delete(dir)
+    }
+  }
+
+  object FrameStore {
+    private val live =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    // session-scratch: a long-lived service must not leak one dir per
+    // released-less store per JVM forever (the WireIngest stance)
+    sys.addShutdownHook { live.forEach(p => deleteNow(p)); live.clear() }
+    private[Graph] def delete(p: java.nio.file.Path): Unit = {
+      live.remove(p); deleteNow(p)
+    }
+    private def deleteNow(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val all = java.nio.file.Files.walk(p)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally all.close()
+      }
+    private[Graph] def write(df: DataFrame): FrameStore = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_frame")
+      live.add(dir)
+      // One file (= one parquet row group) per scheduler slot: AQE
+      // coalesces these slim frames to a single post-shuffle partition,
+      // and a 1-row-group store would serialize every downstream scan
+      // onto one task. Core-count-derived, not a constant — scales with
+      // the session (local[8] driver runs and cluster runs alike).
+      val slots = df.sparkSession.sparkContext.defaultParallelism
+      df.repartition(slots).write.mode("overwrite").parquet(dir.toString)
+      val store = new FrameStore(dir, df.schema, df.sparkSession)
+      store.fresh().count() // materialize the columnar mirror eagerly
+      store
+    }
   }
 
   /** The prepared-edge instance of [[FrameStore]]. */
   type EdgeStore = FrameStore
 
   /** Materialize any frame into a [[FrameStore]]: one execution of its
-    * plan, rows persisted MEMORY_AND_DISK. */
-  def materializeFrame(df: DataFrame): FrameStore = {
-    val rows = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val store = new FrameStore(rows, df.schema, df.sparkSession)
-    store.fresh().count()
-    store
-  }
+    * plan, rows landing in a scratch parquet directory. */
+  def materializeFrame(df: DataFrame): FrameStore = FrameStore.write(df)
 
   /** Build and materialize the prepared edge store: ONE pass over the
-    * raw edge plan (the fact join), one out-weight aggregation, both
-    * landing in RDD-level persists. The raw rows are released as soon
-    * as the prepared rows exist. The out-weight join's two sides are
-    * independent wraps of the same persisted raw RDD — self-joining one
-    * aliased union-containing plan trips Catalyst's Union constraint
-    * rewrite (the Clustering jump-join pitfall). */
+    * raw edge plan (the fact join), one out-weight aggregation. The
+    * raw store is released as soon as the prepared rows exist. The
+    * out-weight join's two sides are independent scans of the raw
+    * store — self-joining one aliased union-containing plan trips
+    * Catalyst's Union constraint rewrite (the Clustering jump-join
+    * pitfall). */
   def materializeEdges(mkEdges: () => DataFrame): EdgeStore = {
-    val raw0 = mkEdges()
-    val spark = raw0.sparkSession
-    val rawRows = raw0.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    def raw(): DataFrame = spark.createDataFrame(rawRows, raw0.schema)
-    val prep0 = raw()
+    val rawStore = FrameStore.write(mkEdges())
+    def raw(): DataFrame = rawStore.fresh()
+    val store = FrameStore.write(raw()
       .join(raw().groupBy($"src").agg(sum($"w").as("wout")), "src")
-      .select($"src", $"dst", $"w", $"wout")
-    val prepRows = prep0.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val store = new EdgeStore(prepRows, prep0.schema, spark)
-    store.fresh().count() // materialize: the single fact-join pass
-    rawRows.unpersist()
+      .select($"src", $"dst", $"w", $"wout"))
+    rawStore.release()
     store
   }
 
@@ -130,26 +175,26 @@ object Graph {
    *
    * The returned plan is a straight-line tree (each round references
    * the previous ranks exactly once), so the whole K-round walk
-   * executes as ONE job whose only inputs are cached edge blocks —
-   * K equi-join scans of the persisted RDD, zero fact re-scans.
+   * executes as ONE job whose only inputs are the materialized edge
+   * store — K columnar equi-join scans, zero fact re-scans.
    */
   def pagerankRanks(edges: EdgeStore, rounds: Int = Rounds): DataFrame = {
     def e(): DataFrame = edges.fresh()
     def nodes(): DataFrame = e().select($"src".as("id")).distinct()
-    // 1-row node-count frame, broadcast into init and every round —
-    // a count-distinct over cached slim rows per reference, cheap.
-    def nfr(): DataFrame = nodes().agg(count(lit(1)).as("n"))
-    var ranks = nodes()
-      .crossJoin(broadcast(nfr()))
-      .select($"id", expr(s"${ScalePpb}L div n").as("r"))
+    // Bounded 1-row model read (the qKCore k stance): the node count is
+    // a scalar, read once. The previous broadcast-1-row-frame encoding
+    // re-planned and re-executed the distinct+count subtree once per
+    // round (K+1 aggregate jobs over the store); the value is identical
+    // (`div` on positive BIGINTs ≡ driver Long division).
+    val n = nodes().count()
+    var ranks = nodes().select($"id", lit(ScalePpb / n).as("r"))
     for (_ <- 1 to rounds) {
       val contrib = e().join(ranks.select($"id", $"r"), $"src" === $"id")
         .groupBy($"dst")
         .agg(sum(expr("(r * w) div wout")).as("s"))
       ranks = contrib
-        .crossJoin(broadcast(nfr()))
         .select($"dst".as("id"),
-          expr(s"${BasePpb}L div n + ($DampNum * s) div $DampDen").as("r"))
+          expr(s"${BasePpb / n}L + ($DampNum * s) div $DampDen").as("r"))
     }
     ranks
   }
@@ -184,7 +229,7 @@ object Graph {
     cachedFrame(spark, dir, "tx_edges")(
       materializeEdges(() => transactionEdges(spark, dir)))
 
-  /** Drop every memoized graph store (releasing its RDD blocks). Same
+  /** Drop every memoized graph store (deleting its scratch files). Same
     * contract as [[Clustering.invalidateLabelCache]]: anything that
     * rewrites parquet under a cached dir or clears the session cache
     * must invalidate through here. Bench does. */
@@ -288,11 +333,10 @@ object Graph {
     * leaving the current side, no parity filters in the loop. */
   def salsaRanks(edges: EdgeStore, rounds: Int = SalsaRounds): DataFrame = {
     def e(): DataFrame = edges.fresh()
-    def hubCount(): DataFrame = e().filter($"src" % 2 === 0)
-      .select($"src").distinct().agg(count(lit(1)).as("n"))
+    // bounded 1-row model read (the pagerankRanks stance)
+    val n = e().filter($"src" % 2 === 0).select($"src").distinct().count()
     var hubs = e().filter($"src" % 2 === 0).select($"src".as("id")).distinct()
-      .crossJoin(broadcast(hubCount()))
-      .select($"id", expr(s"${ScalePpb}L div n").as("r"))
+      .select($"id", lit(ScalePpb / n).as("r"))
     var auths = hubs.limit(0)
     for (_ <- 1 to rounds) {
       auths = e().join(hubs.select($"id", $"r"), $"src" === $"id")
@@ -394,11 +438,11 @@ object Graph {
       rounds: Int = Rounds): DataFrame = {
     def e(): DataFrame = edges.fresh()
     def nodesBase(): DataFrame = seedFlags.fresh()
-    def sfr(): DataFrame = nodesBase().filter($"is_seed" === 1)
-      .agg(count(lit(1)).as("ns"))
+    // bounded 1-row model read (the pagerankRanks stance): seed count
+    val ns = nodesBase().filter($"is_seed" === 1).count()
     def withBase(scalePart: Long, contrib: Option[DataFrame]): DataFrame = {
-      val base = nodesBase().crossJoin(broadcast(sfr()))
-      val b = when($"is_seed" === 1, expr(s"${scalePart}L div ns")).otherwise(0L)
+      val base = nodesBase()
+      val b = when($"is_seed" === 1, lit(scalePart / ns)).otherwise(0L)
       contrib match {
         case None => base.select($"id", b.as("r"))
         case Some(c) => base.join(c, $"id" === $"dst", "left")
@@ -1121,53 +1165,53 @@ object Graph {
   val KCoreMaxRounds = 8
 
   /** Peel `symEdges` (symmetric, distinct (src, dst)) to its k-core;
-    * returns surviving edges. Throws if not converged in maxRounds. */
+    * returns the surviving-edge [[FrameStore]] — ownership transfers to
+    * the caller, who must `release()` it (the cheapestCosts contract).
+    * Throws if not converged in maxRounds. */
   def kCoreEdges(symEdges: DataFrame, k: Long,
-      maxRounds: Int = KCoreMaxRounds): DataFrame = {
-    val spark = symEdges.sparkSession
-    val schema = symEdges.schema
-    var rows = symEdges.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    def cur(): DataFrame = spark.createDataFrame(rows, schema)
-    var n = cur().count()
+      maxRounds: Int = KCoreMaxRounds): FrameStore = {
+    var store = materializeFrame(symEdges)
+    var n = store.fresh().count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val keep = cur().groupBy($"src").agg(count(lit(1)).as("d"))
+      val cur = store.fresh()
+      val keep = cur.groupBy($"src").agg(count(lit(1)).as("d"))
         .filter($"d" >= k).select($"src".as("id"))
-      val next = cur()
+      val next = materializeFrame(cur
         .join(keep.select($"id".as("src")), Seq("src"), "left_semi")
         .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
-        .select($"src", $"dst")
-      val nextRows = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      val n2 = spark.createDataFrame(nextRows, schema).count()
-      rows.unpersist()
-      rows = nextRows
+        .select($"src", $"dst"))
+      val n2 = next.fresh().count()
+      store.release()
+      store = next
       converged = n2 == n
       n = n2
       round += 1
     }
     if (!converged && n > 0) {
-      rows.unpersist()
+      store.release()
       throw new IllegalStateException(
         s"k-core peeling did not converge after $maxRounds rounds — " +
           "the oracle reads the round-" + maxRounds + " state, so a " +
           "drifting core must fail the job; raise KCoreMaxRounds")
     }
-    // the returned frame reads the final round's persisted rows; the
-    // blocks are reclaimed by the ContextCleaner once the frame is
-    // unreachable (unpersisting here would force consumers to replay
-    // the whole peel chain through unpersisted lineage)
-    cur()
+    store
   }
 
   /** Gate: entities in the (avg-degree div 2)-core of the transaction
-    * graph with their in-core degree. */
+    * graph with their in-core degree. The converged core store is
+    * memoized per (session, dir) like [[qCheapestPath]]'s costs, so
+    * repeated gate calls reuse one materialized frame and
+    * [[invalidateEdgeStore]] reclaims it. */
   def qKCore(spark: SparkSession, dir: String): DataFrame = {
-    val sym = transactionEdgeStore(spark, dir).fresh().select($"src", $"dst")
-    // bounded 1-row model read (the zorderBox stance): k from the
-    // symmetric edge frame’s average degree
-    val k = sym.agg(expr("count(1) div count(DISTINCT src)")).head.getLong(0) / 2
-    kCoreEdges(sym, k)
+    cachedFrame(spark, dir, "kcore_edges") {
+      val sym = transactionEdgeStore(spark, dir).fresh().select($"src", $"dst")
+      // bounded 1-row model read (the zorderBox stance): k from the
+      // symmetric edge frame’s average degree
+      val k = sym.agg(expr("count(1) div count(DISTINCT src)")).head.getLong(0) / 2
+      kCoreEdges(sym, k)
+    }.fresh()
       .groupBy($"src")
       .agg(count(lit(1)).as("core_deg"))
       .select(

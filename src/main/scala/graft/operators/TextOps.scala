@@ -275,8 +275,14 @@ object TextOps {
     * passages ([[qPassageBm25]], the RAG retrieval unit). All float-law
     * notes above apply; `queries` is the tiny broadcast (query_id,
     * term, qtf) frame. */
-  def bm25TopK(units: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(units0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Persisted unit grid (the ssjoinPairs stance): `totals` and `tf`
+    // both consume the units — unpersisted, the tokenize (and for
+    // passages the whole chunk-slice explode) subtree runs once per
+    // reference.
+    val units = units0.persist()
+    units.count()
     val totals = units.agg(
       count(lit(1)).cast("long").as("nd"),
       sum(size($"t")).cast("long").as("tt"))

@@ -655,20 +655,24 @@ class GraphSpec extends SparkSpec {
     val tri = Seq((101L, 102L), (102L, 103L), (103L, 101L))
     val e0 = (chain ++ weld ++ tri).toDF("src", "dst")
     val sym = e0.union(e0.select($"dst", $"src"))
-    val core = Graph.kCoreEdges(sym, 2, maxRounds = 8)
+    val coreStore = Graph.kCoreEdges(sym, 2, maxRounds = 8)
+    val core = coreStore.fresh()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    coreStore.release()
     assert(core == Set((101L,102L),(102L,103L),(103L,101L),
       (102L,101L),(103L,102L),(101L,103L)),
       s"2-core must be exactly the triangle, got $core")
     // the cascade really is multi-round: with too few rounds the same
     // peel throws instead of returning a drifting intermediate state
     val ex = intercept[IllegalStateException] {
-      Graph.kCoreEdges(sym, 2, maxRounds = 3).count()
+      Graph.kCoreEdges(sym, 2, maxRounds = 3)
     }
     assert(ex.getMessage.contains("did not converge"))
     // total collapse converges cleanly to the empty core (k above max
     // degree): no rounds-exhausted throw on the everything-peels path
-    assert(Graph.kCoreEdges(sym, 10, maxRounds = 8).isEmpty)
+    val emptyStore = Graph.kCoreEdges(sym, 10, maxRounds = 8)
+    assert(emptyStore.fresh().isEmpty)
+    emptyStore.release()
   }
 
   // X196 — label-propagation communities
