@@ -667,10 +667,15 @@ object Behavior {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"sess")
       .agg(min($"ts_s").as("start_s"), max($"ts_s").as("end_s"))
+    // Both sweep deltas come off ONE pass over the session frame: the
+    // previous unionByName(sess, sess) re-ran the whole two-window
+    // sessionization once per branch (row set identical — each session
+    // still emits exactly one +1 at start_s and one −1 at end_s).
     val deltas = sess
-      .select($"user_id", $"sess", $"start_s".as("t"), lit(1L).as("d"))
-      .unionByName(sess.select($"user_id", $"sess", $"end_s".as("t"),
-        lit(-1L).as("d")))
+      .select($"user_id", $"sess", explode(array(
+        struct($"start_s".as("t"), lit(1L).as("d")),
+        struct($"end_s".as("t"), lit(-1L).as("d")))).as("td"))
+      .select($"user_id", $"sess", $"td.t".as("t"), $"td.d".as("d"))
       .withColumn("day", expr("t div 86400"))
     // carry-in per day: cumulative delta mass of all PRIOR days —
     // a window over the bounded day table only

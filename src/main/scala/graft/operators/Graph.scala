@@ -173,7 +173,14 @@ object Graph {
     val e0 = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .agg(count(lit(1)).as("w"))
-    e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    // symmetrize via one explode instead of unionByName(e0, e0·swap):
+    // the union shape re-ran the fact join + aggregate once per branch
+    // (row multiset identical — each directed edge still emits exactly
+    // its forward and reverse row)
+    e0.select(explode(array(
+        struct($"src", $"dst", $"w"),
+        struct($"dst".as("src"), $"src".as("dst"), $"w"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.w".as("w"))
   }
 
   /** Materialized graph stores, memoized per (session, dir, name) like
