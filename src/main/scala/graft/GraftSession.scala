@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The engine serves ~240 distinct declared queries; the default
+      // generated-class cache (spark.sql.codegen.cache.maxEntries=100)
+      // evicts almost every whole-stage class between passes, so each
+      // re-run pays Janino compilation again for every stage. Sized to
+      // hold the full query surface (a class is a few KB of metaspace;
+      // scale-independent — the query COUNT, not the data, drives it).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
