@@ -275,14 +275,18 @@ object TextOps {
     * passages ([[qPassageBm25]], the RAG retrieval unit). All float-law
     * notes above apply; `queries` is the tiny broadcast (query_id,
     * term, qtf) frame. */
-  def bm25TopK(units0: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(units0: DataFrame, queries: DataFrame, k: Int,
+      materializeUnits: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Persisted unit grid (the ssjoinPairs stance): `totals` and `tf`
-    // both consume the units — unpersisted, the tokenize (and for
-    // passages the whole chunk-slice explode) subtree runs once per
-    // reference.
-    val units = units0.persist()
-    units.count()
+    // `totals` and `tf` both consume the units, so an expensive unit
+    // grid (the passage face's chunk-slice explode) is persisted once
+    // (the ssjoinPairs stance). The flag exists because a persisted
+    // DOC-level unit grid is a canonical PREFIX of several one-scan
+    // queries' plans — the CacheManager would substitute it into them,
+    // breaking their fused single-scan shape (PlanSpec pins) for a
+    // subtree (plain tokenize) that is cheap to recompute anyway.
+    val units = if (materializeUnits) { val u = units0.persist(); u.count(); u }
+      else units0
     val totals = units.agg(
       count(lit(1)).cast("long").as("nd"),
       sum(size($"t")).cast("long").as("tt"))
@@ -343,7 +347,7 @@ object TextOps {
           lit(Corpus.ChunkStride))).as("s"), $"t")
       .select(($"doc_id" * PassageIdBase + $"s").as("pid"),
         slice($"t", $"s", lit(Corpus.ChunkSize)).as("t"))
-    bm25TopK(passages, bm25Queries(docs), PassageTopK)
+    bm25TopK(passages, bm25Queries(docs), PassageTopK, materializeUnits = true)
       .select($"query_id", $"rank",
         expr(s"pid div $PassageIdBase").as("doc_id"),
         ($"pid" % PassageIdBase).as("start"), $"score", $"n_terms")
