@@ -29,6 +29,8 @@ object PlanDump {
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
+      // keep each dumped plan free of other queries' scratch caches
+      graft.core.Scratch.release()
     }
     spark.stop()
   }

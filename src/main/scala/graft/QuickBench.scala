@@ -21,12 +21,16 @@ object QuickBench {
     sel.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[qb-warm] ${e.getMessage}") }
+      graft.core.Scratch.release()
     }
     val times = (1 to runs).map { _ =>
+      graft.operators.Graph.invalidateResultMemos()
       sel.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Scratch.release()
+        name -> dt
       }.toMap
     }
     sel.foreach { case (name, _) =>

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query scratch persists so no query's cached
+      // intermediate is CacheManager-substituted into a later query's
+      // plan (and the dump session's memory stays bounded)
+      graft.core.Scratch.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
 import graft.functions.Hashing
 import graft.sources.Tables
 
@@ -114,9 +115,8 @@ object Curation {
     // unpersisted, the ENTIRE trainDocs pipeline (Gopher stats, sha
     // canonicalization, cluster keep, decontamination) runs once per
     // reference (the round-14 before-plan carried 51 parquet scans).
-    val keyed = trainDocs(spark, dir)
-      .withColumn("sample_key", Sampling.sampleKey(Sampling.Seed, $"doc_id"))
-      .persist()
+    val keyed = Scratch.persist(trainDocs(spark, dir)
+      .withColumn("sample_key", Sampling.sampleKey(Sampling.Seed, $"doc_id")))
     keyed.count()
     val counts = keyed.groupBy($"lang").agg(count(lit(1)).as("cnt"))
       .withColumn("w", floor(sqrt($"cnt".cast("double"))).cast("long"))
@@ -211,15 +211,14 @@ object Curation {
       val repacked = Packing.packFrame(
           survivors.select(lit(shard).as("shard"), $"ord", $"doc_id", $"n_tokens"))
         .select($"doc_id", $"bin", $"bin_fill")
-      val fresh = survivors
+      val fresh = Scratch.persist(survivors
         .select($"doc_id", $"n_tokens", $"text")
         .join(repacked, "doc_id")
         .select($"doc_id", $"bin", $"n_tokens",
           ($"bin_fill" - $"n_tokens").as("tok_start"),
           $"bin_fill".as("tok_end"), $"text")
         .sort($"bin", $"tok_start")
-        .coalesce(1)
-        .persist()
+        .coalesce(1))
       fresh.count()
       // stage BOTH replacement directories before any live directory
       // moves: the staged data parquet is read back for the provenance

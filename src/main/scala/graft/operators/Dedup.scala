@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
 import graft.functions.{Hashing, TextKernelFunctions}
 import graft.sources.Tables
 
@@ -260,10 +261,9 @@ object Dedup {
     * 4 15-bit chunks ([[chunkBucketPairs]]): the bucketed join is
     * the scale path, identical in shape to the MinHash LSH join. */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documentsSharded(spark, dir)
-      .select($"doc_id", TextKernelFunctions.simhash60($"text").as("simhash"))
-      .persist() // computed once, read by both join sides
-    base.count() // eager materialization
+    val base = Scratch.persist(Tables.documentsSharded(spark, dir)
+      .select($"doc_id", TextKernelFunctions.simhash60($"text").as("simhash")))
+    base.count() // eager materialization, read by both join sides
     chunkBucketPairs(base, "simhash")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -587,12 +587,11 @@ object Dedup {
   def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documentsSharded(spark, dir)
       .select($"doc_id", explode(TextKernelFunctions.shingleHashes($"text")).as("h"))
-    val rare = sh
+    val rare = Scratch.persist(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"h")))
       .where($"df" <= ContainMaxDf)
-      .select($"doc_id", $"h")
-      .persist() // sizes + both join sides read one materialization
-    rare.count()
+      .select($"doc_id", $"h"))
+    rare.count() // sizes + both join sides read one materialization
     val sizes = rare.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = rare.as("a")
       .join(rare.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -848,8 +847,7 @@ object Dedup {
     // + distinct (the round-14 before-plan carried 16 parquet scans).
     // At cluster scale this is the postings-to-storage materialization
     // every AllPairs implementation ships.
-    val post = post0.select($"doc_id", $"h").distinct().persist()
-    post.count()
+    val post = Scratch.persist(post0.select($"doc_id", $"h").distinct())
     val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
     val ranked = post.join(dfreq, "h")
@@ -858,11 +856,16 @@ object Dedup {
     // p = n − ceil(t·n) + 1, ceil in exact integer arithmetic
     // The candidate self-join references the prefix frame twice; an
     // unpersisted prefix recomputes the df-rank window (and its dfreq
-    // aggregate) once PER SIDE — the before-plan carried two full
-    // Window pairs. Materialized it is one window pass over slim rows.
-    val prefix = ranked
+    // aggregate) once PER SIDE — the round-14 before-plan carried two
+    // full Window pairs. Materialized it is one window pass over slim
+    // rows. ONE eager action fills BOTH caches (computing the prefix
+    // scans — and thereby materializes — the persisted postings), so
+    // the candidate join is preceded by a single blocking pass, not
+    // the two serialized count() barriers round 14 shipped (the
+    // driver-measured 3.41→4.10 s regression).
+    val prefix = Scratch.persist(ranked
       .filter($"rn" <= $"n" - expr(s"($SsjNum * n + $SsjDen - 1) div $SsjDen") + 1)
-      .select($"doc_id", $"h").persist()
+      .select($"doc_id", $"h"))
     prefix.count()
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -946,14 +949,16 @@ object Dedup {
   def sparseCosinePairs(tf0: DataFrame): DataFrame = {
     // Persisted tf grid (the ssjoinPairs stance): referenced by dfreq,
     // norms and the capped postings — one kernel pass, not three.
-    val tf = tf0.persist()
-    tf.count()
+    val tf = Scratch.persist(tf0)
     val dfreq = tf.groupBy($"h").agg(count(lit(1)).as("df"))
     val norms = tf.groupBy($"doc_id")
       .agg(sum($"tf" * $"tf").as("n2"))
-    val post = tf.join(dfreq.filter($"df" <= SpcDfCap), "h")
-      .select($"doc_id", $"h", $"tf").persist()
-    post.count() // eager: both self-join sides read the materialized grid
+    val post = Scratch.persist(tf.join(dfreq.filter($"df" <= SpcDfCap), "h")
+      .select($"doc_id", $"h", $"tf"))
+    // ONE eager action fills both caches (computing the capped postings
+    // materializes the persisted tf grid it reads) — the ssjoinPairs
+    // single-blocking-pass stance.
+    post.count()
     val dot = post.as("a").join(post.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

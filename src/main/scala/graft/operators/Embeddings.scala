@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.core.Scratch
 import graft.sources.Tables
 
 /**
@@ -348,18 +349,17 @@ object Embeddings {
       .map { case (c, i) => (i.toLong, c) }.toDF("cent_id", "cv")
       .withColumn("ncv", Similarity.normCol($"cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val ranked = base.join(broadcast(cents))
+    val ranked = Scratch.persist(base.join(broadcast(cents))
       .select($"vec_id", $"cent_id",
         Similarity.cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" <= Similarity.IvfNprobe)
-      .persist()
+      .filter($"rk" <= Similarity.IvfNprobe))
     ranked.count() // inverted file + probe lists, built once
     ranked
   }
 
   def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val dists = pqDistFrame(spark, dir).persist()
+    val dists = Scratch.persist(pqDistFrame(spark, dir))
     dists.count() // codes and query luts both read one materialization
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
     pqCodes(dists).join(broadcast(pqQueryLuts(dists)), $"vec_id" =!= $"query_id")
@@ -408,7 +408,7 @@ object Embeddings {
   def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v"))
     val ranked = ivfRanked(spark, base)
-    val dists = pqDistFrame(spark, dir).persist()
+    val dists = Scratch.persist(pqDistFrame(spark, dir))
     dists.count() // codes and query luts read one materialization
     val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
     val queryCells = ranked.filter($"vec_id" < 10)
@@ -469,10 +469,11 @@ object Embeddings {
   val PqRerankDepth = 64
 
   def qPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val base = vecs(spark, dir).withColumn("nv", Similarity.normCol($"v")).persist()
+    val base = Scratch.persist(
+      vecs(spark, dir).withColumn("nv", Similarity.normCol($"v")))
     base.count() // assignment, shortlist, and re-rank read one store
     val ranked = ivfRanked(spark, base)
-    val dists = pqDistFrame(spark, dir).persist()
+    val dists = Scratch.persist(pqDistFrame(spark, dir))
     dists.count()
     val assigned = ranked.filter($"rk" === 1).select($"vec_id", $"cent_id".as("cell"))
     val queryCells = ranked.filter($"vec_id" < 10)

@@ -779,10 +779,11 @@ object Multimodal {
         hashCol = "ahash")
       .select($"doc_a", $"doc_b", lit("audio").as("m"))
     // materialize the batch's four probe-join families ONCE: the edge
-    // merge and the incidence aggregate below both read them (plan is
-    // deterministic, so per-session re-runs hit the same cache entry)
-    val newTagged = newText.unionByName(newImage).unionByName(newVideo)
-      .unionByName(newAudio).persist()
+    // merge and the incidence aggregate below both read them (scratch-
+    // tracked so the harness releases it at query exit)
+    val newTagged = graft.core.Scratch.persist(
+      newText.unionByName(newImage).unionByName(newVideo)
+        .unionByName(newAudio))
     newTagged.count()
     val labels = Clustering.mergeEdgesIntoLabels(
       newTagged.select($"doc_a".as("a"), $"doc_b".as("b")).distinct(),

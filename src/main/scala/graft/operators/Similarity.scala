@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
 import graft.sources.Tables
 
 /**
@@ -343,12 +344,11 @@ object Similarity {
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     // One ranking pass feeds both the inverted file (rk = 1) and the
     // query probe list (rk ≤ nprobe) — materialized once.
-    val ranked = base.join(broadcast(cents))
+    val ranked = Scratch.persist(base.join(broadcast(cents))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" <= IvfNprobe)
-      .persist()
+      .filter($"rk" <= IvfNprobe))
     ranked.count() // eager: the inverted file + probe lists, built once
     val assigned = ranked.filter($"rk" === 1)
       .select($"vec_id", $"v", $"nv", $"cent_id".as("cell"))
@@ -431,13 +431,12 @@ object Similarity {
     // materialized once: the self-join and the final keep/drop join
     // would otherwise re-run the corpus × centroids assignment pass
     // (broadcast cross + window) three times
-    val assigned = base.join(broadcast(cents))
+    val assigned = Scratch.persist(base.join(broadcast(cents))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
       .filter($"rk" === 1)
-      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos")
-      .persist()
+      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos"))
     assigned.count()
     val dropped = assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") &&
@@ -525,13 +524,12 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
       .withColumn("ncv", normCol($"cv"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = base.join(broadcast(cents))
+    val assigned = Scratch.persist(base.join(broadcast(cents))
       .select($"vec_id", $"v", $"nv", $"cent_id",
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
       .withColumn("rk", row_number().over(wAssign))
       .filter($"rk" === 1)
-      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos")
-      .persist()
+      .select($"vec_id", $"v", $"nv", $"cent_id".cast("long").as("cell"), $"ccos"))
     assigned.count()
     assigned
   }
@@ -584,11 +582,10 @@ object Similarity {
   // so it scales like the MinHash LSH join.
   // ------------------------------------------------------------------
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val base = vecs(spark, dir)
+    val base = Scratch.persist(vecs(spark, dir)
       .withColumn("bucket", bucketCol($"v"))
-      .withColumn("nv", normCol($"v"))
-      .persist() // bucket + norm computed once, read by both join sides
-    base.count() // eager materialization
+      .withColumn("nv", normCol($"v")))
+    base.count() // bucket + norm computed once, read by both join sides
     val a = base.as("a")
     val b = base.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -680,10 +677,9 @@ object Similarity {
     val withNorm = corpus.withColumn("nv", normCol($"v"))
     val index = corpus
       .select($"vec_id", posexplode(bandKeyCols($"v", p))).toDF("vec_id", "band", "key")
-    val queries = withNorm.filter(isQuery)
+    val queries = Scratch.persist(withNorm.filter(isQuery)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"),
-        bandKeyCols($"v", p).as("keys"))
-      .persist()
+        bandKeyCols($"v", p).as("keys")))
     val masks = typedLit(probeMasks(p))
     val probes = queries
       .select($"query_id", posexplode($"keys")).toDF("query_id", "band", "qkey")
@@ -813,7 +809,7 @@ object Similarity {
                  numCells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val withNorm = corpus.withColumn("nv", normCol($"v")).persist()
+    val withNorm = Scratch.persist(corpus.withColumn("nv", normCol($"v")))
     val centDf = ivfCentroids(withNorm, numCells, seed).zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cent_id", "cv")
       .withColumn("ncv", normCol($"cv"))
@@ -822,8 +818,8 @@ object Similarity {
         cosineWithNorms($"v", $"cv", $"nv", $"ncv").as("ccos"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     val ranked = scored.withColumn("rk", row_number().over(wAssign))
-    val assigned = ranked.filter($"rk" === 1)
-      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell")).persist()
+    val assigned = Scratch.persist(ranked.filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nv", $"cent_id".as("cell")))
     assigned.count() // the inverted file: built once, probed below
     val queryCells = ranked.filter(isQuery && $"rk" <= nprobe)
       .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
@@ -846,10 +842,9 @@ object Similarity {
    * oracle-mirrorable form; this one's keyspace grows with the params.
    */
   def nearDupPairs(corpus: DataFrame, threshold: Double, p: LshParams): DataFrame = {
-    val withNorm = corpus
+    val withNorm = Scratch.persist(corpus
       .withColumn("nv", normCol($"v"))
-      .withColumn("keys", bandKeyCols($"v", p))
-      .persist()
+      .withColumn("keys", bandKeyCols($"v", p)))
     withNorm.count()
     val index = withNorm.select($"vec_id", posexplode($"keys")).toDF("vec_id", "band", "key")
     val candPairs = index.as("a")
@@ -894,20 +889,19 @@ object Similarity {
     val queries = corpus.filter($"vec_id" < MmrQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nv".as("nq"))
     val wRel = Window.partitionBy($"query_id").orderBy($"rel".desc, $"doc_id")
-    val shortlist = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("doc_id"),
-        cosineWithNorms($"qv", $"v", $"nq", $"nv").as("rel"), $"v", $"nv")
-      .withColumn("rn", row_number().over(wRel))
-      .filter($"rn" <= MmrShortlist).drop("rn")
-      .persist()
+    val shortlist = Scratch.persist(
+      corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("doc_id"),
+          cosineWithNorms($"qv", $"v", $"nq", $"nv").as("rel"), $"v", $"nv")
+        .withColumn("rn", row_number().over(wRel))
+        .filter($"rn" <= MmrShortlist).drop("rn"))
     shortlist.count()
-    val pairs = shortlist.as("x").join(shortlist.as("y"),
+    val pairs = Scratch.persist(shortlist.as("x").join(shortlist.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.query_id").as("query_id"),
         col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("sim"))
-      .persist()
+        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("sim")))
     pairs.count()
     var sel = Vector.empty[(Long, Long)] // (query_id, doc_id)
     val picks = Seq.newBuilder[(Long, Long, Long, Double, Double)]

@@ -103,12 +103,11 @@ object Sketches {
   def qCorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextKernelFunctions
     val K = Dedup.NumHashes
-    val docs = Tables.documentsSharded(spark, dir)
+    val docs = graft.core.Scratch.persist(Tables.documentsSharded(spark, dir)
       .select(($"doc_id" % OverlapCorpora).as("corpus"),
         TextKernelFunctions.shingleHashes($"text").as("sh"),
-        TextKernelFunctions.minhashSig($"text").as("sig"))
-      .persist() // one shingle/sig pass feeds both the sketch and the exact branch
-    docs.count()
+        TextKernelFunctions.minhashSig($"text").as("sig")))
+    docs.count() // one shingle/sig pass feeds both the sketch and the exact branch
     // corpus signature: component-wise min over docs (empty docs carry
     // -1 sentinels and must not poison the min)
     val minExprs = (0 until K).map { k =>

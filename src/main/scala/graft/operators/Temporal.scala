@@ -489,7 +489,7 @@ object Temporal {
     val run = Window.partitionBy($"o_custkey").orderBy($"d_ms", $"o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wB = Window.partitionBy($"o_custkey").orderBy($"bidx")
-    val bi = fresh0
+    val bi0 = fresh0
       .withColumn("chg", when(lag($"prio", 1).over(wSeq).isNull ||
         lag($"prio", 1).over(wSeq) =!= $"prio", 1).otherwise(0))
       .withColumn("bidx", sum($"chg").over(run))
@@ -499,7 +499,7 @@ object Temporal {
       .withColumn("bto", lead($"bfrom", 1).over(wB))
       .withColumn("m", max($"bidx").over(
         Window.partitionBy($"o_custkey")))
-      .persist()
+    val bi = graft.core.Scratch.persist(bi0)
     val touched = bi.select(pmod($"o_custkey", lit(Scd2Shards.toLong)).as("shard"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (touched.nonEmpty) {

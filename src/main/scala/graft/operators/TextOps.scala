@@ -285,8 +285,10 @@ object TextOps {
     // queries' plans — the CacheManager would substitute it into them,
     // breaking their fused single-scan shape (PlanSpec pins) for a
     // subtree (plain tokenize) that is cheap to recompute anyway.
-    val units = if (materializeUnits) { val u = units0.persist(); u.count(); u }
-      else units0
+    val units =
+      if (materializeUnits) {
+        val u = graft.core.Scratch.persist(units0); u.count(); u
+      } else units0
     val totals = units.agg(
       count(lit(1)).cast("long").as("nd"),
       sum(size($"t")).cast("long").as("tt"))
@@ -764,11 +766,10 @@ object TextOps {
 
   def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val spelled = trim(regexp_replace(concat($"word", lit("_")), "(.)", "$1 "))
-    val base = Tables.documentsSharded(spark, dir)
+    val base = graft.core.Scratch.persist(Tables.documentsSharded(spark, dir)
       .select(explode(toks).as("word"))
       .groupBy($"word").agg(count(lit(1)).cast("long").as("freq"))
-      .select(spelled.as("sp"), $"freq")
-      .persist()
+      .select(spelled.as("sp"), $"freq"))
     base.count() // the one corpus-sized reduction
     // Round k's vocab is the persisted base with k−1 literal replace()
     // projections chained on top — LINEAR lineage (one Project per

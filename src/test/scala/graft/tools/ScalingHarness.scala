@@ -424,6 +424,7 @@ object ScalingHarness {
     Scale.invalidateWidenStore()
     Similarity.invalidateIvfArtifact()
     Clustering.releaseMergeClosures()
+    graft.core.Scratch.release()
   }
 
   def main(args: Array[String]): Unit = {

@@ -19,9 +19,11 @@ object TimeQuery {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to runs).foreach { i =>
+        graft.operators.Graph.invalidateResultMemos()
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
         println(f"[time] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        graft.core.Scratch.release() // honest per-pass cost (Bench parity)
       }
     }
     spark.stop()
