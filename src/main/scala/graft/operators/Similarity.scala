@@ -896,40 +896,64 @@ object Similarity {
         .withColumn("rn", row_number().over(wRel))
         .filter($"rn" <= MmrShortlist).drop("rn"))
     shortlist.count()
-    val pairs = Scratch.persist(shortlist.as("x").join(shortlist.as("y"),
+    // The pairwise sim table and the greedy state are BOUNDED by
+    // construction (≤ |Q|·R shortlist rows, ≤ |Q|·R² pair rows —
+    // MmrQueries/MmrShortlist are compile-time constants, so the size
+    // is corpus-INDEPENDENT). Round 14 ran each of the MmrSteps greedy
+    // selections as its own anti-join + window job over these tiny
+    // cached frames, so per-round job-launch latency dominated the
+    // gate (driver measured 1.26 s, 8-core beat 32-core). The sims are
+    // still computed BY SPARK (the codegen'd cosine — bit-identical to
+    // the oracle); only the ≤1584-row greedy argmax moves to the
+    // driver as ONE bounded model read (the kmeans read-back stance,
+    // NOT a collect over corpus data), with the identical IEEE
+    // arithmetic (max-sim penalty, 0.7/0.3 λ-blend, ties to the
+    // smallest doc id) — same picks, same doubles, same hash.
+    val slRows = shortlist.select($"query_id", $"doc_id", $"rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val prRows = shortlist.as("x").join(shortlist.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.query_id").as("query_id"),
         col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("sim")))
-    pairs.count()
-    var sel = Vector.empty[(Long, Long)] // (query_id, doc_id)
+        cosineWithNorms(col("x.v"), col("y.v"), col("x.nv"), col("y.nv")).as("sim"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    shortlist.unpersist()
+    // (query, cand) → (other, sim) list, for the max-sim penalty
+    val simsByQa = prRows.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val byQuery = slRows.groupBy(_._1).toSeq.sortBy(_._1)
+    val selected = scala.collection.mutable.Map
+      .empty[Long, Set[Long]].withDefaultValue(Set.empty)
     val picks = Seq.newBuilder[(Long, Long, Long, Double, Double)]
     (1 to MmrSteps).foreach { k =>
-      val selDf = sel.toDF("query_id", "doc_id")
-      val cands = shortlist
-        .join(broadcast(selDf), Seq("query_id", "doc_id"), "left_anti")
-      val pen = pairs
-        .join(broadcast(selDf.select($"query_id", $"doc_id".as("b"))), Seq("query_id", "b"))
-        .groupBy($"query_id", $"a".as("doc_id"))
-        .agg(max($"sim").as("maxsim"))
-      val wPick = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
-      cands.join(pen, Seq("query_id", "doc_id"), "left")
-        .withColumn("score",
-          lit(0.7) * $"rel" - lit(0.3) * coalesce($"maxsim", lit(0.0)))
-        .withColumn("rn", row_number().over(wPick))
-        .filter($"rn" === 1)
-        .select($"query_id", $"doc_id", $"rel", $"score")
-        .orderBy($"query_id")
-        .head(MmrQueries) // ≤ |Q| rows — bounded greedy-state read
-        .foreach { r =>
-          picks += ((r.getLong(0), k.toLong, r.getLong(1),
-            r.getDouble(2), r.getDouble(3)))
-          sel = sel :+ (r.getLong(0), r.getLong(1))
+      byQuery.foreach { case (q, rows) =>
+        val selQ = selected(q)
+        val cands = rows.filter(t => !selQ.contains(t._2))
+        if (cands.nonEmpty) {
+          var bestId = 0L; var bestRel = 0.0; var bestScore = 0.0
+          var first = true
+          cands.foreach { case (_, d, rel) =>
+            // max(sim) over selected neighbors; coalesce(·, 0.0)
+            var pen = 0.0; var any = false
+            simsByQa.getOrElse((q, d), Array.empty[(Long, Double)])
+              .foreach { case (b, sim) =>
+                if (selQ.contains(b)) {
+                  pen = if (any) math.max(pen, sim) else sim; any = true
+                }
+              }
+            val score = 0.7 * rel - 0.3 * (if (any) pen else 0.0)
+            if (first || score > bestScore ||
+                (score == bestScore && d < bestId)) {
+              bestId = d; bestRel = rel; bestScore = score; first = false
+            }
+          }
+          picks += ((q, k.toLong, bestId, bestRel, bestScore))
+          selected(q) = selQ + bestId
         }
+      }
     }
-    shortlist.unpersist()
-    pairs.unpersist()
     picks.result().toDF("query_id", "step", "doc_id", "rel", "mmr_score")
       .orderBy($"query_id", $"step")
   }
