@@ -10,6 +10,7 @@ import graft.functions.{TextKernelFunctions, VectorExpressions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotProductRegistration)
+    ext.injectFunction(VectorExpressions.pqDistArrayRegistration)
     TextKernelFunctions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -214,28 +214,21 @@ object Embeddings {
   val PqSubDims: Int = Dims / PqSubspaces
   val PqCells: Int = 64
 
-  /** Sub-codebook m: PqCells trained sub-centroids over dims
-    * [m·PqSubDims, (m+1)·PqSubDims) — frozen 2^-20-grid constants
-    * from [[PqCodebooks.Nums]] (per-subspace seeded k-means, see
-    * [[graft.tools.GenPqCodebooks]]). */
-  private def pqSubCents(m: Int): Seq[Seq[Double]] =
-    PqCodebooks.Nums(m).map(_.map(_ / (1L << 20).toDouble))
-
-  /** Squared L2 between subvector m of `v` and a literal sub-centroid
-    * — the strict left fold of (x−c)² terms. */
-  private def subDist(m: Int, cent: Seq[Double]): Column =
-    aggregate(
-      zip_with(slice($"v", m * PqSubDims + 1, PqSubDims), typedLit(cent),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Per-subspace distance arrays d0..d3 (one entry per codebook cell)
     * for every vector — the shared core of the encoder (argmin per
-    * array) and the ADC query tables (the array IS the lookup table). */
+    * array) and the ADC query tables (the array IS the lookup table).
+    * Round-15 (guide §4): computed by the codegen'd
+    * [[graft.functions.PqDistArray]] kernel — the previous
+    * formulation built each cell as its own
+    * `aggregate(zip_with(slice(v), cent))` tree, and those
+    * higher-order functions are CodegenFallback, so every row paid
+    * 4×64 interpreted folds with per-element lambda dispatch. The
+    * kernel runs the identical strict left-to-right (x−c)² fold per
+    * cell (bit-identical doubles, oracle hash unchanged). */
   private def pqDistFrame(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir).select(
       $"vec_id" +: (0 until PqSubspaces).map(m =>
-        array(pqSubCents(m).map(c => subDist(m, c)): _*).as(s"d$m")): _*)
+        graft.functions.VectorExpressions.pqDistArray($"v", m).as(s"d$m")): _*)
 
   def qPqEncode(spark: SparkSession, dir: String): DataFrame = {
     val codes = (0 until PqSubspaces).map(m =>

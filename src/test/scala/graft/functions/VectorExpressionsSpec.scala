@@ -54,4 +54,75 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(dotProduct($"a", $"b")).head()
     assert(got.isNullAt(0))
   }
+
+  // ---- PqDistArray (round-15 PQ sub-distance kernel) -----------------
+
+  /** The interpreted HOF formulation PqDistArray replaced — kept here
+    * as the semantic reference the kernel must match bit-for-bit. */
+  private def hofDistArray(m: Int) = {
+    val subDims = graft.operators.PqCodebooks.Nums(m).head.length
+    val cents = graft.operators.PqCodebooks.Nums(m)
+      .map(_.map(_ / (1L << 20).toDouble))
+    array(cents.map { cent =>
+      aggregate(
+        zip_with(slice(col("v"), m * subDims + 1, subDims), typedLit(cent),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  test("PqDistArray agrees bit-for-bit with the HOF fold it replaced, all subspaces") {
+    import spark.implicits._
+    val df = graft.sources.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+      .select($"embedding".cast("array<double>").as("v"))
+    val cells = graft.operators.PqCodebooks.Nums.head.length
+    (0 until graft.operators.PqCodebooks.Nums.length).foreach { m =>
+      val rows = df.select(
+        VectorExpressions.pqDistArray($"v", m).as("native"),
+        hofDistArray(m).as("hof")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val n = r.getSeq[Double](0); val h = r.getSeq[Double](1)
+        assert(n.length == cells && h.length == cells)
+        n.indices.foreach(i => assert(n(i) == h(i))) // identical fold order
+      }
+    }
+  }
+
+  test("PqDistArray degenerate inputs mirror the HOF null algebra") {
+    import spark.implicits._
+    // short vector: zip_with pads with null -> null products -> null fold
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+      .select(VectorExpressions.pqDistArray($"v", 0).as("native"),
+        hofDistArray(0).as("hof")).head()
+    val nat = short.getSeq[Any](0); val hof = short.getSeq[Any](1)
+    assert(nat.length == hof.length && nat.forall(_ == null) && hof.forall(_ == null))
+    // null vector -> null result
+    val nul = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("v")
+      .select(VectorExpressions.pqDistArray($"v", 0)).head()
+    assert(nul.isNullAt(0))
+    // null element inside the subspace -> all-null array (HOF parity)
+    val nulElem = Seq(Tuple1(Seq.fill[java.lang.Double](64)(1.0).updated(3, null: java.lang.Double)))
+      .toDF("v")
+      .select(VectorExpressions.pqDistArray($"v", 0).as("native"),
+        hofDistArray(0).as("hof")).head()
+    assert(nulElem.getSeq[Any](0).forall(_ == null))
+    assert(nulElem.getSeq[Any](1).forall(_ == null))
+  }
+
+  test("PqDistArray stays inside whole-stage codegen") {
+    import spark.implicits._
+    val plan = graft.sources.Tables.embeddings(spark, graft.SparkSpec.Sf0001)
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(VectorExpressions.pqDistArray($"v", 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("pq_dist_array") && l.trim.startsWith("*(")))
+  }
+
+  test("pq_dist_array is registered as a SQL function via GraftExtensions") {
+    val row = spark.sql(
+      "SELECT pq_dist_array(array_repeat(0.0d, 64), 2) AS d").head()
+    val cells = graft.operators.PqCodebooks.Nums(2).length
+    assert(row.getSeq[Double](0).length == cells)
+  }
 }
