@@ -847,6 +847,12 @@ object Dedup {
     // + distinct (the round-14 before-plan carried 16 parquet scans).
     // At cluster scale this is the postings-to-storage materialization
     // every AllPairs implementation ships.
+    // (Round-15 measured negative: persisting the postings/prefix
+    // h-partitioned to feed the df aggregate and self-join
+    // exchange-free LOST — every downstream join here is already a
+    // broadcast, so the pre-partitioning shuffles are pure addition:
+    // plan Exchange count 11 → 15 with join strategies unchanged.
+    // Reverted; recorded in OPTIMIZATION_r15.md.)
     val post = Scratch.persist(post0.select($"doc_id", $"h").distinct())
     val dfreq = post.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
