@@ -147,11 +147,8 @@ object GraphProps extends Properties("GraphKernels") {
         val sf = Graph.materializeFrame(
           nodes.map(n => (n, if (seeds(n)) 1 else 0)).toDF("id", "is_seed"))
         try {
-          val costStore = Graph.cheapestCosts(es, sf)
-          val got =
-            try costStore.fresh()
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-            finally costStore.release()
+          val got = Graph.cheapestCosts(es, sf)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           // brute: K rounds of relaxation over the directed edge list
           val inf = 1L << 62
           var d = nodes.map(n => n -> (if (seeds(n)) 0L else inf)).toMap

@@ -763,12 +763,9 @@ class GraphSpec extends SparkSpec {
     val es = Graph.materializeEdges(() => edges.toDF("src", "dst", "w"))
     val sf = Graph.materializeFrame(
       nodes.map(n => (n, if (seeds(n)) 1 else 0)).toDF("id", "is_seed"))
-    try {
-      val costStore = Graph.cheapestCosts(es, sf, rounds)
-      try costStore.fresh()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      finally costStore.release()
-    } finally { es.release(); sf.release() }
+    try Graph.cheapestCosts(es, sf, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally { es.release(); sf.release() }
   }
 
   test("cheapest path: two strong hops beat one weak direct edge") {
