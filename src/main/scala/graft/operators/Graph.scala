@@ -1187,7 +1187,7 @@ object Graph {
 
   /** Peel `symEdges` (symmetric, distinct (src, dst)) to its k-core;
     * returns the surviving-edge [[FrameStore]] — ownership transfers to
-    * the caller, who must `release()` it (the cheapestCosts contract).
+    * the caller, who must `release()` it.
     * Throws if not converged in maxRounds. */
   def kCoreEdges(symEdges: DataFrame, k: Long,
       maxRounds: Int = KCoreMaxRounds): FrameStore = {

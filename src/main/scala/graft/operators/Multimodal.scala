@@ -617,7 +617,7 @@ object Multimodal {
     * batch×batch), hamming ≤ 3 via the 4×15-bit chunk pigeonhole —
     * [[Dedup.chunkBucketPairs]] decomposed the way [[Dedup.edgesOf]]
     * decomposes the LSH pairs. Canonical (least, greatest) output. */
-  private[operators] def phashPairsTouching(batchPh: DataFrame,
+  private[graft] def phashPairsTouching(batchPh: DataFrame,
       corpusPh: DataFrame, hashCol: String = "phash"): DataFrame = {
     def ck(df: DataFrame, id: String) = Dedup.chunkKeys(df, hashCol)
       .select($"doc_id".as(id), $"_h".as(s"${id}_h"), $"chunk", $"ckey")
@@ -636,7 +636,7 @@ object Multimodal {
   /** Shared-frame pairs TOUCHING the batch, rarity judged over `allF`
     * (the merge-time index). `cap` parameterized for the spec's
     * cap-crossing scenario. Canonical (least, greatest) output. */
-  private[operators] def videoPairsTouching(batchF: DataFrame, allF: DataFrame,
+  private[graft] def videoPairsTouching(batchF: DataFrame, allF: DataFrame,
       cap: Int = MaxFrameDocs): DataFrame = {
     val rare = allF.groupBy($"fhash").agg(count(lit(1)).as("n_docs"))
       .filter($"n_docs" <= cap).select($"fhash")
