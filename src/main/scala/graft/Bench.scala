@@ -107,9 +107,10 @@ object Bench {
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Round-15 measurement-bug fix (round-14 judge item #1 — honest
     // per-pass accounting, methodology otherwise unchanged):
-    //  - memoized QUERY RESULTS (converged k-core / cheapest costs) are
-    //    invalidated before every timed pass, so min-of-N reports the
-    //    real converge cost instead of a pass-2 memo read;
+    //  - memoized QUERY RESULTS (the converged k-core; the
+    //    cheapest-path memo was deleted outright) are invalidated
+    //    before every timed pass, so min-of-N reports the real
+    //    converge cost instead of a pass-2 memo read;
     //  - every PER-QUERY scratch persist is released at query exit
     //    (graft.core.Scratch), so pass 2 re-computes from parquet
     //    instead of timing CacheManager reads of pass 1's caches.
