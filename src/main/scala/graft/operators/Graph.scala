@@ -1191,12 +1191,19 @@ object Graph {
     * Throws if not converged in maxRounds. */
   def kCoreEdges(symEdges: DataFrame, k: Long,
       maxRounds: Int = KCoreMaxRounds): FrameStore = {
-    var store = materializeFrame(symEdges)
-    var n = store.rowCount
+    // Round-15 (guide §1.2 step 1): round 0 reads the CALLER's frame
+    // directly — for the gate that is a slim projection of the
+    // already-cached edge store, so materializing it first (as every
+    // round before 15 did) copied the LARGEST frame of the peel into
+    // a second store before any edge had been peeled. Only peeled
+    // rounds are materialized; the initial size check is one count
+    // over the cached input.
+    var store: FrameStore = null
+    var cur = symEdges
+    var n = symEdges.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val cur = store.fresh()
       val keep = cur.groupBy($"src").agg(count(lit(1)).as("d"))
         .filter($"d" >= k).select($"src".as("id"))
       val next = materializeFrame(cur
@@ -1204,20 +1211,21 @@ object Graph {
         .join(keep.select($"id".as("dst")), Seq("dst"), "left_semi")
         .select($"src", $"dst"))
       val n2 = next.rowCount // observed by the materializing action
-      store.release()
+      if (store != null) store.release()
       store = next
+      cur = next.fresh()
       converged = n2 == n
       n = n2
       round += 1
     }
     if (!converged && n > 0) {
-      store.release()
+      if (store != null) store.release()
       throw new IllegalStateException(
         s"k-core peeling did not converge after $maxRounds rounds — " +
           "the oracle reads the round-" + maxRounds + " state, so a " +
           "drifting core must fail the job; raise KCoreMaxRounds")
     }
-    store
+    if (store == null) materializeFrame(symEdges) else store
   }
 
   /** Gate: entities in the (avg-degree div 2)-core of the transaction
